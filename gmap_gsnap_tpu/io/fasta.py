@@ -1,0 +1,84 @@
+"""FASTA / FASTQ input parsing (host side).
+
+Replaces the reference's shortread.c / sequence.c readers (FASTA headers,
+FASTQ 4-line records, gzip transparently).  Sequences keep only alphabetic
+characters, matching the reference parsers which skip whitespace/digits.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+from dataclasses import dataclass, field
+from typing import Iterator
+
+
+@dataclass
+class Record:
+    label: str            # first word of the header
+    header: str           # full header line without '>' or '@', stripped
+    seq: str              # uppercase-preserved sequence (as read)
+    quality: str | None = None  # FASTQ quality string, if any
+
+
+def _open(path: str):
+    if path == "-":
+        import sys
+
+        return sys.stdin.buffer
+    f = open(path, "rb")
+    if f.read(2) == b"\x1f\x8b":
+        f.seek(0)
+        return gzip.open(f, "rb")
+    f.seek(0)
+    return f
+
+
+def read_fasta(path: str) -> Iterator[Record]:
+    """Yield records from a FASTA file (gzip ok)."""
+    label = None
+    header = ""
+    chunks: list[str] = []
+    with _open(path) as f:
+        for raw in f:
+            line = raw.decode("ascii", errors="replace")
+            if line.startswith(">"):
+                if label is not None:
+                    yield Record(label, header, "".join(chunks))
+                header = line[1:].rstrip("\n")
+                label = header.split()[0] if header.split() else ""
+                chunks = []
+            else:
+                chunks.append("".join(ch for ch in line if ch.isalpha()))
+        if label is not None:
+            yield Record(label, header, "".join(chunks))
+
+
+def read_fastq(path: str) -> Iterator[Record]:
+    """Yield records from a FASTQ file (gzip ok)."""
+    with _open(path) as f:
+        while True:
+            h = f.readline()
+            if not h:
+                return
+            h = h.decode("ascii").rstrip("\n")
+            if not h:
+                continue
+            if not h.startswith("@"):
+                raise ValueError(f"bad FASTQ header: {h!r}")
+            seq = f.readline().decode("ascii").strip()
+            plus = f.readline()
+            qual = f.readline().decode("ascii").rstrip("\n")
+            header = h[1:]
+            label = header.split()[0] if header.split() else ""
+            yield Record(label, header, seq, qual)
+
+
+def read_seqfile(path: str) -> Iterator[Record]:
+    """Sniff FASTA vs FASTQ from the first byte."""
+    with _open(path) as f:
+        first = f.read(1)
+    if first == b"@":
+        return read_fastq(path)
+    return read_fasta(path)
