@@ -1,0 +1,123 @@
+"""Device-resident genome representation.
+
+TPU-first layout (replaces the reference's interleaved high/low/flags
+blocks, src/genome.c / src/compress.c): two parallel uint32 arrays
+
+  * ``ref16``  — 16 nucleotides per word, 2-bit codes LSB-first
+                 (code at position p = (ref16[p>>4] >> 2*(p&15)) & 3)
+  * ``flag16`` — 16 flag bits per word in the low half
+                 (bit i of word w = position 16w+i is N/X)
+
+Keeping codes and flags at the same 16-per-word granularity means every
+span fetch is ONE aligned gather per array followed by identical
+shift/align arithmetic — no high/low interleave to untangle on device.
+
+The structure also carries chromosome metadata for coordinate mapping
+(replaces chrnum.c / the chromosome IIT lookup at alignment time).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NT_PER_WORD = 16
+
+
+def pack16(codes: np.ndarray, flags: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side packing of 2-bit codes/flags into the 16-per-word layout.
+    Pads the tail with X (T + flag) like the disk format."""
+    n = len(codes)
+    nwords = (n + NT_PER_WORD - 1) // NT_PER_WORD
+    pad = nwords * NT_PER_WORD - n
+    if pad:
+        codes = np.concatenate([codes, np.full(pad, 3, dtype=codes.dtype)])
+        flags = np.concatenate([flags, np.ones(pad, dtype=bool)])
+    c = codes.astype(np.uint32).reshape(nwords, NT_PER_WORD)
+    f = flags.astype(np.uint32).reshape(nwords, NT_PER_WORD)
+    shifts = np.arange(NT_PER_WORD, dtype=np.uint32)
+    ref16 = np.bitwise_or.reduce(c << (2 * shifts), axis=1)
+    flag16 = np.bitwise_or.reduce(f << shifts, axis=1)
+    return ref16, flag16
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class GenomeArrays:
+    """Genome + chromosome tables as device arrays (pytree)."""
+
+    ref16: jax.Array      # uint32[nwords]
+    flag16: jax.Array     # uint32[nwords]
+    length: int           # genome length in nt (static)
+    chr_offsets: jax.Array  # uint32[nchrs+1] universal start coords (+ total)
+
+    def tree_flatten(self):
+        return (self.ref16, self.flag16, self.chr_offsets), (self.length,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        ref16, flag16, chr_offsets = children
+        return cls(ref16, flag16, aux[0], chr_offsets)
+
+    @classmethod
+    def from_codes(cls, codes: np.ndarray, flags: np.ndarray, chr_ends) -> "GenomeArrays":
+        ref16, flag16 = pack16(codes, flags)
+        # one extra word of padding so span fetches can read word w+1 safely
+        ref16 = np.concatenate([ref16, np.full(2, 0xFFFFFFFF, np.uint32)])
+        flag16 = np.concatenate([flag16, np.full(2, 0xFFFF, np.uint32)])
+        chr_offsets = np.concatenate([[0], np.asarray(chr_ends, dtype=np.int64)])
+        return cls(
+            ref16=jnp.asarray(ref16),
+            flag16=jnp.asarray(flag16),
+            length=int(len(codes)),
+            chr_offsets=jnp.asarray(chr_offsets.astype(np.uint32)),
+        )
+
+
+def fetch_span_words(ref16: jax.Array, flag16: jax.Array, start, nwords: int):
+    """Fetch ``nwords`` aligned uint32 words (codes and flags) such that
+    word j holds genome positions start+16j .. start+16j+15, for a batch
+    of ``start`` positions (uint32[B]).  Returns (codes, flags) each
+    uint32[B, nwords], flags in the low 16 bits of each word."""
+    start = start.astype(jnp.uint32)
+    w0 = (start >> 4).astype(jnp.int32)  # word index
+    sh = (start & 15).astype(jnp.uint32)  # nt shift within word
+    idx = w0[:, None] + jnp.arange(nwords + 1, dtype=jnp.int32)[None, :]
+    idx = jnp.minimum(idx, ref16.shape[0] - 1)
+    raw_c = ref16[idx]  # [B, nwords+1]
+    raw_f = flag16[idx]
+    sh2 = (2 * sh)[:, None]
+    shf = sh[:, None]
+    # align: out[j] = raw[j] >> 2*sh | raw[j+1] << (32 - 2*sh)
+    c = (raw_c[:, :-1] >> sh2) | _shl32(raw_c[:, 1:], 32 - sh2)
+    f = (raw_f[:, :-1] >> shf) | _shl32(raw_f[:, 1:], 16 - shf)
+    f = f & jnp.uint32(0xFFFF)
+    return c, f
+
+
+def _shl32(x, amount):
+    """Left shift where amount may be 32/16 (full width): result 0 then."""
+    amount = amount.astype(jnp.uint32)
+    big = amount >= 32
+    safe = jnp.where(big, 0, amount)
+    return jnp.where(big, jnp.uint32(0), x << safe)
+
+
+def fetch_codes(ref16: jax.Array, positions) -> jax.Array:
+    """Per-position 2-bit code gather: codes[i] = genome[positions[i]]."""
+    positions = positions.astype(jnp.uint32)
+    w = (positions >> 4).astype(jnp.int32)
+    w = jnp.minimum(w, ref16.shape[0] - 1)
+    sh = 2 * (positions & 15)
+    return ((ref16[w] >> sh) & 3).astype(jnp.uint8)
+
+
+def fetch_flags(flag16: jax.Array, positions) -> jax.Array:
+    positions = positions.astype(jnp.uint32)
+    w = (positions >> 4).astype(jnp.int32)
+    w = jnp.minimum(w, flag16.shape[0] - 1)
+    sh = positions & 15
+    return ((flag16[w] >> sh) & 1).astype(jnp.bool_)
