@@ -1,0 +1,289 @@
+"""Host-side GSNAP runner: FASTQ batches -> device pipeline -> SAM.
+
+Replaces the reference's inbuffer/worker/outbuffer thread architecture
+(inbuffer.c, outbuffer.c, gsnap.c:2432-2487) with a simple batched loop:
+reads are padded into fixed-shape arrays, aligned on device in one jit
+call per batch, and post-processed on the host (trimming, MD/NM, MAPQ
+normalization, SAM emission) in input order — the equivalent of
+Outbuffer_thread_ordered.
+
+Post-processing replicates, per hit:
+  * end trimming (substring.c:516-697 trim_left_end/trim_right_end,
+    TRIM_MATCH_SCORE 1, trim_mismatch_score default -3)
+  * MD/NM over the aligned (non-clipped) span
+  * MAPQ normalization (stage3hr.c:3443-3545 Stage3end_eval_and_sort):
+    unique hit -> mapq = max quality score, XQ = 40; multiple hits ->
+    per-hit loglik = sum of mismatch_logprob[Q], Bayesian posterior ->
+    Phred, XQ = 40 + loglik - maxlik.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..db.datadir import GenomeDB
+from ..io import sam
+from ..io.fasta import Record
+from ..ops import maxent  # noqa: F401  (future: splice stats)
+from ..utils import dna
+from . import gsnap_se
+
+MAX_QUALITY_SCORE = 40
+MAPQ_MAXIMUM_SCORE = 40
+QUALITY_ADJ = 33
+
+# log(1/3 * 10^(-Q/10)) for Q = 0..40 (mapq.c:36-46)
+MISMATCH_LOGPROB = np.array(
+    [-math.log(3.0) - q * math.log(10.0) / 10.0 for q in range(MAX_QUALITY_SCORE + 1)]
+)
+
+TRIM_MATCH_SCORE = 1
+
+
+def trim_ends(mm: np.ndarray, trim_mismatch_score: int = -3) -> tuple[int, int]:
+    """Exact reimplementation of trim_left_end + trim_right_end
+    (substring.c) for a full-length gapless alignment.
+
+    mm: bool[L] mismatch vector in query coordinates.
+    Returns (trim5, trim3)."""
+    L = len(mm)
+    positions = np.flatnonzero(mm)
+
+    # trim_left_end: scan mismatches right-to-left
+    bestscore = score = 0
+    trim5 = 0
+    prevpos = L
+    for p in positions[::-1]:
+        pos = p + 1
+        score += (prevpos - pos) * TRIM_MATCH_SCORE
+        if score >= bestscore:
+            bestscore = score
+            trim5 = pos
+        score += trim_mismatch_score
+        if score < 0:
+            score = 0
+        prevpos = pos - 1
+    score += prevpos * TRIM_MATCH_SCORE
+    if score >= bestscore:
+        trim5 = 0
+
+    # trim_right_end: scan mismatches left-to-right
+    bestscore = score = 0
+    trim3 = 0
+    prevpos = -1
+    for p in positions:
+        pos = p - 1
+        score += (pos - prevpos) * TRIM_MATCH_SCORE
+        if score >= bestscore:
+            bestscore = score
+            trim3 = L - pos - 1
+        score += trim_mismatch_score
+        if score < 0:
+            score = 0
+        prevpos = pos + 1
+    score += (L - 1 - prevpos) * TRIM_MATCH_SCORE
+    if score >= bestscore:
+        trim3 = 0
+
+    return trim5, trim3
+
+
+@dataclass
+class PostHit:
+    left: int
+    plusp: bool
+    trim5: int
+    trim3: int
+    nmm_trimmed: int
+    nmatches: int
+    loglik: float
+    md: str
+
+
+def encode_batch(records: list[Record], lmax: int):
+    b = len(records)
+    codes = np.zeros((b, lmax), np.uint8)
+    nflags = np.zeros((b, lmax), bool)
+    lengths = np.zeros(b, np.int32)
+    for i, r in enumerate(records):
+        c, f = dna.encode(r.seq[:lmax])
+        codes[i, : len(c)] = c
+        nflags[i, : len(c)] = f
+        lengths[i] = len(c)
+    return codes, nflags, lengths
+
+
+class GsnapRunner:
+    def __init__(self, db: GenomeDB, params: gsnap_se.GsnapParams | None = None,
+                 lmax: int = 100):
+        self.db = db
+        self.lmax = lmax
+        self.params = params or gsnap_se.GsnapParams()
+        self.genome = db.device_genome
+        self.index = db.device_index
+        # decoded genome string for MD computation
+        self._genome_str = dna.decode(db.codes, db.flags)
+
+    # ---------------------------------------------------------------- device
+    def align_records(self, records: list[Record]):
+        import jax.numpy as jnp
+
+        codes, nflags, lengths = encode_batch(records, self.lmax)
+        res = gsnap_se.align_batch(
+            self.genome,
+            self.index,
+            jnp.asarray(codes),
+            jnp.asarray(nflags),
+            jnp.asarray(lengths),
+            self.params,
+        )
+        return {k: np.asarray(v) for k, v in res.items()}
+
+    # ------------------------------------------------------------------ host
+    def _hit_details(self, rec: Record, left: int, plusp: bool) -> PostHit:
+        L = len(rec.seq)
+        gseq = self._genome_str[left : left + L]
+        q = rec.seq.upper() if plusp else dna.revcomp_str(rec.seq.upper())
+        # mismatch vector with N semantics (genome N always mismatch,
+        # query N never)
+        mm = np.zeros(L, bool)
+        for i, (qc, gc) in enumerate(zip(q, gseq)):
+            if qc == "N":
+                continue
+            if gc not in "ACGT" or qc != gc:
+                mm[i] = True
+        trim5, trim3 = trim_ends(mm)
+        span = slice(trim5, L - trim3)
+        # MD always runs in plus-genome order with plus-strand ref bases
+        # (samtools-compatible; verified against the completed reference)
+        md, nm = sam.md_string(q[span], gseq[span])
+        qual = rec.quality if rec.quality else None
+        if qual is None:
+            qv = np.full(L, MAX_QUALITY_SCORE, int)
+        else:
+            qq = qual if plusp else qual[::-1]
+            qv = np.clip(
+                np.frombuffer(qq.encode(), np.uint8).astype(int) - QUALITY_ADJ,
+                0,
+                MAX_QUALITY_SCORE,
+            )
+        loglik = float(MISMATCH_LOGPROB[qv[span][mm[span]]].sum())
+        nmatches = (L - trim5 - trim3) - nm
+        return PostHit(left, plusp, trim5, trim3, nm, nmatches, loglik, md)
+
+    def sam_records(self, rec: Record, hits_left, hits_plusp, hits_nmm, npaths,
+                    maxpaths: int = 100) -> str:
+        qual = rec.quality if rec.quality else None
+        if npaths == 0:
+            return sam.se_record(rec.label, rec.seq.upper(), qual, None)
+
+        n = min(int(npaths), maxpaths)
+        details = [
+            self._hit_details(rec, int(hits_left[i]), bool(hits_plusp[i]))
+            for i in range(n)
+        ]
+        # rank like Stage3end_output_cmp: nmatches desc, then loglik desc
+        order = sorted(
+            range(n), key=lambda i: (-details[i].nmatches, -details[i].loglik)
+        )
+        details = [details[i] for i in order]
+
+        # MAPQ (stage3hr.c:3443-3545)
+        if n == 1:
+            if qual is None:
+                mapqs = [MAX_QUALITY_SCORE]
+            else:
+                mapqs = [
+                    max(
+                        1,
+                        min(
+                            MAX_QUALITY_SCORE,
+                            max(ord(c) - QUALITY_ADJ for c in qual),
+                        ),
+                    )
+                ]
+            absmqs = [MAPQ_MAXIMUM_SCORE]
+            second_absmq = 0
+        else:
+            logliks = np.array([d.loglik for d in details])
+            # enforce monotonicity in rank order
+            for i in range(n - 1, 0, -1):
+                if logliks[i - 1] < logliks[i]:
+                    logliks[i - 1] = logliks[i]
+            logliks = logliks - logliks.max()
+            absmqs = [int(round(max(0.0, ll + MAPQ_MAXIMUM_SCORE))) for ll in logliks]
+            second_absmq = absmqs[1]
+            probs = np.exp(logliks)
+            probs = probs / probs.sum()
+            mapqs = []
+            for p in probs:
+                q1 = 1.0 - p
+                mapqs.append(96 if q1 < 2.5e-10 else int(round(-10.0 * math.log10(q1))))
+
+        out = []
+        for hi, d in enumerate(details):
+            chrnum = int(np.searchsorted(self.db.chr_ends, d.left, side="right"))
+            chrpos = d.left - int(self.db.chr_starts[chrnum]) + 1
+            L = len(rec.seq)
+            if d.plusp:
+                clip_left, clip_right = d.trim5, d.trim3
+                pos = chrpos + d.trim5
+            else:
+                # printed SEQ is revcomp; clips swap sides in SEQ coords
+                clip_left, clip_right = d.trim5, d.trim3
+                pos = chrpos + d.trim5
+            hit = sam.SEHit(
+                chrname=self.db.chr_names[chrnum],
+                chrpos=pos,
+                plusp=d.plusp,
+                clip_left=clip_left,
+                clip_right=clip_right,
+                md=d.md,
+                nm=d.nmm_trimmed,
+                mapq=mapqs[hi] if hi < len(mapqs) else 0,
+                absmq=absmqs[hi] if hi < len(absmqs) else 0,
+                second_absmq=second_absmq,
+            )
+            out.append(
+                sam.se_record(
+                    rec.label,
+                    rec.seq.upper(),
+                    qual,
+                    hit,
+                    nh=n,
+                    hi=hi + 1,
+                    secondary=hi > 0,
+                )
+            )
+        return "".join(out)
+
+    # ------------------------------------------------------------------ main
+    def run(self, records: list[Record], out, batch_size: int = 256,
+            emit_header: bool = True) -> int:
+        if emit_header:
+            out.write(
+                sam.header(
+                    self.db.chr_names,
+                    (self.db.chr_ends - self.db.chr_starts).tolist(),
+                )
+            )
+        total = 0
+        for i in range(0, len(records), batch_size):
+            chunk = records[i : i + batch_size]
+            res = self.align_records(chunk)
+            for j, rec in enumerate(chunk):
+                out.write(
+                    self.sam_records(
+                        rec,
+                        res["left"][j],
+                        res["plusp"][j],
+                        res["nmm"][j],
+                        int(res["npaths"][j]),
+                        self.params.maxpaths,
+                    )
+                )
+                total += 1
+        return total

@@ -1,0 +1,57 @@
+"""gsnap-compatible CLI (subset): single-end mismatch-only alignment.
+
+Usage:  python -m gmap_gsnap_tpu.cli.gsnap -D <dir> -d <db> [options] <fastq>
+
+Mirrors the reference gsnap flag surface (gsnap.c:343-482) for the flags
+implemented so far; unimplemented reference flags are accepted where
+harmless or rejected with a clear message.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="gsnap", add_help=True)
+    p.add_argument("-D", "--dir", required=True, help="genome directory")
+    p.add_argument("-d", "--db", required=True, help="genome database")
+    p.add_argument("-A", "--format", default="sam", choices=["sam"],
+                   help="output format")
+    p.add_argument("-m", "--max-mismatches", type=float, default=-1)
+    p.add_argument("-t", "--nthreads", type=int, default=1,
+                   help="accepted for compatibility (batching replaces threads)")
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--npaths", "-n", type=int, default=100)
+    p.add_argument("input", nargs="+", help="FASTQ/FASTA file(s)")
+    args = p.parse_args(argv)
+
+    from ..align import gsnap_se, runner as runner_mod
+    from ..db.datadir import GenomeDB
+    from ..io import fasta
+    from ..utils import jaxenv
+
+    jaxenv.enable_compilation_cache()
+
+    db = GenomeDB.open(args.dir if args.dir.endswith(args.db) else f"{args.dir}/{args.db}", args.db)
+    records = []
+    for path in args.input:
+        records.extend(fasta.read_seqfile(path))
+    lmax = max((len(r.seq) for r in records), default=100)
+
+    mm = int(args.max_mismatches) if args.max_mismatches >= 0 else -1
+    params = gsnap_se.GsnapParams(maxpaths=args.npaths, max_mismatches=mm)
+    r = runner_mod.GsnapRunner(db, params, lmax=lmax)
+    import time
+
+    t0 = time.time()
+    n = r.run(records, sys.stdout, batch_size=args.batch_size)
+    dt = time.time() - t0
+    print(f"Processed {n} queries in {dt:.2f} seconds ({n/dt:.2f} queries/sec)",
+          file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

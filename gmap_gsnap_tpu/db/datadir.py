@@ -1,0 +1,96 @@
+"""Database directory loader (the runtime counterpart of build.py).
+
+Loads a GMAP/GSNAP database directory — ours or one built by the
+reference tools (identical formats) — into host arrays plus device
+arrays for the alignment pipelines.  Replaces datadir.c + the load
+sequence of gsnap.c:1899-2055 (chromosome IIT, genome blocks, indexdb).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from functools import cached_property
+
+import numpy as np
+
+from . import genomecomp, indexdb
+from .iit import IIT
+
+
+@dataclass
+class GenomeDB:
+    dbdir: str
+    dbname: str
+    codes: np.ndarray          # uint8[G]
+    flags: np.ndarray          # bool[G]
+    chr_names: list[str]
+    chr_starts: np.ndarray     # int64[nchrs] universal starts
+    chr_ends: np.ndarray       # int64[nchrs] universal exclusive ends
+    offsets: np.ndarray | None = None    # uint32[4^k+1]
+    positions: np.ndarray | None = None  # uint32[N]
+    k: int = 0
+    interval: int = 0
+
+    @classmethod
+    def open(cls, dbdir: str, dbname: str | None = None, idx_prefix: str = "ref") -> "GenomeDB":
+        if dbname is None:
+            dbname = os.path.basename(dbdir.rstrip("/"))
+        # allow -D dir -d db layout where files live in dir/db/db.*
+        base = os.path.join(dbdir, f"{dbname}.genomecomp")
+        if not os.path.exists(base):
+            sub = os.path.join(dbdir, dbname)
+            if os.path.exists(os.path.join(sub, f"{dbname}.genomecomp")):
+                dbdir = sub
+                base = os.path.join(dbdir, f"{dbname}.genomecomp")
+            else:
+                raise FileNotFoundError(f"no {dbname}.genomecomp under {dbdir}")
+
+        chr_iit = IIT.read(os.path.join(dbdir, f"{dbname}.chromosome.iit"))
+        names = chr_iit.labels[""]
+        ivs = chr_iit.intervals[""]
+        starts = np.array([iv.low for iv in ivs], dtype=np.int64)
+        ends = np.array([iv.high + 1 for iv in ivs], dtype=np.int64)
+        genome_len = int(ends.max()) if len(ends) else 0
+
+        codes, flags = genomecomp.read(base, genome_len)
+
+        files = indexdb.index_filenames(dbdir, dbname, idx_prefix)
+        offsets = positions = None
+        k = interval = 0
+        if files is not None:
+            offsets = indexdb.read_offsets(files)
+            positions = indexdb.read_positions(files["positions"])
+            k, interval = files["k"], files["interval"]
+
+        return cls(
+            dbdir=dbdir,
+            dbname=dbname,
+            codes=codes,
+            flags=flags,
+            chr_names=names,
+            chr_starts=starts,
+            chr_ends=ends,
+            offsets=offsets,
+            positions=positions,
+            k=k,
+            interval=interval,
+        )
+
+    def chrnum_at(self, pos: np.ndarray) -> np.ndarray:
+        """Chromosome index for universal coordinates."""
+        return np.searchsorted(self.chr_ends, pos, side="right")
+
+    @cached_property
+    def device_genome(self):
+        from ..ops import genome as genome_ops
+
+        return genome_ops.GenomeArrays.from_codes(self.codes, self.flags, self.chr_ends)
+
+    @cached_property
+    def device_index(self):
+        from ..align import gsnap_se
+
+        if self.offsets is None:
+            raise ValueError("database has no k-mer index")
+        return gsnap_se.IndexArrays.from_host(self.offsets, self.positions, self.k, self.interval)

@@ -1,0 +1,137 @@
+"""SAM output formatting for GSNAP-style hits.
+
+Replicates the reference samprint.c conventions for single-end reads:
+header (@SQ lines only, samprint.c), flag computation (samflags.h:5-16),
+1-based POS, soft-clip CIGAR from end trimming, MD string, and the
+gsnap tag set MD / NH / HI / NM / SM / XQ / X2 (README:646-668).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+# samflags.h
+FLAG_PAIRED = 0x1
+FLAG_PROPER = 0x2
+FLAG_UNMAPPED = 0x4
+FLAG_MATE_UNMAPPED = 0x8
+FLAG_REVCOMP = 0x10
+FLAG_MATE_REVCOMP = 0x20
+FLAG_FIRST = 0x40
+FLAG_SECOND = 0x80
+FLAG_SECONDARY = 0x100
+
+_COMP = str.maketrans("ACGTNacgtn", "TGCANtgcan")
+
+
+def revcomp(seq: str) -> str:
+    return seq.translate(_COMP)[::-1]
+
+
+def header(chr_names, chr_lengths, read_group=None) -> str:
+    lines = []
+    for name, ln in zip(chr_names, chr_lengths):
+        lines.append(f"@SQ\tSN:{name}\tLN:{ln}\n")
+    if read_group:
+        lines.append(f"@RG\tID:{read_group}\n")
+    return "".join(lines)
+
+
+def md_string(query: str, ref: str) -> tuple[str, int]:
+    """MD tag + NM count for a gapless alignment of equal-length strings.
+
+    Matches samprint.c print_md_string formatting: a leading "0" IS
+    printed when the first aligned base mismatches, interior zero runs
+    between adjacent mismatches are OMITTED, and a trailing zero run is
+    omitted.  For minus-strand hits callers pass the read in its
+    original orientation vs the reverse-complemented reference segment
+    (gsnap's minus-strand MD convention).
+    """
+    run = 0
+    out = []
+    nm = 0
+    first = True
+    for q, r in zip(query, ref):
+        if q == r or q == "N":  # query N never counts as a mismatch
+            run += 1
+        else:
+            if run > 0 or first:
+                out.append(str(run))
+            out.append(r)
+            run = 0
+            nm += 1
+            first = False
+    if run > 0:
+        out.append(str(run))
+    if not out:
+        out.append("0")
+    return "".join(out), nm
+
+
+@dataclass
+class SEHit:
+    chrname: str
+    chrpos: int        # 1-based within chromosome (of leftmost aligned base)
+    plusp: bool
+    clip_left: int     # soft clip (query coords of the printed SEQ)
+    clip_right: int
+    md: str
+    nm: int
+    mapq: int
+    absmq: int         # XQ
+    second_absmq: int  # X2
+
+
+def se_record(
+    qname: str,
+    seq: str,
+    qual: str | None,
+    hit: SEHit | None,
+    nh: int = 1,
+    hi: int = 1,
+    secondary: bool = False,
+) -> str:
+    if hit is None:
+        fields = [
+            qname, "4", "*", "0", "0", "*", "*", "0", "0",
+            seq, qual if qual else "*",
+        ]
+        return "\t".join(fields) + "\n"
+
+    flag = 0
+    out_seq = seq
+    out_qual = qual if qual else "*"
+    if not hit.plusp:
+        flag |= FLAG_REVCOMP
+        out_seq = revcomp(seq)
+        out_qual = out_qual[::-1] if qual else "*"
+    if secondary:
+        flag |= FLAG_SECONDARY
+
+    m = len(seq) - hit.clip_left - hit.clip_right
+    cigar = []
+    if hit.clip_left:
+        cigar.append(f"{hit.clip_left}S")
+    cigar.append(f"{m}M")
+    if hit.clip_right:
+        cigar.append(f"{hit.clip_right}S")
+
+    fields = [
+        qname,
+        str(flag),
+        hit.chrname,
+        str(hit.chrpos),
+        str(hit.mapq),
+        "".join(cigar),
+        "*", "0", "0",
+        out_seq,
+        out_qual,
+        f"MD:Z:{hit.md}",
+        f"NH:i:{nh}",
+        f"HI:i:{hi}",
+        f"NM:i:{hit.nm}",
+        f"SM:i:{hit.mapq}",
+        f"XQ:i:{hit.absmq}",
+        f"X2:i:{hit.second_absmq}",
+    ]
+    return "\t".join(fields) + "\n"

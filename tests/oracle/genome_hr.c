@@ -379,20 +379,29 @@ Genome_mismatches_right (int *mismatch_positions, int max_mismatches, Compress_T
 
 /************************************************************************
  * Mark mismatches into a genomic text buffer (for GSNAP output).
- * Buffer index = query position + mismatch_offset.
+ * For plus-strand hits the buffer is in query coordinates: buffer index
+ * = query position + mismatch_offset.  For minus-strand hits the buffer
+ * holds the reverse-complemented segment in the READ's original
+ * orientation, so the query_compress_rev coordinate pos mirrors to
+ * read coordinate querylength-1-pos (verified against the genomic-
+ * segment lowercase marks in gsnap's native output format).
  ************************************************************************/
 
-int
-Genome_mark_mismatches_ref (char *genomic, int querylength, Compress_T query_compress,
-			    Genomicpos_T left, int pos5, int pos3, int mismatch_offset,
-			    bool plusp, int genestrand) {
+static int
+mark_mismatches (char *genomic, int querylength, Compress_T query_compress,
+		 Genomicpos_T left, int pos5, int pos3, int mismatch_offset,
+		 bool plusp, int genestrand, bool use_alt) {
   UINT4 *qblocks = Compress_shift(query_compress, 0);
-  int n = 0, pos;
+  int n = 0, pos, idx;
 
-  (void) querylength;
   for (pos = pos5; pos < pos3; pos++) {
-    if (mismatch_at(qblocks, pos, left + pos, plusp, genestrand, /*use_alt*/false)) {
-      genomic[pos + mismatch_offset] = (char) tolower((int) genomic[pos + mismatch_offset]);
+    if (mismatch_at(qblocks, pos, left + pos, plusp, genestrand, use_alt)) {
+      if (plusp) {
+	idx = pos + mismatch_offset;
+      } else {
+	idx = (querylength - 1 - pos) + mismatch_offset;
+      }
+      genomic[idx] = (char) tolower((int) genomic[idx]);
       n++;
     }
   }
@@ -400,20 +409,19 @@ Genome_mark_mismatches_ref (char *genomic, int querylength, Compress_T query_com
 }
 
 int
+Genome_mark_mismatches_ref (char *genomic, int querylength, Compress_T query_compress,
+			    Genomicpos_T left, int pos5, int pos3, int mismatch_offset,
+			    bool plusp, int genestrand) {
+  return mark_mismatches(genomic, querylength, query_compress, left, pos5, pos3,
+			 mismatch_offset, plusp, genestrand, /*use_alt*/false);
+}
+
+int
 Genome_mark_mismatches (char *genomic, int querylength, Compress_T query_compress,
 			Genomicpos_T left, int pos5, int pos3, int mismatch_offset,
 			bool plusp, int genestrand) {
-  UINT4 *qblocks = Compress_shift(query_compress, 0);
-  int n = 0, pos;
-
-  (void) querylength;
-  for (pos = pos5; pos < pos3; pos++) {
-    if (mismatch_at(qblocks, pos, left + pos, plusp, genestrand, /*use_alt*/true)) {
-      genomic[pos + mismatch_offset] = (char) tolower((int) genomic[pos + mismatch_offset]);
-      n++;
-    }
-  }
-  return n;
+  return mark_mismatches(genomic, querylength, query_compress, left, pos5, pos3,
+			 mismatch_offset, plusp, genestrand, /*use_alt*/true);
 }
 
 /************************************************************************
