@@ -1,0 +1,80 @@
+"""ORF finding and translation over aligned columns.
+
+Replicates translation.c semantics: translate the genomic side of the
+alignment in 3 frames (aa recorded at the first nt of each codon,
+frame = genomic-column-index % 3), find the best ORF per frame
+(find_bounds_forward, translation.c:190-340: the first ORF may start
+anywhere, later ORFs require an M after a stop; ORF length counts the
+stop codon), pick the longest (highest frame wins ties).
+"""
+
+from __future__ import annotations
+
+CODON_TABLE = {}
+_BASES = "TCAG"
+_AAS = (
+    "FFLLSSSSYY**CC*W"
+    "LLLLPPPPHHQQRRRR"
+    "IIIMTTTTNNKKSSRR"
+    "VVVVAAAADDEEGGGG"
+)
+for _i, _b1 in enumerate(_BASES):
+    for _j, _b2 in enumerate(_BASES):
+        for _k, _b3 in enumerate(_BASES):
+            CODON_TABLE[_b1 + _b2 + _b3] = _AAS[16 * _i + 4 * _j + _k]
+
+
+def get_codon(nt0: str, nt1: str, nt2: str) -> str:
+    return CODON_TABLE.get(nt0 + nt1 + nt2, "X")
+
+
+def translate_forward(genome_cols: str) -> list[str]:
+    """aa at the first nt of each complete codon; ' ' elsewhere."""
+    n = len(genome_cols)
+    aa = [" "] * n
+    for i in range(n - 2):
+        c = get_codon(genome_cols[i], genome_cols[i + 1], genome_cols[i + 2])
+        aa[i] = c
+    return aa
+
+
+def find_bounds_forward(aa: list[str], fulllengthp: bool = False):
+    """Returns (frame, starti, endi, length_aa, endstopp) over column
+    indices; aa[i]==' ' columns are skipped.  Mirrors
+    find_bounds_forward (translation.c:190-340)."""
+    n = len(aa)
+    best = {}
+    for f in range(3):
+        needmet = fulllengthp
+        orf = 0
+        start = None
+        bestorf, beststart, bestend, endstop = 0, 0, max(0, n - 1), False
+        for i in range(f, n, 3):
+            codon = aa[i] if i < n else " "
+            if codon == " ":
+                continue
+            if needmet:
+                if codon == "M":
+                    orf = 1
+                    start = i
+                    needmet = False
+            elif codon == "*":
+                orf += 1
+                if orf > bestorf:
+                    bestorf, beststart, bestend, endstop = orf, start, i, True
+                needmet = True
+                orf = 0
+            else:
+                if start is None:
+                    start = i
+                orf += 1
+        if orf > bestorf:
+            bestorf, beststart, bestend, endstop = orf, start, n - 1, False
+        best[f] = (bestorf, beststart if beststart is not None else 0, bestend, endstop)
+
+    # pick longest; higher frame wins ties (translation.c:313-330)
+    length = max(best[f][0] for f in range(3))
+    for f in (2, 1, 0):
+        if best[f][0] == length:
+            return f, best[f][1], best[f][2], length, best[f][3]
+    return 0, 0, 0, 0, False

