@@ -86,6 +86,8 @@ class GsnapParams:
     subopt_levels: int = 0     # report hits within this score of the best
                                # (gsnap --suboptimal-levels, default 0:
                                # optimal-score hits only, stage3hr.c:3798)
+    mode: str = "standard"     # standard | cmet-stranded | atoi-stranded
+    snp_tolerant: bool = False # verify against ref AND alt genomes
 
 
 def _extract_oligos(codes: jax.Array, nflags: jax.Array, lengths: jax.Array, k: int):
@@ -158,7 +160,7 @@ def _top_diagonals(diag, ncand: int):
     return top_d, top_v
 
 
-def _verify(genome, queries, diags, lengths):
+def _verify(genome, queries, diags, lengths, conversion=None, alt=None):
     """Exact mismatch counts for candidate diagonals.
     diags uint32[B, NC] -> nmm int32[B, NC] (BIG_NMM where invalid)."""
     b, nc = diags.shape
@@ -174,8 +176,24 @@ def _verify(genome, queries, diags, lengths):
     )
     pos5 = jnp.zeros(b * nc, jnp.int32)
     pos3 = rep(lengths)
-    nmm = mm_ops.count_mismatches(genome, q, lefts, pos5, pos3).reshape(b, nc)
+    nmm = mm_ops.count_mismatches(genome, q, lefts, pos5, pos3, conversion, alt).reshape(b, nc)
     return jnp.where(ok, nmm, BIG_NMM)
+
+
+_MODE_CONV = {
+    # (plus-strand conversion, minus-strand conversion)
+    "standard": (None, None),
+    "cmet-stranded": ("ct", "ga"),
+    "atoi-stranded": ("ag", "tc"),
+}
+
+
+def _convert_codes(codes, conversion):
+    """Apply a cmet/atoi nucleotide conversion to unpacked codes."""
+    if conversion is None:
+        return codes
+    src, dst = {"ct": (1, 3), "ga": (2, 0), "ag": (0, 2), "tc": (3, 1)}[conversion]
+    return jnp.where(codes == src, jnp.uint8(dst), codes)
 
 
 @partial(jax.jit, static_argnames=("params",))
@@ -186,6 +204,8 @@ def align_batch(
     nflags,     # bool[B, L] read N flags
     lengths,    # int32[B]
     params: GsnapParams = GsnapParams(),
+    index_minus: IndexArrays | None = None,  # cmet/atoi: minus-strand index
+    alt=None,   # optional (alt_ref16, alt_flag16) for SNP tolerance
 ):
     """Align a batch of reads; mismatch-only (no indels / splicing).
 
@@ -200,21 +220,29 @@ def align_batch(
     b, lmax = codes.shape
     lengths = lengths.astype(jnp.int32)
 
+    conv_plus, conv_minus = _MODE_CONV[params.mode]
+    if index_minus is None:
+        index_minus = index
+
     queries_fwd = _pack_device(codes, nflags, lengths, lmax)
     codes_rc, nflags_rc = _revcomp_batch(codes, nflags, lengths)
     queries_rev = _pack_device(codes_rc, nflags_rc, lengths, lmax)
 
-    oligos_f, valid_f = _extract_oligos(codes, nflags, lengths, index.k)
-    oligos_r, valid_r = _extract_oligos(codes_rc, nflags_rc, lengths, index.k)
+    oligos_f, valid_f = _extract_oligos(
+        _convert_codes(codes, conv_plus), nflags, lengths, index.k
+    )
+    oligos_r, valid_r = _extract_oligos(
+        _convert_codes(codes_rc, conv_minus), nflags_rc, lengths, index.k
+    )
 
     diag_f = _seed_diagonals(index, oligos_f, valid_f, params)
-    diag_r = _seed_diagonals(index, oligos_r, valid_r, params)
+    diag_r = _seed_diagonals(index_minus, oligos_r, valid_r, params)
 
     top_f, _ = _top_diagonals(diag_f, params.ncand)
     top_r, _ = _top_diagonals(diag_r, params.ncand)
 
-    nmm_f = _verify(genome, queries_fwd, top_f, lengths)
-    nmm_r = _verify(genome, queries_rev, top_r, lengths)
+    nmm_f = _verify(genome, queries_fwd, top_f, lengths, conv_plus, alt)
+    nmm_r = _verify(genome, queries_rev, top_r, lengths, conv_minus, alt)
 
     if params.max_mismatches >= 0:
         budget = jnp.full((b,), params.max_mismatches, jnp.int32)

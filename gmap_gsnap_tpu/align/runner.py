@@ -118,14 +118,79 @@ def encode_batch(records: list[Record], lmax: int):
 
 class GsnapRunner:
     def __init__(self, db: GenomeDB, params: gsnap_se.GsnapParams | None = None,
-                 lmax: int = 100):
+                 lmax: int = 100, snpsdb: str | None = None):
         self.db = db
         self.lmax = lmax
         self.params = params or gsnap_se.GsnapParams()
         self.genome = db.device_genome
-        self.index = db.device_index
         # decoded genome string for MD computation
         self._genome_str = dna.decode(db.codes, db.flags)
+        self.index_minus = None
+        self.alt = None
+        self._alt_str = None
+        mode = self.params.mode
+        if snpsdb is not None:
+            # SNP-tolerant: snp-substituted index + alt genome
+            import os as _os
+
+            from ..db import genomecomp as gc_mod
+            from ..db import indexdb as indexdb_mod
+            from ..ops import genome as genome_ops
+            from . import gsnap_se as gse
+
+            files = indexdb_mod.index_filenames(
+                db.dbdir, db.dbname, "ref", snps_suffix=snpsdb
+            )
+            if files is None:
+                raise FileNotFoundError(f"no SNP index {snpsdb} in {db.dbdir}")
+            self.index = gse.IndexArrays.from_host(
+                indexdb_mod.read_offsets(files),
+                indexdb_mod.read_positions(files["positions"]),
+                files["k"], files["interval"],
+            )
+            alt_codes, _ = gc_mod.read(
+                _os.path.join(db.dbdir, f"{db.dbname}.genomecomp.{snpsdb}"),
+                len(db.codes),
+            )
+            # alt flags in the file mark SNP positions, not Ns — use the
+            # ref N flags for matching
+            alt16, _ = genome_ops.pack16(alt_codes, db.flags)
+            import numpy as _np
+
+            alt16 = _np.concatenate([alt16, _np.full(2, 0xFFFFFFFF, _np.uint32)])
+            import jax.numpy as _jnp
+
+            self.alt = (_jnp.asarray(alt16), self.genome.flag16)
+            self._alt_str = dna.decode(alt_codes, db.flags)
+            self._conv_plus = self._conv_minus = None
+            return
+        if mode == "standard":
+            self.index = db.device_index
+        else:
+            # cmet/atoi: load the converted index pair
+            from ..db import indexdb as indexdb_mod
+            from . import gsnap_se as gse
+
+            prefixes = {"cmet-stranded": ("metct", "metga"),
+                        "atoi-stranded": ("a2iag", "a2itc")}[mode]
+            idx = []
+            for prefix in prefixes:
+                files = indexdb_mod.index_filenames(db.dbdir, db.dbname, prefix)
+                if files is None:
+                    raise FileNotFoundError(
+                        f"no {prefix} index in {db.dbdir}; run "
+                        f"{'cmetindex' if prefix.startswith('met') else 'atoiindex'}"
+                    )
+                idx.append(
+                    gse.IndexArrays.from_host(
+                        indexdb_mod.read_offsets(files),
+                        indexdb_mod.read_positions(files["positions"]),
+                        files["k"], files["interval"],
+                    )
+                )
+            self.index, self.index_minus = idx
+        # conversion names for host-side MD/trim computation
+        self._conv_plus, self._conv_minus = gsnap_se._MODE_CONV[self.params.mode]
 
     # ---------------------------------------------------------------- device
     def align_records(self, records: list[Record]):
@@ -139,6 +204,8 @@ class GsnapRunner:
             jnp.asarray(nflags),
             jnp.asarray(lengths),
             self.params,
+            index_minus=self.index_minus,
+            alt=self.alt,
         )
         return {k: np.asarray(v) for k, v in res.items()}
 
@@ -147,19 +214,36 @@ class GsnapRunner:
         L = len(rec.seq)
         gseq = self._genome_str[left : left + L]
         q = rec.seq.upper() if plusp else dna.revcomp_str(rec.seq.upper())
+        conv = self._conv_plus if plusp else self._conv_minus
+        if conv is not None:
+            a, b = {"ct": "CT", "ga": "GA", "ag": "AG", "tc": "TC"}[conv]
+            qc_ = q.replace(a, b)
+            gc_ = gseq.replace(a, b)
+        else:
+            qc_, gc_ = q, gseq
         # mismatch vector with N semantics (genome N always mismatch,
         # query N never)
         mm = np.zeros(L, bool)
-        for i, (qc, gc) in enumerate(zip(q, gseq)):
+        for i, (qc, gc) in enumerate(zip(qc_, gc_)):
             if qc == "N":
                 continue
             if gc not in "ACGT" or qc != gc:
                 mm[i] = True
+        mm_ref = mm
+        if self._alt_str is not None:
+            # SNP tolerance: a position matching the alt genome is not a
+            # mismatch for selection/trimming; MD/NM stay ref-relative
+            aseq = self._alt_str[left : left + L]
+            mm_both = mm.copy()
+            for i in np.flatnonzero(mm):
+                if q[i] == aseq[i]:
+                    mm_both[i] = False
+            mm = mm_both
         trim5, trim3 = trim_ends(mm)
         span = slice(trim5, L - trim3)
-        # MD always runs in plus-genome order with plus-strand ref bases
-        # (samtools-compatible; verified against the completed reference)
-        md, nm = sam.md_string(q[span], gseq[span])
+        # MD runs in plus-genome order; mismatch DETECTION uses converted
+        # bases (cmet/atoi) but the printed ref base is the real genome base
+        md, nm = sam.md_from_mask(mm_ref[span], gseq[span])
         qual = rec.quality if rec.quality else None
         if qual is None:
             qv = np.full(L, MAX_QUALITY_SCORE, int)
@@ -171,7 +255,8 @@ class GsnapRunner:
                 MAX_QUALITY_SCORE,
             )
         loglik = float(MISMATCH_LOGPROB[qv[span][mm[span]]].sum())
-        nmatches = (L - trim5 - trim3) - nm
+        # ranking uses both-diff matches; the NM tag stays ref-relative
+        nmatches = (L - trim5 - trim3) - int(mm[span].sum())
         return PostHit(left, plusp, trim5, trim3, nm, nmatches, loglik, md)
 
     def sam_records(self, rec: Record, hits_left, hits_plusp, hits_nmm, npaths,

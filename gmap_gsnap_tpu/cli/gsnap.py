@@ -20,6 +20,10 @@ def main(argv=None) -> int:
     p.add_argument("-A", "--format", default="sam", choices=["sam"],
                    help="output format")
     p.add_argument("-m", "--max-mismatches", type=float, default=-1)
+    p.add_argument("--mode", default="standard",
+                   choices=["standard", "cmet-stranded", "atoi-stranded"])
+    p.add_argument("-v", "--use-snps", default=None,
+                   help="use SNP-tolerant index built by snpindex")
     p.add_argument("-t", "--nthreads", type=int, default=1,
                    help="accepted for compatibility (batching replaces threads)")
     p.add_argument("--batch-size", type=int, default=256)
@@ -41,8 +45,9 @@ def main(argv=None) -> int:
     lmax = max((len(r.seq) for r in records), default=100)
 
     mm = int(args.max_mismatches) if args.max_mismatches >= 0 else -1
-    params = gsnap_se.GsnapParams(maxpaths=args.npaths, max_mismatches=mm)
-    r = runner_mod.GsnapRunner(db, params, lmax=lmax)
+    params = gsnap_se.GsnapParams(maxpaths=args.npaths, max_mismatches=mm,
+                                  mode=args.mode)
+    r = runner_mod.GsnapRunner(db, params, lmax=lmax, snpsdb=args.use_snps)
     import time
 
     t0 = time.time()

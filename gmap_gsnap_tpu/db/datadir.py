@@ -27,10 +27,23 @@ class GenomeDB:
     chr_names: list[str]
     chr_starts: np.ndarray     # int64[nchrs] universal starts
     chr_ends: np.ndarray       # int64[nchrs] universal exclusive ends
-    offsets: np.ndarray | None = None    # uint32[4^k+1]
-    positions: np.ndarray | None = None  # uint32[N]
+    index_files: dict | None = None
     k: int = 0
     interval: int = 0
+    basesize: int = 0
+
+    @cached_property
+    def offsets(self) -> np.ndarray | None:
+        """uint32[4^k+1]; loaded lazily (gamma expansion can be slow)."""
+        if self.index_files is None:
+            return None
+        return indexdb.read_offsets(self.index_files)
+
+    @cached_property
+    def positions(self) -> np.ndarray | None:
+        if self.index_files is None:
+            return None
+        return indexdb.read_positions(self.index_files["positions"])
 
     @classmethod
     def open(cls, dbdir: str, dbname: str | None = None, idx_prefix: str = "ref") -> "GenomeDB":
@@ -56,12 +69,9 @@ class GenomeDB:
         codes, flags = genomecomp.read(base, genome_len)
 
         files = indexdb.index_filenames(dbdir, dbname, idx_prefix)
-        offsets = positions = None
-        k = interval = 0
+        k = interval = basesize = 0
         if files is not None:
-            offsets = indexdb.read_offsets(files)
-            positions = indexdb.read_positions(files["positions"])
-            k, interval = files["k"], files["interval"]
+            k, interval, basesize = files["k"], files["interval"], files["basesize"]
 
         return cls(
             dbdir=dbdir,
@@ -71,10 +81,10 @@ class GenomeDB:
             chr_names=names,
             chr_starts=starts,
             chr_ends=ends,
-            offsets=offsets,
-            positions=positions,
+            index_files=files,
             k=k,
             interval=interval,
+            basesize=basesize,
         )
 
     def chrnum_at(self, pos: np.ndarray) -> np.ndarray:

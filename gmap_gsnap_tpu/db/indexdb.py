@@ -137,13 +137,34 @@ def read_offsets_gamma(
     """Expand blocked Elias-gamma offsets to a flat uint32 array
     (replaces the missing-genome_hr Genome_offsetptr_from_gammas decode;
     contract per src/genome_hr.h:22-29 and Indexdb_offsets_from_gammas,
-    src/indexdb.c:1327-1445)."""
+    src/indexdb.c:1327-1445).  Uses the native decoder when available
+    (pure-Python fallback is too slow beyond toy oligospaces)."""
     blocksize = 4 ** (k - basesize)
-    comp = np.fromfile(offsetscomp_path, dtype="<u4").astype(np.uint64)
+    comp = np.fromfile(offsetscomp_path, dtype="<u4")
     oligospace = 4 ** k
     if blocksize == 1:
         return comp.astype(np.uint32)
     gammaptrs = np.fromfile(gammaptrs_path, dtype="<u4")
+
+    from ..native import get_lib
+
+    lib = get_lib()
+    if lib is not None:
+        import ctypes
+
+        gp = np.ascontiguousarray(gammaptrs, dtype=np.uint32)
+        cp = np.ascontiguousarray(comp, dtype=np.uint32)
+        out = np.empty(oligospace + 1, dtype=np.uint32)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        rc = lib.gamma_expand_offsets(
+            gp.ctypes.data_as(u32p), cp.ctypes.data_as(u32p),
+            out.ctypes.data_as(u32p),
+            ctypes.c_uint64(oligospace), ctypes.c_uint32(blocksize),
+        )
+        if rc == 0:
+            return out
+
+    comp = comp.astype(np.uint64)
     offsets = np.empty(oligospace + 1, dtype=np.uint32)
     oligok = 0
     for p, blk in enumerate(range(0, oligospace, blocksize)):
@@ -189,14 +210,18 @@ def read_offsets_flat(path: str) -> np.ndarray:
 
 # ----------------------------------------------------------------- file names
 
-def index_filenames(dbdir: str, dbname: str, idx_prefix: str = "ref"):
+def index_filenames(dbdir: str, dbname: str, idx_prefix: str = "ref",
+                    snps_suffix: str = ""):
     """Discover index files like Indexdb_get_filenames (src/indexdb.c:255-
     440).  Naming (gmapindex.c:1028-1127): offsets are
     ``<db>.<prefix><BB><KK><Q>{gammaptrs,offsetscomp}`` (gammaptrs absent
     when BB == KK, i.e. blocksize 1) and positions are
-    ``<db>.<prefix><KK><Q>positions``; BB/KK two digits, Q one char."""
+    ``<db>.<prefix><KK><Q>positions``; BB/KK two digits, Q one char.
+    SNP-tolerant indexes append ``.<snps>`` to each filename."""
+    sfx = f".{snps_suffix}" if snps_suffix else ""
     pat = re.compile(
-        re.escape(dbname) + r"\." + re.escape(idx_prefix) + r"(\d\d)(\d\d)(\d)offsetscomp$"
+        re.escape(dbname) + r"\." + re.escape(idx_prefix)
+        + r"(\d\d)(\d\d)(\d)offsetscomp" + re.escape(sfx) + "$"
     )
     best = None
     for fn in os.listdir(dbdir):
@@ -209,14 +234,14 @@ def index_filenames(dbdir: str, dbname: str, idx_prefix: str = "ref"):
         return None
     bb, kk, q = best
     base = os.path.join(dbdir, dbname)
-    gammaptrs = f"{base}.{idx_prefix}{bb:02d}{kk:02d}{q}gammaptrs"
+    gammaptrs = f"{base}.{idx_prefix}{bb:02d}{kk:02d}{q}gammaptrs{sfx}"
     return {
         "basesize": bb,
         "k": kk,
         "interval": q,
         "gammaptrs": gammaptrs if os.path.exists(gammaptrs) else None,
-        "offsetscomp": f"{base}.{idx_prefix}{bb:02d}{kk:02d}{q}offsetscomp",
-        "positions": f"{base}.{idx_prefix}{kk:02d}{q}positions",
+        "offsetscomp": f"{base}.{idx_prefix}{bb:02d}{kk:02d}{q}offsetscomp{sfx}",
+        "positions": f"{base}.{idx_prefix}{kk:02d}{q}positions{sfx}",
     }
 
 

@@ -37,6 +37,31 @@ def header(chr_names, chr_lengths, read_group=None) -> str:
     return "".join(lines)
 
 
+def md_from_mask(mask, ref: str) -> tuple[str, int]:
+    """MD tag from a precomputed mismatch mask (e.g. cmet/atoi modes,
+    where detection uses converted bases but MD shows the real genome
+    base).  Same zero-run formatting rules as md_string."""
+    run = 0
+    out = []
+    nm = 0
+    first = True
+    for is_mm, r in zip(mask, ref):
+        if not is_mm:
+            run += 1
+        else:
+            if run > 0 or first:
+                out.append(str(run))
+            out.append(r)
+            run = 0
+            nm += 1
+            first = False
+    if run > 0:
+        out.append(str(run))
+    if not out:
+        out.append("0")
+    return "".join(out), nm
+
+
 def md_string(query: str, ref: str) -> tuple[str, int]:
     """MD tag + NM count for a gapless alignment of equal-length strings.
 

@@ -83,6 +83,31 @@ def pack_queries(codes: np.ndarray, nflags: np.ndarray, lengths: np.ndarray) -> 
     )
 
 
+_LANE_LO = jnp.uint32(0x55555555)
+
+
+def convert_words(codes16, conversion: str | None):
+    """Nucleotide-conversion on 2-bit packed words (cmet/atoi modes).
+    Each lane: lo bit at 2i, hi bit at 2i+1.  A=00 C=01 G=10 T=11."""
+    if conversion is None:
+        return codes16
+    lo = codes16 & _LANE_LO
+    hi = (codes16 >> 1) & _LANE_LO
+    if conversion == "ct":      # C -> T: set hi where lane == 01
+        mask = lo & ~hi
+        return codes16 | (mask << 1)
+    if conversion == "ga":      # G -> A: clear hi where lane == 10
+        mask = hi & ~lo
+        return codes16 & ~(mask << 1)
+    if conversion == "ag":      # A -> G: set hi where lane == 00
+        mask = ~hi & ~lo & _LANE_LO
+        return codes16 | (mask << 1)
+    if conversion == "tc":      # T -> C: clear hi where lane == 11
+        mask = hi & lo
+        return codes16 & ~(mask << 1)
+    raise ValueError(conversion)
+
+
 def _expand2(mask16):
     """Expand a 16-bit-per-word mask to 2-bit lanes: bit i -> bits 2i,2i+1."""
     x = mask16.astype(jnp.uint32)
@@ -94,22 +119,34 @@ def _expand2(mask16):
     return x | (x << 1)
 
 
-def mismatch_words(genome: genome_ops.GenomeArrays, queries: PackedQueries, left):
+def mismatch_words(genome: genome_ops.GenomeArrays, queries: PackedQueries, left,
+                   conversion: str | None = None, alt=None):
     """Per-word mismatch bitmasks for a batch of placements.
 
     Returns uint32[B, W]: bit i of word j set iff query position 16j+i is
     a mismatch under the N rules (regardless of pos5/pos3 masking).
+
+    conversion: optional cmet/atoi nucleotide conversion ('ct', 'ga',
+    'ag', 'tc') applied to BOTH sides before comparing.
+    alt: optional (alt_ref16, alt_flag16) SNP-substituted genome — a
+    position matching either genome is not a mismatch
+    (Genome_count_mismatches_substring with snp_blocks).
     """
     nwords = queries.codes16.shape[1]
-    gcodes, gflags = genome_ops.fetch_span_words(
-        genome.ref16, genome.flag16, left, nwords
-    )
-    diff = gcodes ^ queries.codes16
-    # fold 2-bit lanes: nonzero lane -> bit at even position
-    neq = (diff | (diff >> 1)) & jnp.uint32(0x55555555)
-    gn = _expand2(gflags) & jnp.uint32(0x55555555)  # genome N lanes
-    qn = _expand2(queries.nflags16) & jnp.uint32(0x55555555)  # query N lanes
-    mm = (neq | gn) & ~qn
+    qcodes = convert_words(queries.codes16, conversion)
+    qn = _expand2(queries.nflags16) & _LANE_LO
+
+    def one(ref16, flag16):
+        gcodes, gflags = genome_ops.fetch_span_words(ref16, flag16, left, nwords)
+        gcodes = convert_words(gcodes, conversion)
+        diff = gcodes ^ qcodes
+        neq = (diff | (diff >> 1)) & _LANE_LO
+        gn = _expand2(gflags) & _LANE_LO
+        return (neq | gn) & ~qn
+
+    mm = one(genome.ref16, genome.flag16)
+    if alt is not None:
+        mm = mm & one(alt[0], alt[1])
     return mm
 
 
@@ -128,20 +165,20 @@ def _range_mask_words(pos5, pos3, nwords):
     return jnp.sum(bits, axis=2).astype(jnp.uint32)
 
 
-def count_mismatches(genome, queries, left, pos5, pos3):
+def count_mismatches(genome, queries, left, pos5, pos3, conversion=None, alt=None):
     """Batched Genome_count_mismatches_substring (genome_hr.h:52-54):
     number of mismatches of query[pos5:pos3] aligned at genome position
     left+pos5.  left/pos5/pos3 are arrays of shape [B]."""
-    mm = mismatch_words(genome, queries, left)
+    mm = mismatch_words(genome, queries, left, conversion, alt)
     nwords = mm.shape[1]
     mask = _range_mask_words(pos5, pos3, nwords)
     return jnp.sum(jax.lax.population_count(mm & mask), axis=1).astype(jnp.int32)
 
 
-def mismatch_matrix(genome, queries, left):
+def mismatch_matrix(genome, queries, left, conversion=None, alt=None):
     """Unpacked bool[B, Lmax] mismatch matrix (for position enumeration,
     trimming, and as the reference implementation for kernel tests)."""
-    mm = mismatch_words(genome, queries, left)
+    mm = mismatch_words(genome, queries, left, conversion, alt)
     b, w = mm.shape
     lane = jnp.arange(NT_PER_WORD, dtype=jnp.uint32)
     bits = (mm[:, :, None] >> (2 * lane[None, None, :])) & 1

@@ -132,11 +132,11 @@ mismatch_at (UINT4 *qblocks, int qpos, Genomicpos_T gpos, bool plusp, int genest
     return false;
   }
   if (use_alt && snp_blocks != NULL) {
-    if (!block_flag(snp_blocks, gpos)) {
-      gc = convert_code(block_code(snp_blocks, gpos), plusp, genestrand);
-      if (qc == gc) {
-	return false;
-      }
+    /* alt-genome flags mark SNP positions (snpindex substitutions), not
+       Ns — compare codes regardless of the flag */
+    gc = convert_code(block_code(snp_blocks, gpos), plusp, genestrand);
+    if (qc == gc) {
+      return false;
     }
   }
   return true;
@@ -174,6 +174,12 @@ Genome_offsetptr_from_gammas (Positionsptr_T *end0, UINT4 *gammaptrs, Positionsp
   unsigned int k, j;
   Positionsptr_T cum, start;
 
+  if (offsets_blocksize == 1) {
+    /* flat offsets: no gammaptrs file (basesize == kmer) */
+    *end0 = offsetscomp[oligo + 1];
+    return offsetscomp[oligo];
+  }
+
   k = oligo / offsets_blocksize;
   j = oligo % offsets_blocksize;
   ptr = &(offsetscomp[gammaptrs[k]]);
@@ -198,6 +204,10 @@ Genome_offsetptr_only_from_gammas (UINT4 *gammaptrs, Positionsptr_T *offsetscomp
   int ctr = 0;
   unsigned int k, j;
   Positionsptr_T cum;
+
+  if (offsets_blocksize == 1) {
+    return offsetscomp[oligo];
+  }
 
   k = oligo / offsets_blocksize;
   j = oligo % offsets_blocksize;
