@@ -29,7 +29,8 @@ from ..io import sam
 from ..io.fasta import Record
 from ..ops import maxent  # noqa: F401  (future: splice stats)
 from ..utils import dna
-from . import gsnap_se
+from . import gsnap_gapped, gsnap_se
+from .gsnap_gapped import KIND_DEL, KIND_INS, KIND_SPLICE, KIND_SUB
 
 MAX_QUALITY_SCORE = 40
 MAPQ_MAXIMUM_SCORE = 40
@@ -93,14 +94,17 @@ def trim_ends(mm: np.ndarray, trim_mismatch_score: int = -3) -> tuple[int, int]:
 
 @dataclass
 class PostHit:
-    left: int
+    left: int          # untrimmed alignment start (part 1 diagonal)
     plusp: bool
     trim5: int
     trim3: int
-    nmm_trimmed: int
+    nmm_trimmed: int   # NM tag value (ref mismatches + indel length)
     nmatches: int
     loglik: float
     md: str
+    cigar_core: str    # CIGAR without the soft clips
+    ref_consumed: int  # genome bases consumed by cigar_core
+    xs: str | None = None
 
 
 def encode_batch(records: list[Record], lmax: int):
@@ -118,10 +122,14 @@ def encode_batch(records: list[Record], lmax: int):
 
 class GsnapRunner:
     def __init__(self, db: GenomeDB, params: gsnap_se.GsnapParams | None = None,
-                 lmax: int = 100, snpsdb: str | None = None):
+                 lmax: int = 100, snpsdb: str | None = None,
+                 novelsplicing: bool = False):
         self.db = db
         self.lmax = lmax
         self.params = params or gsnap_se.GsnapParams()
+        self.gapped_params = gsnap_gapped.GappedParams(
+            base=self.params, novelsplicing=novelsplicing
+        )
         self.genome = db.device_genome
         # decoded genome string for MD computation
         self._genome_str = dna.decode(db.codes, db.flags)
@@ -197,33 +205,32 @@ class GsnapRunner:
         import jax.numpy as jnp
 
         codes, nflags, lengths = encode_batch(records, self.lmax)
-        res = gsnap_se.align_batch(
+        res = gsnap_gapped.align_batch_gapped(
             self.genome,
             self.index,
             jnp.asarray(codes),
             jnp.asarray(nflags),
             jnp.asarray(lengths),
-            self.params,
+            self.gapped_params,
             index_minus=self.index_minus,
             alt=self.alt,
         )
         return {k: np.asarray(v) for k, v in res.items()}
 
     # ------------------------------------------------------------------ host
-    def _hit_details(self, rec: Record, left: int, plusp: bool) -> PostHit:
-        L = len(rec.seq)
-        gseq = self._genome_str[left : left + L]
-        q = rec.seq.upper() if plusp else dna.revcomp_str(rec.seq.upper())
-        conv = self._conv_plus if plusp else self._conv_minus
+    def _mismatch_masks(self, q: str, g0: int, conv) -> tuple[np.ndarray, np.ndarray]:
+        """(selection mask, ref-relative mask) for query part ``q``
+        aligned at genome position g0.  Selection honors cmet/atoi
+        conversion and SNP tolerance; MD/NM stay ref-relative."""
+        n = len(q)
+        gseq = self._genome_str[g0 : g0 + n]
         if conv is not None:
             a, b = {"ct": "CT", "ga": "GA", "ag": "AG", "tc": "TC"}[conv]
             qc_ = q.replace(a, b)
             gc_ = gseq.replace(a, b)
         else:
             qc_, gc_ = q, gseq
-        # mismatch vector with N semantics (genome N always mismatch,
-        # query N never)
-        mm = np.zeros(L, bool)
+        mm = np.zeros(n, bool)
         for i, (qc, gc) in enumerate(zip(qc_, gc_)):
             if qc == "N":
                 continue
@@ -231,19 +238,65 @@ class GsnapRunner:
                 mm[i] = True
         mm_ref = mm
         if self._alt_str is not None:
-            # SNP tolerance: a position matching the alt genome is not a
-            # mismatch for selection/trimming; MD/NM stay ref-relative
-            aseq = self._alt_str[left : left + L]
-            mm_both = mm.copy()
+            aseq = self._alt_str[g0 : g0 + n]
+            mm_sel = mm.copy()
             for i in np.flatnonzero(mm):
                 if q[i] == aseq[i]:
-                    mm_both[i] = False
-            mm = mm_both
-        trim5, trim3 = trim_ends(mm)
-        span = slice(trim5, L - trim3)
-        # MD runs in plus-genome order; mismatch DETECTION uses converted
-        # bases (cmet/atoi) but the printed ref base is the real genome base
-        md, nm = sam.md_from_mask(mm_ref[span], gseq[span])
+                    mm_sel[i] = False
+            mm = mm_sel
+        return mm, mm_ref
+
+    def _hit_details(self, rec: Record, kind: int, left: int, right: int,
+                     split: int, nind: int, sense: bool, plusp: bool) -> PostHit:
+        L = len(rec.seq)
+        q = rec.seq.upper() if plusp else dna.revcomp_str(rec.seq.upper())
+        conv = self._conv_plus if plusp else self._conv_minus
+        # aligned parts in printed-SEQ order: (qstart, qend, genome start)
+        if kind == KIND_SUB:
+            parts = [(0, L, left)]
+        elif kind in (KIND_DEL, KIND_SPLICE):
+            parts = [(0, split, left), (split, L, right + split)]
+        else:  # insertion: nind query bases at [split, split+nind) unaligned
+            parts = [(0, split, left), (split + nind, L, right + split + nind)]
+
+        masks, masks_ref, refs = [], [], []
+        for qs, qe, g0 in parts:
+            mm_sel, mm_ref = self._mismatch_masks(q[qs:qe], g0, conv)
+            masks.append(mm_sel)
+            masks_ref.append(mm_ref)
+            refs.append(self._genome_str[g0 : g0 + (qe - qs)])
+
+        # end trimming: outer ends only (substring.c trim_left_p /
+        # trim_right_p are false at indel/splice inner ends)
+        if kind == KIND_SUB:
+            trim5, trim3 = trim_ends(masks[0])
+        else:
+            trim5 = trim_ends(masks[0])[0]
+            trim3 = trim_ends(masks[-1])[1]
+            trim5 = min(trim5, len(masks[0]) - 1)
+            trim3 = min(trim3, len(masks[-1]) - 1)
+
+        # spans after trimming, per part
+        spans = []
+        for i, mask in enumerate(masks):
+            lo = trim5 if i == 0 else 0
+            hi = len(mask) - (trim3 if i == len(masks) - 1 else 0)
+            spans.append(slice(lo, hi))
+
+        md_parts = [
+            (masks_ref[i][spans[i]], refs[i][spans[i]]) for i in range(len(parts))
+        ]
+        if kind == KIND_DEL:
+            delseq = self._genome_str[left + split : right + split]
+            md, nm = sam.md_gapped(md_parts, [delseq])
+            nm += nind
+        elif kind == KIND_SUB:
+            md, nm = sam.md_gapped(md_parts, [])
+        else:
+            md, nm = sam.md_gapped(md_parts, [None])
+            if kind == KIND_INS:
+                nm += nind
+
         qual = rec.quality if rec.quality else None
         if qual is None:
             qv = np.full(L, MAX_QUALITY_SCORE, int)
@@ -254,12 +307,39 @@ class GsnapRunner:
                 0,
                 MAX_QUALITY_SCORE,
             )
-        loglik = float(MISMATCH_LOGPROB[qv[span][mm[span]]].sum())
-        # ranking uses both-diff matches; the NM tag stays ref-relative
-        nmatches = (L - trim5 - trim3) - int(mm[span].sum())
-        return PostHit(left, plusp, trim5, trim3, nm, nmatches, loglik, md)
+        loglik = 0.0
+        nmatches = 0
+        for (qs, qe, _), mask, span in zip(parts, masks, spans):
+            sel = mask[span]
+            qpos = np.arange(qs + span.start, qs + span.stop)
+            loglik += float(MISMATCH_LOGPROB[qv[qpos[sel]]].sum())
+            nmatches += len(sel) - int(sel.sum())
 
-    def sam_records(self, rec: Record, hits_left, hits_plusp, hits_nmm, npaths,
+        # CIGAR core (no clips) + genome consumption
+        a = len(masks[0]) - trim5
+        if kind == KIND_SUB:
+            cigar_core = f"{a - trim3}M"
+            ref_consumed = a - trim3
+            xs = None
+        else:
+            b = len(masks[-1]) - trim3
+            if kind == KIND_DEL:
+                cigar_core = f"{a}M{nind}D{b}M"
+                ref_consumed = a + nind + b
+                xs = None
+            elif kind == KIND_SPLICE:
+                gap = right - left
+                cigar_core = f"{a}M{gap}N{b}M"
+                ref_consumed = a + gap + b
+                xs = "+" if sense else "-"
+            else:
+                cigar_core = f"{a}M{nind}I{b}M"
+                ref_consumed = a + b
+                xs = None
+        return PostHit(left, plusp, trim5, trim3, nm, nmatches, loglik, md,
+                       cigar_core, ref_consumed, xs)
+
+    def sam_records(self, rec: Record, hits, row: int, npaths,
                     maxpaths: int = 100) -> str:
         qual = rec.quality if rec.quality else None
         if npaths == 0:
@@ -267,7 +347,16 @@ class GsnapRunner:
 
         n = min(int(npaths), maxpaths)
         details = [
-            self._hit_details(rec, int(hits_left[i]), bool(hits_plusp[i]))
+            self._hit_details(
+                rec,
+                int(hits["kind"][row, i]),
+                int(hits["left"][row, i]),
+                int(hits["right"][row, i]),
+                int(hits["split"][row, i]),
+                int(hits["nindels"][row, i]),
+                bool(hits["sense"][row, i]),
+                bool(hits["plusp"][row, i]),
+            )
             for i in range(n)
         ]
         # rank like Stage3end_output_cmp: nmatches desc, then loglik desc
@@ -312,25 +401,23 @@ class GsnapRunner:
         for hi, d in enumerate(details):
             chrnum = int(np.searchsorted(self.db.chr_ends, d.left, side="right"))
             chrpos = d.left - int(self.db.chr_starts[chrnum]) + 1
-            L = len(rec.seq)
-            if d.plusp:
-                clip_left, clip_right = d.trim5, d.trim3
-                pos = chrpos + d.trim5
-            else:
-                # printed SEQ is revcomp; clips swap sides in SEQ coords
-                clip_left, clip_right = d.trim5, d.trim3
-                pos = chrpos + d.trim5
+            pos = chrpos + d.trim5
+            cigar = (
+                (f"{d.trim5}S" if d.trim5 else "")
+                + d.cigar_core
+                + (f"{d.trim3}S" if d.trim3 else "")
+            )
             hit = sam.SEHit(
                 chrname=self.db.chr_names[chrnum],
                 chrpos=pos,
                 plusp=d.plusp,
-                clip_left=clip_left,
-                clip_right=clip_right,
+                cigar=cigar,
                 md=d.md,
                 nm=d.nmm_trimmed,
                 mapq=mapqs[hi] if hi < len(mapqs) else 0,
                 absmq=absmqs[hi] if hi < len(absmqs) else 0,
                 second_absmq=second_absmq,
+                xs=d.xs,
             )
             out.append(
                 sam.se_record(
@@ -362,12 +449,7 @@ class GsnapRunner:
             for j, rec in enumerate(chunk):
                 out.write(
                     self.sam_records(
-                        rec,
-                        res["left"][j],
-                        res["plusp"][j],
-                        res["nmm"][j],
-                        int(res["npaths"][j]),
-                        self.params.maxpaths,
+                        rec, res, j, int(res["npaths"][j]), self.params.maxpaths
                     )
                 )
                 total += 1

@@ -24,6 +24,8 @@ def main(argv=None) -> int:
                    choices=["standard", "cmet-stranded", "atoi-stranded"])
     p.add_argument("-v", "--use-snps", default=None,
                    help="use SNP-tolerant index built by snpindex")
+    p.add_argument("-N", "--novelsplicing", type=int, default=0, choices=[0, 1],
+                   help="look for novel splicing (gsnap -N)")
     p.add_argument("-t", "--nthreads", type=int, default=1,
                    help="accepted for compatibility (batching replaces threads)")
     p.add_argument("--batch-size", type=int, default=256)
@@ -47,7 +49,8 @@ def main(argv=None) -> int:
     mm = int(args.max_mismatches) if args.max_mismatches >= 0 else -1
     params = gsnap_se.GsnapParams(maxpaths=args.npaths, max_mismatches=mm,
                                   mode=args.mode)
-    r = runner_mod.GsnapRunner(db, params, lmax=lmax, snpsdb=args.use_snps)
+    r = runner_mod.GsnapRunner(db, params, lmax=lmax, snpsdb=args.use_snps,
+                               novelsplicing=bool(args.novelsplicing))
     import time
 
     t0 = time.time()

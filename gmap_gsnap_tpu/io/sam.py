@@ -62,6 +62,46 @@ def md_from_mask(mask, ref: str) -> tuple[str, int]:
     return "".join(out), nm
 
 
+def md_gapped(parts, deletions) -> tuple[str, int]:
+    """MD tag + ref-mismatch count across alignment parts.
+
+    parts: list of (mask, ref) — mismatch mask + genome slice per aligned
+    part, in printed-SEQ order.  deletions: list of len(parts)-1 entries,
+    each the deleted genome string ("^" emitted) or None (splice /
+    insertion junction: match runs merge across, samprint.c:2171-2183).
+
+    Replicates print_md_string (samprint.c:530-656): a run of 0 IS
+    printed before a mismatch at a part boundary (hardclip_end_p), the
+    run before "^" is printed only when > 0 (lastp=true), and runs carry
+    across non-deletion junctions.
+    """
+    out = []
+    run = 0
+    nm = 0
+    for i, (mask, ref) in enumerate(parts):
+        boundary = True  # hardclip_end_p at each print_md_string call
+        for is_mm, r in zip(mask, ref):
+            if not is_mm:
+                run += 1
+            else:
+                if run > 0 or boundary:
+                    out.append(str(run))
+                out.append(r)
+                nm += 1
+                run = 0
+            boundary = False if is_mm else boundary
+        if i < len(deletions) and deletions[i] is not None:
+            if run > 0:
+                out.append(str(run))
+            out.append("^" + deletions[i])
+            run = 0
+    if run > 0:
+        out.append(str(run))
+    if not out:
+        out.append("0")
+    return "".join(out), nm
+
+
 def md_string(query: str, ref: str) -> tuple[str, int]:
     """MD tag + NM count for a gapless alignment of equal-length strings.
 
@@ -98,13 +138,13 @@ class SEHit:
     chrname: str
     chrpos: int        # 1-based within chromosome (of leftmost aligned base)
     plusp: bool
-    clip_left: int     # soft clip (query coords of the printed SEQ)
-    clip_right: int
+    cigar: str         # full CIGAR in printed-SEQ orientation (incl. clips)
     md: str
     nm: int
     mapq: int
     absmq: int         # XQ
     second_absmq: int  # X2
+    xs: str | None = None  # splice strand tag (XS:A:+/-)
 
 
 def se_record(
@@ -133,21 +173,13 @@ def se_record(
     if secondary:
         flag |= FLAG_SECONDARY
 
-    m = len(seq) - hit.clip_left - hit.clip_right
-    cigar = []
-    if hit.clip_left:
-        cigar.append(f"{hit.clip_left}S")
-    cigar.append(f"{m}M")
-    if hit.clip_right:
-        cigar.append(f"{hit.clip_right}S")
-
     fields = [
         qname,
         str(flag),
         hit.chrname,
         str(hit.chrpos),
         str(hit.mapq),
-        "".join(cigar),
+        hit.cigar,
         "*", "0", "0",
         out_seq,
         out_qual,
@@ -159,4 +191,6 @@ def se_record(
         f"XQ:i:{hit.absmq}",
         f"X2:i:{hit.second_absmq}",
     ]
+    if hit.xs:
+        fields.append(f"XS:A:{hit.xs}")
     return "\t".join(fields) + "\n"

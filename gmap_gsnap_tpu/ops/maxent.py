@@ -38,6 +38,7 @@ from __future__ import annotations
 import os
 from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -88,8 +89,9 @@ def _tables_np() -> dict[str, np.ndarray]:
     return {k: v for k, v in np.load(_DATA).items()}
 
 
-@lru_cache(maxsize=1)
 def _tables_jnp(dtype=jnp.float32):
+    # NOT cached as jax arrays: a cache filled inside a jit trace would
+    # capture tracers; converting per call yields XLA constants instead
     return {k: jnp.asarray(v, dtype=dtype) for k, v in _tables_np().items()}
 
 
@@ -128,6 +130,31 @@ def splice_prob(genome: genome_ops.GenomeArrays, positions, kind: str):
     )
     p = _prob_from_window(window, kind, _tables_jnp())
     return jnp.where(ok, p.astype(jnp.float32), 0.0)
+
+
+def splice_prob_span(span, kind: str, npos: int, origin: int = 20):
+    """Splice probabilities for a run of candidate positions from a
+    pre-fetched local code span (TPU-friendly: static slices, no gathers).
+
+    span: integer 2-bit codes [..., W]; position s of the scan (s =
+    0..npos-1) corresponds to genome coordinate span[..., origin + s].
+    Requires origin >= 20 and W >= origin + npos + 19 (the acceptor
+    window reaches 20 left / antiacceptor 19 right of the coordinate).
+    Returns float32[..., npos].
+    """
+    tables = _tables_jnp()
+    margin = _MARGIN[kind]
+    odds = None
+    for name, offsets in _MODELS[kind]:
+        idx = None
+        for j, off in enumerate(offsets):
+            base = origin - margin + off
+            sl = jax.lax.slice_in_dim(span, base, base + npos, axis=-1).astype(jnp.int32)
+            piece = sl << (2 * j)
+            idx = piece if idx is None else idx + piece
+        factor = tables[name][idx]
+        odds = factor if odds is None else odds * factor
+    return (odds / (1.0 + odds)).astype(jnp.float32)
 
 
 # ----------------------------------------------------------------- host path
