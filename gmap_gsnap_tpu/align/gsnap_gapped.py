@@ -431,23 +431,12 @@ def _strand_hits(genome, index, queries, codes, nflags, lengths, conv, alt,
     }
 
 
-@partial(jax.jit, static_argnames=("params",))
-def align_batch_gapped(
-    genome: genome_ops.GenomeArrays,
-    index: IndexArrays,
-    codes,
-    nflags,
-    lengths,
-    params: GappedParams = GappedParams(),
-    index_minus: IndexArrays | None = None,
+def gather_candidates(
+    genome, index, index_minus, codes, nflags, lengths, params: GappedParams,
     alt=None,
 ):
-    """Full single-end pipeline: substitutions + middle indels (+ novel
-    local splicing when params.novelsplicing).
-
-    Returns dict of [B, maxpaths] arrays: kind, score, nmm, left, right,
-    split, nindels, sense, prob_d, prob_a, plusp; plus npaths int32[B].
-    """
+    """Both-strand candidate gathering: seed/vote/verify + indel/splice
+    solvers.  Returns an unranked dict of [B, NCAND] hit fields."""
     base = params.base
     b, lmax = codes.shape
     lengths = lengths.astype(jnp.int32)
@@ -483,7 +472,16 @@ def align_batch_gapped(
         [jnp.ones((b, nplus), bool), jnp.zeros((b, ncand - nplus), bool)], axis=1
     )
     out["plusp"] = plusp
+    return out
 
+
+def rank_hits(out, base: GsnapParams, apply_optimal: bool = True,
+              maxout: int | None = None):
+    """Dedup + (optional) optimal-score filter + deterministic ranking.
+
+    Returns dict of [B, maxout] arrays plus npaths."""
+    ncand = out["kind"].shape[1]
+    maxout = base.maxpaths if maxout is None else maxout
     score = out["score"]
     # dedup identical (kind, left, right, split, strand) candidates:
     # multi-pass stable sort groups equal tuples adjacently, then
@@ -511,17 +509,19 @@ def align_batch_gapped(
     score = jnp.take_along_axis(score_s, inv, axis=1)
 
     # optimal-score filter (Stage3end_optimal_score, stage3hr.c:3798)
-    best = jnp.min(score, axis=1, keepdims=True)
-    score = jnp.where(score > best + base.subopt_levels, BIG_NMM, score)
+    if apply_optimal:
+        best = jnp.min(score, axis=1, keepdims=True)
+        score = jnp.where(score > best + base.subopt_levels, BIG_NMM, score)
 
     # rank: (score asc, left asc, plus first) via stable passes
+    plusp = out["plusp"]
     ordp = jnp.argsort(jnp.where(plusp, 0, 1).astype(jnp.int32), axis=1, stable=True)
     tmp = {k: jnp.take_along_axis(out[k], ordp, axis=1) for k in out}
     score = jnp.take_along_axis(score, ordp, axis=1)
     ordl2 = jnp.argsort(tmp["left"], axis=1, stable=True)
     tmp = {k: jnp.take_along_axis(tmp[k], ordl2, axis=1) for k in tmp}
     score = jnp.take_along_axis(score, ordl2, axis=1)
-    ords = jnp.argsort(score, axis=1, stable=True)[:, : base.maxpaths]
+    ords = jnp.argsort(score, axis=1, stable=True)[:, :maxout]
     final = {k: jnp.take_along_axis(tmp[k], ords, axis=1) for k in tmp}
     final_score = jnp.take_along_axis(score, ords, axis=1)
 
@@ -533,3 +533,26 @@ def align_batch_gapped(
     for k in ("kind", "split", "nindels", "nmm"):
         final[k] = jnp.where(ok, final[k], 0)
     return final
+
+
+@partial(jax.jit, static_argnames=("params",))
+def align_batch_gapped(
+    genome: genome_ops.GenomeArrays,
+    index: IndexArrays,
+    codes,
+    nflags,
+    lengths,
+    params: GappedParams = GappedParams(),
+    index_minus: IndexArrays | None = None,
+    alt=None,
+):
+    """Full single-end pipeline: substitutions + middle indels (+ novel
+    local splicing when params.novelsplicing).
+
+    Returns dict of [B, maxpaths] arrays: kind, score, nmm, left, right,
+    split, nindels, sense, prob_d, prob_a, plusp; plus npaths int32[B].
+    """
+    out = gather_candidates(
+        genome, index, index_minus, codes, nflags, lengths, params, alt
+    )
+    return rank_hits(out, params.base)

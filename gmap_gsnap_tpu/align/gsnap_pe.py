@@ -1,0 +1,195 @@
+"""GSNAP paired-end alignment: batched concordance pairing on device.
+
+Re-designs the reference's paired-end flow (stage1hr.c:13724 align_pair
++ stage3hr.c:9745 Stage3_pair_up_concordant + stage3hr.c:5074
+Stage3_determine_pairtype) as a dense pairing grid:
+
+  * both ends run the full gapped single-end pipeline (read 2 is
+    reverse-complemented at input like the reference's invert_second_p,
+    so concordant mates align to the SAME strand);
+  * the top hits per end form an [NP x NP] grid; each cell is classified
+    by Stage3_determine_pairtype's exact rules (UNPAIRED across
+    chromosomes; INVERSION on strand mismatch; SCRAMBLE / TOOLONG /
+    CONCORDANT by genomic order and pairmax);
+  * concordant pairs dominate: if any exist, pairs are ranked among them
+    only; otherwise among the PAIRED classes (inversion/scramble/
+    toolong) — mirroring the resulttype ladder CONCORDANT_* > PAIRED_* >
+    UNPAIRED/HALFMAPPING/NOMAPPING (resulthr.h:7-12);
+  * pair score = end scores summed; optimal-score filtering and
+    deterministic (score, left5, left3) ranking happen on device.
+
+Insert length follows the reference: concordant pairs use the outer
+span hit3.genomicend - hit5.genomicstart (plus) / hit5.genomicstart -
+hit3.genomicend (minus); PAIRED classes use the outer envelope.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import genome as genome_ops
+from . import gsnap_gapped
+from .gsnap_gapped import (
+    BIG_NMM,
+    KIND_DEL,
+    KIND_INS,
+    KIND_SPLICE,
+    GappedParams,
+)
+from .gsnap_se import IndexArrays
+
+# pairtypes (stage3hr.h Pairtype_T order)
+PT_CONCORDANT = 0
+PT_INVERSION = 1
+PT_SCRAMBLE = 2
+PT_TOOLONG = 3
+PT_UNPAIRED = 4
+
+PAIRMAX_DNA = 1_000        # gsnap.c:95 pairmax_dna
+PAIRMAX_RNA = 200_000      # gsnap.c:96 pairmax_rna
+EXPECTED_PAIRLENGTH = 200  # gsnap.c:97
+
+BIG = jnp.int32(10**6)
+
+
+@dataclass(frozen=True)
+class PEParams:
+    gapped: GappedParams = GappedParams()
+    pairmax: int = PAIRMAX_DNA
+    npair_end: int = 16    # per-end hits entering the pairing grid
+    maxpairs: int = 100    # pairs reported
+
+
+def _refspan(h, lengths):
+    """Genome bases consumed by each hit (untrimmed)."""
+    L = lengths[:, None]
+    intron = (h["right"] - h["left"]).astype(jnp.int32)
+    return jnp.where(
+        h["kind"] == KIND_DEL, L + h["nindels"],
+        jnp.where(h["kind"] == KIND_INS, L - h["nindels"],
+                  jnp.where(h["kind"] == KIND_SPLICE, L + intron, L)),
+    )
+
+
+@partial(jax.jit, static_argnames=("params",))
+def align_batch_pe(
+    genome: genome_ops.GenomeArrays,
+    index: IndexArrays,
+    codes5, nflags5, lengths5,
+    codes3, nflags3, lengths3,   # read 2 ALREADY reverse-complemented
+    params: PEParams = PEParams(),
+    index_minus: IndexArrays | None = None,
+    alt=None,
+):
+    """Returns a dict with per-pair arrays [B, maxpairs] (fields i5/i3 =
+    indices into the per-end hit dicts, pairtype, insert, pscore),
+    npairs int32[B], plus the ranked per-end hit dicts under keys
+    "end5"/"end3" (each the align_batch_gapped output for fallback
+    halfmapping/unpaired emission)."""
+    gp = params.gapped
+    base = gp.base
+    np_ = params.npair_end
+
+    out5 = gsnap_gapped.gather_candidates(
+        genome, index, index_minus, codes5, nflags5, lengths5, gp, alt)
+    out3 = gsnap_gapped.gather_candidates(
+        genome, index, index_minus, codes3, nflags3, lengths3, gp, alt)
+
+    # pairing uses per-end hits WITHOUT the per-end optimal filter: a
+    # suboptimal end can form the optimal pair (reference keeps all hits
+    # through Stage3_pair_up_concordant before Stage3pair_optimal_score)
+    h5 = gsnap_gapped.rank_hits(out5, base, apply_optimal=False, maxout=np_)
+    h3 = gsnap_gapped.rank_hits(out3, base, apply_optimal=False, maxout=np_)
+
+    l5 = h5["left"].astype(jnp.int32)[:, :, None]       # [B, NP, 1]
+    l3 = h3["left"].astype(jnp.int32)[:, None, :]       # [B, 1, NP]
+    s5 = _refspan(h5, lengths5.astype(jnp.int32))[:, :, None]
+    s3 = _refspan(h3, lengths3.astype(jnp.int32))[:, None, :]
+    e5 = l5 + s5
+    e3 = l3 + s3
+    p5 = h5["plusp"][:, :, None]
+    p3 = h3["plusp"][:, None, :]
+    v5 = (h5["score"] < BIG_NMM)[:, :, None]
+    v3 = (h3["score"] < BIG_NMM)[:, None, :]
+    chr5 = jnp.searchsorted(genome.chr_offsets, h5["left"], side="right")[:, :, None]
+    chr3 = jnp.searchsorted(genome.chr_offsets, h3["left"], side="right")[:, None, :]
+
+    pairmax = jnp.int32(params.pairmax)
+    # Stage3_determine_pairtype (stage3hr.c:5074); for plus hits
+    # genomicstart = left, genomicend = left + span; minus hits reverse
+    plus_scr = e3 < l5
+    plus_long = l3 > e5 + pairmax
+    minus_scr = l3 > e5
+    minus_long = e3 + pairmax < l5
+    pairtype = jnp.where(
+        chr5 != chr3, PT_UNPAIRED,
+        jnp.where(p5 != p3, PT_INVERSION,
+                  jnp.where(p5,
+                            jnp.where(plus_scr, PT_SCRAMBLE,
+                                      jnp.where(plus_long, PT_TOOLONG, PT_CONCORDANT)),
+                            jnp.where(minus_scr, PT_SCRAMBLE,
+                                      jnp.where(minus_long, PT_TOOLONG, PT_CONCORDANT)))),
+    )
+    valid = v5 & v3
+
+    insert_conc = jnp.where(p5, e3 - l5, e5 - l3)
+    insert_outer = jnp.maximum(e5, e3) - jnp.minimum(l5, l3)
+    insert = jnp.where(pairtype == PT_CONCORDANT, insert_conc, insert_outer)
+
+    pscore = h5["score"][:, :, None] + h3["score"][:, None, :]
+
+    conc = valid & (pairtype == PT_CONCORDANT)
+    paired = valid & (
+        (pairtype == PT_INVERSION) | (pairtype == PT_SCRAMBLE)
+        | (pairtype == PT_TOOLONG)
+    )
+    have_conc = jnp.any(conc, axis=(1, 2), keepdims=True)
+    chosen = jnp.where(have_conc, conc, paired)
+    eff = jnp.where(chosen, pscore, BIG)
+
+    b = eff.shape[0]
+    eff = eff.reshape(b, np_ * np_)
+    # pair-level optimal-score filter (Stage3pair_optimal_score,
+    # stage3hr.c:9719)
+    best = jnp.min(eff, axis=1, keepdims=True)
+    eff = jnp.where(eff > best + base.subopt_levels, BIG, eff)
+
+    flat = lambda x: jnp.broadcast_to(x, (b, np_, np_)).reshape(b, np_ * np_)
+    left5f = flat(l5)
+    left3f = flat(l3)
+    # rank: (score, left5, left3) via stable passes
+    o = jnp.argsort(left3f, axis=1, stable=True)
+    pick = lambda x, o: jnp.take_along_axis(x, o, axis=1)
+    left5f, eff2 = pick(left5f, o), pick(eff, o)
+    idx = pick(jnp.broadcast_to(jnp.arange(np_ * np_, dtype=jnp.int32)[None, :],
+                                (b, np_ * np_)), o)
+    o = jnp.argsort(left5f, axis=1, stable=True)
+    eff2, idx = pick(eff2, o), pick(idx, o)
+    o = jnp.argsort(eff2, axis=1, stable=True)[:, : params.maxpairs]
+    eff2, idx = pick(eff2, o), pick(idx, o)
+
+    ok = eff2 < BIG
+    i5 = idx // np_
+    i3 = idx % np_
+    ptf = jnp.take_along_axis(
+        jnp.broadcast_to(pairtype, (b, np_, np_)).reshape(b, -1), idx, axis=1)
+    insf = jnp.take_along_axis(
+        jnp.broadcast_to(insert, (b, np_, np_)).reshape(b, -1), idx, axis=1)
+
+    return {
+        "i5": jnp.where(ok, i5, 0),
+        "i3": jnp.where(ok, i3, 0),
+        "pairtype": jnp.where(ok, ptf, PT_UNPAIRED),
+        "insert": jnp.where(ok, insf, 0),
+        "pscore": jnp.where(ok, eff2, BIG),
+        "npairs": jnp.sum(ok, axis=1).astype(jnp.int32),
+        "pair_concordant": have_conc[:, 0, 0],
+        "end5": gsnap_gapped.rank_hits(out5, base),
+        "end3": gsnap_gapped.rank_hits(out3, base),
+        "end5_pairing": h5,
+        "end3_pairing": h3,
+    }

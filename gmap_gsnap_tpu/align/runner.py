@@ -432,6 +432,282 @@ class GsnapRunner:
             )
         return "".join(out)
 
+    # ------------------------------------------------------------ paired-end
+    def align_pairs(self, recs5: list[Record], recs3_inv: list[Record]):
+        """recs3_inv: read-2 records already reverse-complemented
+        (invert_second_p, gsnap.c)."""
+        import jax.numpy as jnp
+
+        from . import gsnap_pe
+
+        c5, f5, l5 = encode_batch(recs5, self.lmax)
+        c3, f3, l3 = encode_batch(recs3_inv, self.lmax)
+        params = gsnap_pe.PEParams(gapped=self.gapped_params)
+        res = gsnap_pe.align_batch_pe(
+            self.genome, self.index,
+            jnp.asarray(c5), jnp.asarray(f5), jnp.asarray(l5),
+            jnp.asarray(c3), jnp.asarray(f3), jnp.asarray(l3),
+            params,
+            index_minus=self.index_minus,
+            alt=self.alt,
+        )
+
+        def tohost(d):
+            return {k: np.asarray(v) for k, v in d.items()}
+
+        out = {k: np.asarray(v) for k, v in res.items()
+               if not isinstance(v, dict)}
+        for k in ("end5", "end3", "end5_pairing", "end3_pairing"):
+            out[k] = tohost(res[k])
+        return out
+
+    def _end_hit(self, rec: Record, hits, row: int, col: int) -> PostHit:
+        return self._hit_details(
+            rec,
+            int(hits["kind"][row, col]),
+            int(hits["left"][row, col]),
+            int(hits["right"][row, col]),
+            int(hits["split"][row, col]),
+            int(hits["nindels"][row, col]),
+            bool(hits["sense"][row, col]),
+            bool(hits["plusp"][row, col]),
+        )
+
+    def _chrpos(self, d: PostHit) -> tuple[str, int]:
+        chrnum = int(np.searchsorted(self.db.chr_ends, d.left, side="right"))
+        return self.db.chr_names[chrnum], d.left - int(self.db.chr_starts[chrnum]) + 1 + d.trim5
+
+    def _pair_flag(self, plusp, mate_plusp, firstp, inverted, mate_inverted,
+                   proper, mate_mapped=True, mapped=True):
+        flag = sam.FLAG_PAIRED | (sam.FLAG_FIRST if firstp else sam.FLAG_SECOND)
+        if not mapped:
+            flag |= sam.FLAG_UNMAPPED
+        elif plusp == inverted:
+            flag |= sam.FLAG_REVCOMP
+        if not mate_mapped:
+            flag |= sam.FLAG_MATE_UNMAPPED
+        elif mate_plusp == mate_inverted:
+            flag |= sam.FLAG_MATE_REVCOMP
+        if proper and mapped and mate_mapped:
+            flag |= sam.FLAG_PROPER
+        return flag
+
+    def sam_pe_records(self, rec5: Record, rec3_inv: Record, rec3_orig: Record,
+                       res, row: int) -> str:
+        """SAM lines for one read pair (both ends)."""
+        npairs = int(res["npairs"][row])
+        e5, e3 = res["end5"], res["end3"]
+        np5 = int(e5["npaths"][row])
+        np3 = int(e3["npaths"][row])
+        qual5 = rec5.quality or None
+        qual3i = rec3_inv.quality or None
+        out = []
+
+        if npairs > 0:
+            n = min(npairs, self.params.maxpaths)
+            h5p, h3p = res["end5_pairing"], res["end3_pairing"]
+            pairs = []
+            for k in range(n):
+                i5 = int(res["i5"][row, k])
+                i3 = int(res["i3"][row, k])
+                d5 = self._end_hit(rec5, h5p, row, i5)
+                d3 = self._end_hit(rec3_inv, h3p, row, i3)
+                pairs.append((d5, d3))
+            # rank pairs by summed nmatches desc then loglik desc
+            order = sorted(
+                range(n),
+                key=lambda k: (
+                    -(pairs[k][0].nmatches + pairs[k][1].nmatches),
+                    -(pairs[k][0].loglik + pairs[k][1].loglik),
+                ),
+            )
+            pairs = [pairs[k] for k in order]
+            proper = bool(res["pair_concordant"][row]) or int(
+                res["pairtype"][row, 0]
+            ) in (1, 2, 3)
+
+            # pair MAPQ (stage3hr.c Stage3pair_eval_and_sort)
+            if n == 1:
+                q = [qual5, qual3i]
+                mq = MAX_QUALITY_SCORE
+                if qual5 or qual3i:
+                    mq = max(
+                        max((ord(c) - QUALITY_ADJ for c in (qual5 or "")), default=1),
+                        max((ord(c) - QUALITY_ADJ for c in (qual3i or "")), default=1),
+                    )
+                    mq = max(1, min(MAX_QUALITY_SCORE, mq))
+                mapqs = [mq]
+                absmqs = [MAPQ_MAXIMUM_SCORE]
+                second_absmq = 0
+            else:
+                logliks = np.array([d5.loglik + d3.loglik for d5, d3 in pairs])
+                for i in range(n - 1, 0, -1):
+                    if logliks[i - 1] < logliks[i]:
+                        logliks[i - 1] = logliks[i]
+                logliks = logliks - logliks.max()
+                absmqs = [int(round(max(0.0, ll + MAPQ_MAXIMUM_SCORE))) for ll in logliks]
+                second_absmq = absmqs[1]
+                probs = np.exp(logliks)
+                probs = probs / probs.sum()
+                mapqs = [
+                    96 if 1.0 - p < 2.5e-10 else int(round(-10.0 * math.log10(1.0 - p)))
+                    for p in probs
+                ]
+
+            for k, (d5, d3) in enumerate(pairs):
+                chr5, pos5 = self._chrpos(d5)
+                chr3, pos3 = self._chrpos(d3)
+                # pairedlength uses UNTRIMMED spans (genomicstart/
+                # genomicend of the full hits, stage3hr.c)
+                u5 = pos5 - d5.trim5
+                u3 = pos3 - d3.trim5
+                lo = min(u5, u3)
+                hi = max(u5 + d5.trim5 + d5.ref_consumed + d5.trim3,
+                         u3 + d3.trim5 + d3.ref_consumed + d3.trim3)
+                tlen = hi - lo
+                t5 = tlen if pos5 <= pos3 else -tlen
+                t3 = -t5 if pos5 != pos3 else tlen
+                mapq = mapqs[k] if k < len(mapqs) else 0
+                absmq = absmqs[k] if k < len(absmqs) else 0
+                for (rec, qual, d, dm, first, inv, minv, chrn, pos, mchr, mpos, tl) in (
+                    (rec5, qual5, d5, d3, True, False, True, chr5, pos5, chr3, pos3, t5),
+                    (rec3_inv, qual3i, d3, d5, False, True, False, chr3, pos3, chr5, pos5, t3),
+                ):
+                    flag = self._pair_flag(d.plusp, dm.plusp, first, inv, minv, proper)
+                    cigar = (
+                        (f"{d.trim5}S" if d.trim5 else "")
+                        + d.cigar_core
+                        + (f"{d.trim3}S" if d.trim3 else "")
+                    )
+                    hit = sam.SEHit(
+                        chrname=chrn, chrpos=pos, plusp=d.plusp, cigar=cigar,
+                        md=d.md, nm=d.nmm_trimmed, mapq=mapq, absmq=absmq,
+                        second_absmq=second_absmq, xs=d.xs,
+                    )
+                    out.append(sam.pe_record(
+                        rec.label, rec.seq.upper(), qual, flag, hit,
+                        rnext="=" if mchr == chrn else mchr, pnext=mpos,
+                        tlen=tl, nh=n, hi=k + 1,
+                    ))
+            return "".join(out)
+
+        # no pairs: halfmapping / unpaired / nomapping
+        for (rec, qual, e, npaths, other_e, other_np, first, inv, minv,
+             rec_orig) in (
+            (rec5, qual5, e5, np5, e3, np3, True, False, True, rec5),
+            (rec3_inv, qual3i, e3, np3, e5, np5, False, True, False, rec3_orig),
+        ):
+            if npaths > 0:
+                n = min(npaths, self.params.maxpaths)
+                details = [self._end_hit(rec, e, row, i) for i in range(n)]
+                order = sorted(range(n), key=lambda i: (-details[i].nmatches,
+                                                        -details[i].loglik))
+                details = [details[i] for i in order]
+                mapqs, absmqs, second_absmq = self._end_mapqs(details, qual)
+                mate_mapped = other_np > 0
+                if mate_mapped:
+                    dm = self._end_hit(rec3_inv if first else rec5, other_e, row, 0)
+                    mchr, mpos = self._chrpos(dm)
+                    mplus = dm.plusp
+                else:
+                    mchr, mpos, mplus = "*", 0, True
+                for hi_, d in enumerate(details):
+                    chrn, pos = self._chrpos(d)
+                    flag = self._pair_flag(
+                        d.plusp, mplus, first, inv, minv, proper=False,
+                        mate_mapped=mate_mapped,
+                    ) | (sam.FLAG_SECONDARY if hi_ > 0 else 0)
+                    cigar = (
+                        (f"{d.trim5}S" if d.trim5 else "")
+                        + d.cigar_core
+                        + (f"{d.trim3}S" if d.trim3 else "")
+                    )
+                    hit = sam.SEHit(
+                        chrname=chrn, chrpos=pos, plusp=d.plusp, cigar=cigar,
+                        md=d.md, nm=d.nmm_trimmed,
+                        mapq=mapqs[hi_] if hi_ < len(mapqs) else 0,
+                        absmq=absmqs[hi_] if hi_ < len(absmqs) else 0,
+                        second_absmq=second_absmq, xs=d.xs,
+                    )
+                    # mate unmapped -> RNEXT "*", PNEXT 0 (observed
+                    # reference behavior for halfmapping)
+                    rn = ("=" if mchr == chrn else mchr) if mate_mapped else "*"
+                    out.append(sam.pe_record(
+                        rec.label, rec.seq.upper(), qual, flag, hit,
+                        rnext=rn, pnext=mpos if mate_mapped else 0,
+                        tlen=0, nh=n, hi=hi_ + 1,
+                    ))
+            else:
+                # unmapped end: print the ORIGINAL read, point at the mate
+                mate_mapped = other_np > 0
+                if mate_mapped:
+                    dm = self._end_hit(rec3_inv if first else rec5, other_e, row, 0)
+                    mchr, mpos = self._chrpos(dm)
+                    mplus = dm.plusp
+                else:
+                    mchr, mpos, mplus = "*", 0, True
+                flag = self._pair_flag(
+                    True, mplus, first, inv, minv, proper=False,
+                    mate_mapped=mate_mapped, mapped=False,
+                )
+                q_orig = rec_orig.quality or None
+                out.append(sam.pe_record(
+                    rec_orig.label, rec_orig.seq.upper(), q_orig, flag, None,
+                    rnext=mchr, pnext=mpos,
+                ))
+        return "".join(out)
+
+    def _end_mapqs(self, details, qual):
+        n = len(details)
+        if n == 1:
+            if qual is None:
+                mapqs = [MAX_QUALITY_SCORE]
+            else:
+                mapqs = [max(1, min(MAX_QUALITY_SCORE,
+                                    max(ord(c) - QUALITY_ADJ for c in qual)))]
+            return mapqs, [MAPQ_MAXIMUM_SCORE], 0
+        logliks = np.array([d.loglik for d in details])
+        for i in range(n - 1, 0, -1):
+            if logliks[i - 1] < logliks[i]:
+                logliks[i - 1] = logliks[i]
+        logliks = logliks - logliks.max()
+        absmqs = [int(round(max(0.0, ll + MAPQ_MAXIMUM_SCORE))) for ll in logliks]
+        probs = np.exp(logliks)
+        probs = probs / probs.sum()
+        mapqs = [
+            96 if 1.0 - p < 2.5e-10 else int(round(-10.0 * math.log10(1.0 - p)))
+            for p in probs
+        ]
+        return mapqs, absmqs, absmqs[1]
+
+    def run_pe(self, records5: list[Record], records3: list[Record], out,
+               batch_size: int = 256, emit_header: bool = True) -> int:
+        """Paired-end driver: read 2 is reverse-complemented at input
+        (invert_second_p) so concordant mates share a strand."""
+        if emit_header:
+            out.write(
+                sam.header(
+                    self.db.chr_names,
+                    (self.db.chr_ends - self.db.chr_starts).tolist(),
+                )
+            )
+        total = 0
+        for i in range(0, len(records5), batch_size):
+            chunk5 = records5[i : i + batch_size]
+            chunk3 = records3[i : i + batch_size]
+            chunk3_inv = [
+                Record(r.label, r.header, dna.revcomp_str(r.seq.upper()),
+                       r.quality[::-1] if r.quality else r.quality)
+                for r in chunk3
+            ]
+            res = self.align_pairs(chunk5, chunk3_inv)
+            for j in range(len(chunk5)):
+                out.write(
+                    self.sam_pe_records(chunk5[j], chunk3_inv[j], chunk3[j], res, j)
+                )
+                total += 1
+        return total
+
     # ------------------------------------------------------------------ main
     def run(self, records: list[Record], out, batch_size: int = 256,
             emit_header: bool = True) -> int:

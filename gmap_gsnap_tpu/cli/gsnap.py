@@ -41,10 +41,22 @@ def main(argv=None) -> int:
     jaxenv.enable_compilation_cache()
 
     db = GenomeDB.open(args.dir if args.dir.endswith(args.db) else f"{args.dir}/{args.db}", args.db)
-    records = []
-    for path in args.input:
-        records.extend(fasta.read_seqfile(path))
-    lmax = max((len(r.seq) for r in records), default=100)
+    paired = len(args.input) == 2
+    if paired:
+        records5 = list(fasta.read_seqfile(args.input[0]))
+        records3 = list(fasta.read_seqfile(args.input[1]))
+        if len(records5) != len(records3):
+            print("gsnap: paired files differ in read count", file=sys.stderr)
+            return 2
+        lmax = max(
+            (len(r.seq) for r in records5 + records3), default=100
+        )
+        records = records5
+    else:
+        records = []
+        for path in args.input:
+            records.extend(fasta.read_seqfile(path))
+        lmax = max((len(r.seq) for r in records), default=100)
 
     mm = int(args.max_mismatches) if args.max_mismatches >= 0 else -1
     params = gsnap_se.GsnapParams(maxpaths=args.npaths, max_mismatches=mm,
@@ -54,7 +66,10 @@ def main(argv=None) -> int:
     import time
 
     t0 = time.time()
-    n = r.run(records, sys.stdout, batch_size=args.batch_size)
+    if paired:
+        n = r.run_pe(records5, records3, sys.stdout, batch_size=args.batch_size)
+    else:
+        n = r.run(records, sys.stdout, batch_size=args.batch_size)
     dt = time.time() - t0
     print(f"Processed {n} queries in {dt:.2f} seconds ({n/dt:.2f} queries/sec)",
           file=sys.stderr)

@@ -147,6 +147,60 @@ class SEHit:
     xs: str | None = None  # splice strand tag (XS:A:+/-)
 
 
+def pe_record(
+    qname: str,
+    seq: str,
+    qual: str | None,
+    flag: int,
+    hit: SEHit | None,
+    rnext: str = "*",
+    pnext: int = 0,
+    tlen: int = 0,
+    nh: int = 1,
+    hi: int = 1,
+) -> str:
+    """One paired-end SAM line.  ``seq`` is the stored read (read 2
+    already inverted at input, like the reference's invert_second_p);
+    SEQ prints revcomped when the hit is minus, while FLAG bits are the
+    caller's responsibility (0x10 semantics differ for inverted
+    reads)."""
+    if hit is None:
+        fields = [
+            qname, str(flag), "*", "0", "0", "*",
+            rnext, str(pnext), "0",
+            seq, qual if qual else "*",
+        ]
+        return "\t".join(fields) + "\n"
+
+    out_seq = seq
+    out_qual = qual if qual else "*"
+    if not hit.plusp:
+        out_seq = revcomp(seq)
+        out_qual = out_qual[::-1] if qual else "*"
+
+    fields = [
+        qname,
+        str(flag),
+        hit.chrname,
+        str(hit.chrpos),
+        str(hit.mapq),
+        hit.cigar,
+        rnext, str(pnext), str(tlen),
+        out_seq,
+        out_qual,
+        f"MD:Z:{hit.md}",
+        f"NH:i:{nh}",
+        f"HI:i:{hi}",
+        f"NM:i:{hit.nm}",
+        f"SM:i:{hit.mapq}",
+        f"XQ:i:{hit.absmq}",
+        f"X2:i:{hit.second_absmq}",
+    ]
+    if hit.xs:
+        fields.append(f"XS:A:{hit.xs}")
+    return "\t".join(fields) + "\n"
+
+
 def se_record(
     qname: str,
     seq: str,
