@@ -237,8 +237,23 @@ def _fetch_span(genome, d, lmax: int):
     return genome_ops.fetch_codes(genome.ref16, pos.astype(jnp.uint32))
 
 
-def _solve_splices(genome, top_d, pref, ii, jj, pvalid, lengths, budget, lmax: int):
-    """Vectorized solve_singlesplice over selected pairs (novel sites).
+def _member(sorted_arr, vals):
+    """Membership of vals (uint32[...]) in a sorted uint32 array."""
+    if sorted_arr is None or sorted_arr.shape[0] == 0:
+        return jnp.zeros(vals.shape, bool)
+    ix = jnp.clip(jnp.searchsorted(sorted_arr, vals), 0, sorted_arr.shape[0] - 1)
+    return sorted_arr[ix] == vals
+
+
+def _solve_splices(genome, top_d, pref, ii, jj, pvalid, lengths, budget,
+                   lmax: int, novel: bool = True, known=None):
+    """Vectorized solve_singlesplice over selected pairs.
+
+    novel: scan GT-AG / CT-AC dinucleotides with maxent probabilities
+    (novelsplicingp).  known: optional (donors, acceptors, antidonors,
+    antiacceptors) sorted uint32 coordinate arrays — known sites are
+    candidates regardless of dinucleotide and score prob 1.0
+    (solve_singlesplice knowni handling, stage1hr.c:6330-6339).
 
     Returns dict of [B, P] arrays: valid, split, sense (True = GT-AG on
     plus genome), prob_d, prob_a, nmm1, nmm2, left, right.
@@ -263,10 +278,28 @@ def _solve_splices(genome, top_d, pref, ii, jj, pvalid, lengths, budget, lmax: i
     # sense: donor GT on segmenti at [s, s+1]; acceptor AG on segmentj at
     # [s-2, s-1].  antisense: antiacceptor CT on segmenti at [s, s+1];
     # antidonor AC on segmentj at [s-2, s-1].  (genome_hr site scans)
-    donor_i = (at(span_i, 0) == 2) & (at(span_i, 1) == 3)
-    acc_j = (at(span_j, -2) == 0) & (at(span_j, -1) == 2)
-    antiacc_i = (at(span_i, 0) == 1) & (at(span_i, 1) == 3)
-    antidon_j = (at(span_j, -2) == 0) & (at(span_j, -1) == 1)
+    if novel:
+        donor_i = (at(span_i, 0) == 2) & (at(span_i, 1) == 3)
+        acc_j = (at(span_j, -2) == 0) & (at(span_j, -1) == 2)
+        antiacc_i = (at(span_i, 0) == 1) & (at(span_i, 1) == 3)
+        antidon_j = (at(span_j, -2) == 0) & (at(span_j, -1) == 1)
+    else:
+        z = jnp.zeros(span_i.shape[:2] + (npos,), bool)
+        donor_i = acc_j = antiacc_i = antidon_j = z
+    if known is not None:
+        pos_i = (di[:, :, None] + s.astype(jnp.uint32)).astype(jnp.uint32)
+        pos_j = (dj[:, :, None] + s.astype(jnp.uint32)).astype(jnp.uint32)
+        kd_i = _member(known[0], pos_i)
+        ka_j = _member(known[1], pos_j)
+        kad_j = _member(known[2], pos_j)
+        kaa_i = _member(known[3], pos_i)
+    else:
+        z = jnp.zeros(span_i.shape[:2] + (npos,), bool)
+        kd_i = ka_j = kad_j = kaa_i = z
+    donor_i = donor_i | kd_i
+    acc_j = acc_j | ka_j
+    antiacc_i = antiacc_i | kaa_i
+    antidon_j = antidon_j | kad_j
 
     # splice_pos range [2, L-2] (stage1hr.c:6262), genome margins
     inb = (
@@ -284,6 +317,11 @@ def _solve_splices(genome, top_d, pref, ii, jj, pvalid, lengths, budget, lmax: i
     p_acc = maxent.splice_prob_span(span_j, "acceptor", npos)
     p_aacc = maxent.splice_prob_span(span_i, "antiacceptor", npos)
     p_adon = maxent.splice_prob_span(span_j, "antidonor", npos)
+    # known sites score probability 1.0 (stage1hr.c:6330-6339)
+    p_donor = jnp.where(kd_i, 1.0, p_donor)
+    p_acc = jnp.where(ka_j, 1.0, p_acc)
+    p_aacc = jnp.where(kaa_i, 1.0, p_aacc)
+    p_adon = jnp.where(kad_j, 1.0, p_adon)
 
     sup_i = s
     sup_j = L[:, :, None] - s
@@ -334,7 +372,7 @@ def _solve_splices(genome, top_d, pref, ii, jj, pvalid, lengths, budget, lmax: i
 # -------------------------------------------------------------- full pipeline
 
 def _strand_hits(genome, index, queries, codes, nflags, lengths, conv, alt,
-                 budget, params: GappedParams):
+                 budget, params: GappedParams, known=None):
     """Run seed -> vote -> verify -> indel/splice for one strand.
 
     Returns a dict of [B, K] hit-candidate arrays for this strand."""
@@ -366,7 +404,7 @@ def _strand_hits(genome, index, queries, codes, nflags, lengths, conv, alt,
     )
     indels = _solve_indels(top_d, mm, pref, ii, jj, pv, lengths, budget, queries.lmax)
 
-    if params.novelsplicing:
+    if params.novelsplicing or known is not None:
         si, sj, sv = _select_pairs(
             top_d,
             votes,
@@ -375,7 +413,8 @@ def _strand_hits(genome, index, queries, codes, nflags, lengths, conv, alt,
             params.splice_pairs,
         )
         splices = _solve_splices(
-            genome, top_d, pref, si, sj, sv, lengths, budget, queries.lmax
+            genome, top_d, pref, si, sj, sv, lengths, budget, queries.lmax,
+            novel=params.novelsplicing, known=known,
         )
     else:
         z = jnp.zeros(ii.shape[:1] + (params.splice_pairs,), jnp.int32)
@@ -433,7 +472,7 @@ def _strand_hits(genome, index, queries, codes, nflags, lengths, conv, alt,
 
 def gather_candidates(
     genome, index, index_minus, codes, nflags, lengths, params: GappedParams,
-    alt=None,
+    alt=None, known=None,
 ):
     """Both-strand candidate gathering: seed/vote/verify + indel/splice
     solvers.  Returns an unranked dict of [B, NCAND] hit fields."""
@@ -456,11 +495,11 @@ def gather_candidates(
 
     hf = _strand_hits(
         genome, index, queries_fwd, codes, nflags, lengths, conv_plus, alt,
-        budget, params,
+        budget, params, known,
     )
     hr = _strand_hits(
         genome, index_minus, queries_rev, codes_rc, nflags_rc, lengths,
-        conv_minus, alt, budget, params,
+        conv_minus, alt, budget, params, known,
     )
 
     out = {}
@@ -545,14 +584,16 @@ def align_batch_gapped(
     params: GappedParams = GappedParams(),
     index_minus: IndexArrays | None = None,
     alt=None,
+    known=None,
 ):
-    """Full single-end pipeline: substitutions + middle indels (+ novel
-    local splicing when params.novelsplicing).
+    """Full single-end pipeline: substitutions + middle indels + local
+    splicing (novel when params.novelsplicing; known sites when
+    ``known`` arrays are given).
 
     Returns dict of [B, maxpaths] arrays: kind, score, nmm, left, right,
     split, nindels, sense, prob_d, prob_a, plusp; plus npaths int32[B].
     """
     out = gather_candidates(
-        genome, index, index_minus, codes, nflags, lengths, params, alt
+        genome, index, index_minus, codes, nflags, lengths, params, alt, known
     )
     return rank_hits(out, params.base)

@@ -84,6 +84,7 @@ def align_batch_pe(
     params: PEParams = PEParams(),
     index_minus: IndexArrays | None = None,
     alt=None,
+    known=None,
 ):
     """Returns a dict with per-pair arrays [B, maxpairs] (fields i5/i3 =
     indices into the per-end hit dicts, pairtype, insert, pscore),
@@ -95,9 +96,9 @@ def align_batch_pe(
     np_ = params.npair_end
 
     out5 = gsnap_gapped.gather_candidates(
-        genome, index, index_minus, codes5, nflags5, lengths5, gp, alt)
+        genome, index, index_minus, codes5, nflags5, lengths5, gp, alt, known)
     out3 = gsnap_gapped.gather_candidates(
-        genome, index, index_minus, codes3, nflags3, lengths3, gp, alt)
+        genome, index, index_minus, codes3, nflags3, lengths3, gp, alt, known)
 
     # pairing uses per-end hits WITHOUT the per-end optimal filter: a
     # suboptimal end can form the optimal pair (reference keeps all hits

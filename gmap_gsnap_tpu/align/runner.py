@@ -92,6 +92,84 @@ def trim_ends(mm: np.ndarray, trim_mismatch_score: int = -3) -> tuple[int, int]:
     return trim5, trim3
 
 
+def _substring_bounds(d: "PostHit", L: int):
+    """Per-substring (proj_start, proj_end) whole-read projections in
+    query direction (Substring genomicstart/genomicend), in the
+    reference's substring order (query order of the ORIGINAL read =
+    reversed aligned order for minus hits)."""
+    out = []
+    for qs, qe, g0 in d.parts:
+        diag = g0 - qs
+        if d.plusp:
+            out.append((diag, diag + L))
+        else:
+            out.append((diag + L, diag))
+    return out[::-1] if not d.plusp else out
+
+
+def reference_pairlength(d5: "PostHit", d3: "PostHit", L5: int, L3: int) -> int:
+    """Exact Stage3pair insertlength (stage3hr.c:7469-7560 +
+    pair_insert_length :6108) for non-GMAP hits on one chromosome."""
+    qadj5 = L5 + d5.ndel
+    qadj3 = L3 + d3.ndel
+    span5 = d5.trim5 + d5.ref_consumed + d5.trim3
+    span3 = d3.trim5 + d3.ref_consumed + d3.trim3
+    gs5, ge5 = (d5.left, d5.left + span5) if d5.plusp else (d5.left + span5, d5.left)
+    gs3, ge3 = (d3.left, d3.left + span3) if d3.plusp else (d3.left + span3, d3.left)
+
+    if d5.plusp and not d3.plusp:
+        if ge5 < ge3:
+            return (ge3 - ge5) + qadj5 + qadj3
+        if gs3 < gs5:
+            return (gs5 - gs3) + qadj5 + qadj3
+        return 0
+    if not d5.plusp and d3.plusp:
+        if gs5 < gs3:
+            return (gs3 - gs5) + qadj5 + qadj3
+        if ge3 < ge5:
+            return (ge5 - ge3) + qadj5 + qadj3
+        return 0
+
+    # same strand
+    if d5.plusp:
+        if ge5 < gs3:
+            return (gs3 - ge5) + qadj5 + qadj3
+    else:
+        if gs3 < ge5:
+            return (ge5 - gs3) + qadj5 + qadj3
+
+    # pair_insert_length: first substring pair that overlaps genomically
+    def spans(d):
+        # trimmed aligned genomic intervals, reference substring order
+        out = []
+        n = len(d.parts)
+        for k, (qs, qe, g0) in enumerate(d.parts):
+            lo = d.trim5 if k == 0 else 0
+            hi = d.trim3 if k == n - 1 else 0
+            out.append((g0 + lo, g0 + (qe - qs) - hi))
+        return out[::-1] if not d.plusp else out
+
+    sp5 = spans(d5)
+    sp3 = spans(d3)
+    pr5 = _substring_bounds(d5, L5)
+    pr3 = _substring_bounds(d3, L3)
+    for j in range(len(sp3)):
+        for i in range(len(sp5)):
+            lo5, hi5 = sp5[i]
+            lo3, hi3 = sp3[j]
+            if not (hi3 < lo5 or lo3 > hi5):
+                return abs(pr5[i][0] - pr3[j][1])
+    # no overlap between any substrings
+    if d5.plusp:
+        if ge5 > gs3 + qadj5 + qadj3:
+            return 0
+        return (gs3 - ge5) + qadj5 + qadj3
+    else:
+        if gs3 > ge5 + qadj5 + qadj3:
+            return 0
+        return (ge5 - gs3) + qadj5 + qadj3
+
+
 @dataclass
 class PostHit:
     left: int          # untrimmed alignment start (part 1 diagonal)
@@ -105,6 +183,9 @@ class PostHit:
     cigar_core: str    # CIGAR without the soft clips
     ref_consumed: int  # genome bases consumed by cigar_core
     xs: str | None = None
+    intron: int = 0    # N-gap length (splice hits)
+    ndel: int = 0      # deletion length (querylength_adj = L + ndel)
+    parts: tuple = ()  # aligned parts (qstart, qend, genome_start)
 
 
 def encode_batch(records: list[Record], lmax: int):
@@ -123,13 +204,32 @@ def encode_batch(records: list[Record], lmax: int):
 class GsnapRunner:
     def __init__(self, db: GenomeDB, params: gsnap_se.GsnapParams | None = None,
                  lmax: int = 100, snpsdb: str | None = None,
-                 novelsplicing: bool = False):
+                 novelsplicing: bool = False, splicesdb: str | None = None):
         self.db = db
         self.lmax = lmax
         self.params = params or gsnap_se.GsnapParams()
         self.gapped_params = gsnap_gapped.GappedParams(
             base=self.params, novelsplicing=novelsplicing
         )
+        self.known = None
+        self.splicing_on = novelsplicing
+        if splicesdb is not None:
+            import os as _os
+
+            from ..db import splicesites as ss_mod
+            from ..db.iit import IIT as _IIT
+
+            path = splicesdb
+            if not _os.path.exists(path):
+                path = _os.path.join(db.dbdir, f"{db.dbname}.maps",
+                                     f"{splicesdb}.iit")
+            if not _os.path.exists(path):
+                raise FileNotFoundError(f"no splicesites map {splicesdb}")
+            sites = ss_mod.load_splicesites(
+                _IIT.read(path), db.chr_names, db.chr_starts
+            )
+            self.known = sites.device_arrays()
+            self.splicing_on = True
         self.genome = db.device_genome
         # decoded genome string for MD computation
         self._genome_str = dna.decode(db.codes, db.flags)
@@ -214,6 +314,7 @@ class GsnapRunner:
             self.gapped_params,
             index_minus=self.index_minus,
             alt=self.alt,
+            known=self.known,
         )
         return {k: np.asarray(v) for k, v in res.items()}
 
@@ -332,12 +433,16 @@ class GsnapRunner:
                 cigar_core = f"{a}M{gap}N{b}M"
                 ref_consumed = a + gap + b
                 xs = "+" if sense else "-"
+                return PostHit(left, plusp, trim5, trim3, nm, nmatches,
+                               loglik, md, cigar_core, ref_consumed, xs, gap,
+                               0, tuple(parts))
             else:
                 cigar_core = f"{a}M{nind}I{b}M"
                 ref_consumed = a + b
                 xs = None
+        ndel = nind if kind == KIND_DEL else 0
         return PostHit(left, plusp, trim5, trim3, nm, nmatches, loglik, md,
-                       cigar_core, ref_consumed, xs)
+                       cigar_core, ref_consumed, xs, 0, ndel, tuple(parts))
 
     def sam_records(self, rec: Record, hits, row: int, npaths,
                     maxpaths: int = 100) -> str:
@@ -442,7 +547,9 @@ class GsnapRunner:
 
         c5, f5, l5 = encode_batch(recs5, self.lmax)
         c3, f3, l3 = encode_batch(recs3_inv, self.lmax)
-        params = gsnap_pe.PEParams(gapped=self.gapped_params)
+        # RNA pairmax when any splicing is enabled (gsnap.c pairmax_rna)
+        pairmax = gsnap_pe.PAIRMAX_RNA if self.splicing_on else gsnap_pe.PAIRMAX_DNA
+        params = gsnap_pe.PEParams(gapped=self.gapped_params, pairmax=pairmax)
         res = gsnap_pe.align_batch_pe(
             self.genome, self.index,
             jnp.asarray(c5), jnp.asarray(f5), jnp.asarray(l5),
@@ -450,6 +557,7 @@ class GsnapRunner:
             params,
             index_minus=self.index_minus,
             alt=self.alt,
+            known=self.known,
         )
 
         def tohost(d):
@@ -557,16 +665,16 @@ class GsnapRunner:
             for k, (d5, d3) in enumerate(pairs):
                 chr5, pos5 = self._chrpos(d5)
                 chr3, pos3 = self._chrpos(d3)
-                # pairedlength uses UNTRIMMED spans (genomicstart/
-                # genomicend of the full hits, stage3hr.c)
-                u5 = pos5 - d5.trim5
-                u3 = pos3 - d3.trim5
-                lo = min(u5, u3)
-                hi = max(u5 + d5.trim5 + d5.ref_consumed + d5.trim3,
-                         u3 + d3.trim5 + d3.ref_consumed + d3.trim3)
-                tlen = hi - lo
-                t5 = tlen if pos5 <= pos3 else -tlen
-                t3 = -t5 if pos5 != pos3 else tlen
+                tlen = reference_pairlength(
+                    d5, d3, len(rec5.seq), len(rec3_inv.seq)
+                )
+                # sign: by POS; ties -> first read +, second - (samprint.c:754-762)
+                if pos5 < pos3:
+                    t5, t3 = tlen, -tlen
+                elif pos5 > pos3:
+                    t5, t3 = -tlen, tlen
+                else:
+                    t5, t3 = tlen, -tlen
                 mapq = mapqs[k] if k < len(mapqs) else 0
                 absmq = absmqs[k] if k < len(absmqs) else 0
                 for (rec, qual, d, dm, first, inv, minv, chrn, pos, mchr, mpos, tl) in (

@@ -26,6 +26,8 @@ def main(argv=None) -> int:
                    help="use SNP-tolerant index built by snpindex")
     p.add_argument("-N", "--novelsplicing", type=int, default=0, choices=[0, 1],
                    help="look for novel splicing (gsnap -N)")
+    p.add_argument("-s", "--use-splicing", default=None,
+                   help="known splice sites map IIT (name in <db>.maps or path)")
     p.add_argument("-t", "--nthreads", type=int, default=1,
                    help="accepted for compatibility (batching replaces threads)")
     p.add_argument("--batch-size", type=int, default=256)
@@ -62,7 +64,8 @@ def main(argv=None) -> int:
     params = gsnap_se.GsnapParams(maxpaths=args.npaths, max_mismatches=mm,
                                   mode=args.mode)
     r = runner_mod.GsnapRunner(db, params, lmax=lmax, snpsdb=args.use_snps,
-                               novelsplicing=bool(args.novelsplicing))
+                               novelsplicing=bool(args.novelsplicing),
+                               splicesdb=args.use_splicing)
     import time
 
     t0 = time.time()

@@ -81,6 +81,58 @@ def test_pairtype_classification():
 
 
 @needs_oracle
+def test_pe_novel_splicing_parity(tmp_path):
+    """Config 3: paired-end with novel splicing (-N1) — read 1 spans a
+    strong-maxent junction, read 2 is a plain genomic mate."""
+    from gmap_gsnap_tpu.db import build
+    from gmap_gsnap_tpu.ops import maxent
+
+    g = build.load_genome_fasta([FIXTURE])
+    seq = _genome_seq()
+    pos = np.arange(100, len(seq) - 100)
+    dp = maxent.splice_prob_np(g.codes, pos, "donor")
+    ap = maxent.splice_prob_np(g.codes, pos, "acceptor")
+    dsites = pos[dp > 0.97]
+    asites = pos[ap > 0.97]
+
+    pairs = []
+    cnt = 0
+    for d in dsites:
+        k = np.searchsorted(asites, d + 150)
+        if k >= len(asites) or asites[k] > d + 5000:
+            continue
+        a = int(asites[k])
+        r1 = seq[int(d) - 50 : int(d)] + seq[a : a + 50]
+        r2 = _rc(seq[a + 150 : a + 250])  # mate downstream of the intron
+        pairs.append((r1, r2) if cnt % 2 == 0 else (_rc(r2), _rc(r1)))
+        cnt += 1
+        if cnt >= 5:
+            break
+    assert pairs
+
+    fq1, fq2 = tmp_path / "n_1.fq", tmp_path / "n_2.fq"
+    with open(fq1, "w") as f1, open(fq2, "w") as f2:
+        for i, (a, b) in enumerate(pairs):
+            f1.write(f"@n{i}\n{a}\n+\n{'I' * len(a)}\n")
+            f2.write(f"@n{i}\n{b}\n+\n{'I' * len(b)}\n")
+
+    ref = subprocess.run(
+        [ORACLE_GSNAP, "-D", ORACLE_DB, "-d", "chr17test", "--format=sam",
+         "-N1", str(fq1), str(fq2)],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=str(REPO))
+    mine = subprocess.run(
+        [sys.executable, "-m", "gmap_gsnap_tpu.cli.gsnap", "-D", ORACLE_DB,
+         "-d", "chr17test", "-N1", str(fq1), str(fq2)],
+        capture_output=True, text=True, env=env, check=True,
+    ).stdout
+    ref_lines = [l for l in ref.splitlines() if not l.startswith("@")]
+    my_lines = [l for l in mine.splitlines() if not l.startswith("@")]
+    assert ref_lines == my_lines
+
+
+@needs_oracle
 def test_pe_sam_parity(tmp_path):
     """Byte parity vs reference gsnap on randomized paired-end reads:
     concordant with substitutions and indels, varying insert sizes,
