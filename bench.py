@@ -49,7 +49,11 @@ def main() -> int:
     nflags = np.zeros((nreads, L), bool)
     lengths = np.full(nreads, L, np.int32)
 
-    params = gsnap_se.GsnapParams()
+    from gmap_gsnap_tpu.align import gsnap_gapped
+
+    # full default-gsnap workload: substitutions + middle indels, the
+    # same feature set the reference binary ran for BASELINE_REF_QPS
+    params = gsnap_gapped.GappedParams()
     dev_batches = [
         (
             jnp.asarray(codes[i : i + BATCH]),
@@ -60,14 +64,15 @@ def main() -> int:
     ]
 
     # warmup / compile
-    out = gsnap_se.align_batch(genome, index, *dev_batches[0], params)
+    out = gsnap_gapped.align_batch_gapped(genome, index, *dev_batches[0], params)
     jax.block_until_ready(out)
 
     t0 = time.time()
     reps = 3
     for _ in range(reps):
         outs = [
-            gsnap_se.align_batch(genome, index, *db, params) for db in dev_batches
+            gsnap_gapped.align_batch_gapped(genome, index, *db, params)
+            for db in dev_batches
         ]
         jax.block_until_ready(outs)
     dt = time.time() - t0

@@ -136,11 +136,30 @@ def _select_pairs(top_d, votes, mask_fn, maxpairs: int):
 
 
 def _gather_pair(arr, idx):
-    """arr [B, NC, ...] gathered at idx [B, P] -> [B, P, ...]."""
-    extra = arr.ndim - 2
-    ix = idx.reshape(idx.shape + (1,) * extra)
-    ix = jnp.broadcast_to(ix, idx.shape + arr.shape[2:])
-    return jnp.take_along_axis(arr, ix, axis=1)
+    """arr [B, NC, ...] gathered at idx [B, P] -> [B, P, ...].
+
+    Expressed as a one-hot einsum: TPU gathers run elementwise (~85M
+    elem/s measured) while this contraction rides the MXU — orders of
+    magnitude faster for the [B, NC, L] prefix/mask tables used here.
+    uint32 coordinate tables go through two exact 16-bit halves (f32
+    carries 24-bit integers exactly)."""
+    b, nc = arr.shape[:2]
+    oh = jax.nn.one_hot(idx, nc, dtype=jnp.float32)  # [B, P, NC]
+
+    def mat(x):  # x [B, NC, M] f32 -> [B, P, M]
+        return jnp.einsum("bpn,bnm->bpm", oh, x)
+
+    shape_out = idx.shape + arr.shape[2:]
+    flat = arr.reshape(b, nc, -1)
+    if arr.dtype == jnp.uint32:
+        lo = mat((flat & jnp.uint32(0xFFFF)).astype(jnp.float32))
+        hi = mat((flat >> 16).astype(jnp.float32))
+        out = (hi.astype(jnp.uint32) << 16) | lo.astype(jnp.uint32)
+        return out.reshape(shape_out)
+    out = mat(flat.astype(jnp.float32))
+    if arr.dtype == jnp.bool_:
+        return (out > 0.5).reshape(shape_out)
+    return out.astype(arr.dtype).reshape(shape_out)
 
 
 # ----------------------------------------------------------------- indel solve
@@ -174,24 +193,40 @@ def _solve_indels(top_d, mm, pref, ii, jj, pvalid, lengths, budget, lmax: int):
 
     s = jnp.arange(lmax + 1, dtype=jnp.int32)[None, None, :]  # [1, 1, L+1]
 
-    # suffix mismatch count of query[s':L] at dj, where s' = s (deletion)
-    # or s + n (insertion)
-    sfx_at = jnp.where(is_del[:, :, None], s, jnp.minimum(s + n, lmax))
-    pref_j_at = jnp.take_along_axis(pref_j, sfx_at, axis=2)
+    # suffix mismatch count of query[s':L] at dj, where s' = s (deletion,
+    # shift 0) or s + n (insertion, shift n <= 9).  Dynamic per-pair
+    # shifts are expressed as a one-hot contraction over a static stack
+    # of shifted slices — the MXU path; a take_along_axis gather here
+    # runs elementwise and dominated the profile.
+    nsh = MAX_MIDDLE_INSERTIONS + 1  # shifts 0..9
+    n_eff = jnp.where(is_del, 0, jnp.clip(nins, 0, MAX_MIDDLE_INSERTIONS))
+    oh_sh = jax.nn.one_hot(n_eff, nsh, dtype=jnp.float32)  # [B, P, nsh]
+
+    pref_pad = jnp.pad(pref_j, ((0, 0), (0, 0), (0, nsh - 1)), mode="edge")
+    pref_stack = jnp.stack(
+        [jax.lax.slice_in_dim(pref_pad, k, k + lmax + 1, axis=2)
+         for k in range(nsh)], axis=2,
+    )  # [B, P, nsh, L+1]
+    pref_j_at = jnp.einsum(
+        "bpk,bpkl->bpl", oh_sh, pref_stack.astype(jnp.float32)
+    ).astype(jnp.int32)
     total = pref_i + (tot_j - pref_j_at)  # [B, P, L+1] mismatch sum per split
 
     # candidate splits (reference scans mismatch positions only):
     #   deletion:  s = mm_j position + 1, or s = mm_i position
     #   insertion: s = mm_j position - n + 1, or s = mm_i position
     pad_i = jnp.pad(mm_i, ((0, 0), (0, 0), (0, 1)))           # mm_i[s], s<L
-    # mm_j at (s - 1) for deletion / (s + n - 1) for insertion
-    mmj_at = jnp.take_along_axis(
-        jnp.pad(mm_j, ((0, 0), (0, 0), (0, 1))),
-        jnp.clip(jnp.where(is_del[:, :, None], s - 1, s + n - 1), 0, lmax),
-        axis=2,
+    # mm_j at (s + n_eff - 1): left-pad absorbs the -1; padding is False
+    # so the s=0 deletion candidate is correctly absent
+    mm_pad = jnp.pad(mm_j, ((0, 0), (0, 0), (1, nsh - 1)))
+    mm_stack = jnp.stack(
+        [jax.lax.slice_in_dim(mm_pad, k, k + lmax + 1, axis=2)
+         for k in range(nsh)], axis=2,
     )
-    prev_ok = jnp.where(is_del[:, :, None], s >= 1, s + n - 1 >= 0)
-    cand = pad_i.astype(bool) | (mmj_at.astype(bool) & prev_ok)
+    mmj_at = jnp.einsum(
+        "bpk,bpkl->bpl", oh_sh, mm_stack.astype(jnp.float32)
+    ) > 0.5
+    cand = pad_i.astype(bool) | mmj_at
 
     # bounds: indel_pos in [4, L-4]; insertions also need s + n <= L - 4
     hi = jnp.where(is_del[:, :, None], L[:, :, None], L[:, :, None] - n)
@@ -231,29 +266,32 @@ def _suff_local(support, nmm, prob):
 
 
 def _fetch_span(genome, d, lmax: int):
-    """Codes at genome positions d + (-20 .. lmax + 20) -> [B, P, L+41]."""
-    offs = jnp.arange(-20, lmax + 21, dtype=jnp.int32)[None, None, :]
-    pos = d[:, :, None].astype(jnp.int32) + offs  # d < 2^31 assumed
-    return genome_ops.fetch_codes(genome.ref16, pos.astype(jnp.uint32))
+    """Codes at genome positions d + (-20 .. lmax + 20) -> [B, P, L+41].
+
+    Word-based fetch: one aligned gather per 16 nt + vector unpack
+    (near-start underflow wraps to the clamped pad word; those pairs
+    are masked by the di/dj >= 64 guard in _solve_splices)."""
+    start = d.astype(jnp.uint32) - jnp.uint32(20)
+    return genome_ops.fetch_span_codes(genome.ref16, start, lmax + 41)
 
 
-def _member(sorted_arr, vals):
-    """Membership of vals (uint32[...]) in a sorted uint32 array."""
-    if sorted_arr is None or sorted_arr.shape[0] == 0:
-        return jnp.zeros(vals.shape, bool)
-    ix = jnp.clip(jnp.searchsorted(sorted_arr, vals), 0, sorted_arr.shape[0] - 1)
-    return sorted_arr[ix] == vals
+SPLICE_CANDS = 16  # splice positions scored per pair per sense class
 
 
 def _solve_splices(genome, top_d, pref, ii, jj, pvalid, lengths, budget,
                    lmax: int, novel: bool = True, known=None):
     """Vectorized solve_singlesplice over selected pairs.
 
-    novel: scan GT-AG / CT-AC dinucleotides with maxent probabilities
-    (novelsplicingp).  known: optional (donors, acceptors, antidonors,
-    antiacceptors) sorted uint32 coordinate arrays — known sites are
-    candidates regardless of dinucleotide and score prob 1.0
-    (solve_singlesplice knowni handling, stage1hr.c:6330-6339).
+    novel: scan GT-AG / CT-AC dinucleotides (novelsplicingp).  known:
+    optional (donor, acceptor, antidonor, antiacceptor) genome-length
+    BITMASK vectors (uint32 words) — known sites are candidates
+    regardless of dinucleotide and score prob 1.0 (stage1hr.c:6330-6339).
+
+    TPU structure: candidate positions come from cheap vector ops
+    (dinucleotide compare on word-fetched spans + bitmask spans + the
+    mismatch budget); maxent tables are then gathered ONLY at the top
+    SPLICE_CANDS candidates per class — dense table gathers dominated
+    the profile otherwise.
 
     Returns dict of [B, P] arrays: valid, split, sense (True = GT-AG on
     plus genome), prob_d, prob_a, nmm1, nmm2, left, right.
@@ -287,12 +325,10 @@ def _solve_splices(genome, top_d, pref, ii, jj, pvalid, lengths, budget,
         z = jnp.zeros(span_i.shape[:2] + (npos,), bool)
         donor_i = acc_j = antiacc_i = antidon_j = z
     if known is not None:
-        pos_i = (di[:, :, None] + s.astype(jnp.uint32)).astype(jnp.uint32)
-        pos_j = (dj[:, :, None] + s.astype(jnp.uint32)).astype(jnp.uint32)
-        kd_i = _member(known[0], pos_i)
-        ka_j = _member(known[1], pos_j)
-        kad_j = _member(known[2], pos_j)
-        kaa_i = _member(known[3], pos_i)
+        kd_i = genome_ops.fetch_span_bits(known[0], di, npos)
+        ka_j = genome_ops.fetch_span_bits(known[1], dj, npos)
+        kad_j = genome_ops.fetch_span_bits(known[2], dj, npos)
+        kaa_i = genome_ops.fetch_span_bits(known[3], di, npos)
     else:
         z = jnp.zeros(span_i.shape[:2] + (npos,), bool)
         kd_i = ka_j = kad_j = kaa_i = z
@@ -313,49 +349,73 @@ def _solve_splices(genome, top_d, pref, ii, jj, pvalid, lengths, budget,
     nmm_j = (tot_j - pref_j[:, :, :npos]).astype(jnp.int32)
     under = (nmm_i + nmm_j) <= budget[:, None, None]
 
-    p_donor = maxent.splice_prob_span(span_i, "donor", npos)
-    p_acc = maxent.splice_prob_span(span_j, "acceptor", npos)
-    p_aacc = maxent.splice_prob_span(span_i, "antiacceptor", npos)
-    p_adon = maxent.splice_prob_span(span_j, "antidonor", npos)
-    # known sites score probability 1.0 (stage1hr.c:6330-6339)
-    p_donor = jnp.where(kd_i, 1.0, p_donor)
-    p_acc = jnp.where(ka_j, 1.0, p_acc)
-    p_aacc = jnp.where(kaa_i, 1.0, p_aacc)
-    p_adon = jnp.where(kad_j, 1.0, p_adon)
+    def solve_class(cand, kn_i, kn_j, kind_i, kind_j):
+        """Score the top SPLICE_CANDS candidate positions of one sense
+        class.  Returns (best prob sum, split, prob_i, prob_j) [B, P].
 
-    sup_i = s
-    sup_j = L[:, :, None] - s
-    ok_sense = (
-        donor_i & acc_j & inb & under
-        & _suff_local(sup_i, nmm_i, p_donor)
-        & _suff_local(sup_j, nmm_j, p_acc)
-    )
-    ok_anti = (
-        antiacc_i & antidon_j & inb & under
-        & _suff_local(sup_i, nmm_i, p_aacc)
-        & _suff_local(sup_j, nmm_j, p_adon)
-    )
+        All per-candidate selections ride one one-hot MXU contraction
+        (take_along_axis gathers here ran elementwise and dominated the
+        profile); only the [B, P, K] maxent table lookups gather."""
+        k = SPLICE_CANDS
+        key = jnp.where(cand, s, jnp.int32(npos + 7))
+        negk, _ = jax.lax.top_k(-key, k)        # k smallest s, ascending
+        sel = -negk                              # [B, P, k] ascending s
+        sel_ok = sel < npos
+        sel_c = jnp.clip(sel, 0, npos - 1)
+        oh = jax.nn.one_hot(sel_c, npos, dtype=jnp.float32)  # [B, P, k, S]
 
-    prob_sense = jnp.where(ok_sense, p_donor + p_acc, -1.0)
-    prob_anti = jnp.where(ok_anti, p_aacc + p_adon, -1.0)
-    # first maximum = smallest splice_pos (reference replaces only on
-    # strictly greater prob); antisense must strictly beat sense
-    bs = jnp.argmax(prob_sense, axis=2)
-    ba = jnp.argmax(prob_anti, axis=2)
-    pbs = jnp.max(prob_sense, axis=2)
-    pba = jnp.max(prob_anti, axis=2)
-    use_anti = pba > pbs
-    split = jnp.where(use_anti, ba, bs).astype(jnp.int32)
-    prob = jnp.where(use_anti, pba, pbs)
+        def pick(x):  # [B, P, S] -> [B, P, k] (values exact in f32)
+            out = jnp.einsum("bpks,bps->bpk", oh, x.astype(jnp.float32))
+            if x.dtype == jnp.bool_:
+                return out > 0.5
+            return out.astype(jnp.int32)
+
+        def prob_at_sel(span, kind):
+            odds = None
+            tables = maxent._tables_jnp()
+            for name, idx in maxent.splice_idx_span(span, kind, npos):
+                factor = tables[name][pick(idx)]
+                odds = factor if odds is None else odds * factor
+            return (odds / (1.0 + odds)).astype(jnp.float32)
+
+        p_i = prob_at_sel(span_i, kind_i)
+        p_j = prob_at_sel(span_j, kind_j)
+        p_i = jnp.where(pick(kn_i), 1.0, p_i)
+        p_j = jnp.where(pick(kn_j), 1.0, p_j)
+        mi = pick(nmm_i)
+        mj = pick(nmm_j)
+        sup_i = sel_c
+        sup_j = L[:, :, None] - sel_c
+        ok = (
+            sel_ok
+            & _suff_local(sup_i, mi, p_i)
+            & _suff_local(sup_j, mj, p_j)
+        )
+        prob = jnp.where(ok, p_i + p_j, -1.0)
+        # first maximum = smallest splice_pos (sel ascending)
+        bi = jnp.argmax(prob, axis=2)
+        take = lambda x: jnp.take_along_axis(x, bi[:, :, None], axis=2)[:, :, 0]
+        return take(prob), take(sel_c), take(p_i), take(p_j)
+
+    prob_s, split_s, pd_s, pa_s = solve_class(
+        donor_i & acc_j & inb & under, kd_i, ka_j, "donor", "acceptor")
+    prob_a_, split_a, pa_i, pd_j = solve_class(
+        antiacc_i & antidon_j & inb & under, kaa_i, kad_j,
+        "antiacceptor", "antidonor")
+
+    use_anti = prob_a_ > prob_s  # antisense must strictly beat sense
+    split = jnp.where(use_anti, split_a, split_s).astype(jnp.int32)
+    prob = jnp.where(use_anti, prob_a_, prob_s)
     valid = pvalid & (prob > 0.0)
 
-    pick = lambda x: jnp.take_along_axis(x, split[:, :, None], axis=2)[:, :, 0]
-    nmm1 = pick(nmm_i)
-    nmm2 = pick(nmm_j)
+    split_cl = jnp.clip(split, 0, npos - 1)
+    pick2 = lambda x: jnp.take_along_axis(x, split_cl[:, :, None], axis=2)[:, :, 0]
+    nmm1 = pick2(nmm_i)
+    nmm2 = pick2(nmm_j)
     # donor/acceptor probabilities for output (sense: donor on i; anti:
     # donor on j)
-    prob_d = jnp.where(use_anti, pick(p_adon), pick(p_donor))
-    prob_a = jnp.where(use_anti, pick(p_aacc), pick(p_acc))
+    prob_d = jnp.where(use_anti, pd_j, pd_s)
+    prob_a = jnp.where(use_anti, pa_i, pa_s)
     return {
         "valid": valid,
         "split": jnp.where(valid, split, 0),

@@ -66,9 +66,17 @@ class IndexArrays:
 
     @classmethod
     def from_host(cls, offsets: np.ndarray, positions: np.ndarray, k: int, interval: int):
+        # pad positions to a multiple of 8 so seeding can gather aligned
+        # 8-wide rows (one gather descriptor per 8 entries)
+        positions = positions.astype(np.uint32)
+        pad = (-len(positions)) % 8
+        if pad:
+            positions = np.concatenate(
+                [positions, np.zeros(pad, np.uint32)]
+            )
         return cls(
             offsets=jnp.asarray(offsets.astype(np.uint32)),
-            positions=jnp.asarray(positions.astype(np.uint32)),
+            positions=jnp.asarray(positions),
             k=int(k),
             interval=int(interval),
         )
@@ -110,24 +118,37 @@ def _extract_oligos(codes: jax.Array, nflags: jax.Array, lengths: jax.Array, k: 
 
 def _seed_diagonals(index: IndexArrays, oligos, valid, params: GsnapParams):
     """Gather up to seed_cap positions per valid k-mer; return candidate
-    diagonals uint32[B, S*C] with invalid slots = INVALID_DIAG."""
+    diagonals uint32[B, S*W] with invalid slots = INVALID_DIAG.
+
+    Positions are fetched as aligned 8-wide rows (one gather descriptor
+    per 8 entries — TPU gathers are per-descriptor limited) and the
+    exact [start, start+min(count, seed_cap)) window is selected by
+    masking on the global element index."""
     b, s = oligos.shape
     c = params.seed_cap
+    row = 8
+    nrows = c // row + 1
     off = index.offsets
     start = off[oligos].astype(jnp.int32)
     end = off[jnp.minimum(oligos + 1, off.shape[0] - 1)].astype(jnp.int32)
     count = end - start
     usable = valid & (count > 0) & (count <= params.size_threshold)
-    j = jnp.arange(c, dtype=jnp.int32)[None, None, :]
-    idx = start[:, :, None] + j
-    inbound = (j < count[:, :, None]) & usable[:, :, None]
-    idx = jnp.clip(idx, 0, index.positions.shape[0] - 1)
-    pos = index.positions[idx]  # uint32 [B, S, C]
-    qpos = jnp.arange(s, dtype=jnp.uint32)[None, :, None]
-    ok = inbound & (pos >= qpos)
-    diag = pos - qpos  # uint32; safe where ok
-    diag = jnp.where(ok, diag, INVALID_DIAG)
-    return diag.reshape(b, s * c)
+    cap_end = start + jnp.minimum(count, c)
+
+    pos2d = index.positions.reshape(-1, row)
+    rows = (start >> 3)[:, :, None] + jnp.arange(nrows, dtype=jnp.int32)
+    rows = jnp.clip(rows, 0, pos2d.shape[0] - 1)
+    pos = pos2d[rows]  # uint32 [B, S, nrows, row]
+    gidx = rows[:, :, :, None] * row + jnp.arange(row, dtype=jnp.int32)
+    ok = (
+        usable[:, :, None, None]
+        & (gidx >= start[:, :, None, None])
+        & (gidx < cap_end[:, :, None, None])
+    )
+    qpos = jnp.arange(s, dtype=jnp.uint32)[None, :, None, None]
+    ok = ok & (pos >= qpos)
+    diag = jnp.where(ok, pos - qpos, INVALID_DIAG)
+    return diag.reshape(b, s * nrows * row)
 
 
 def _top_diagonals(diag, ncand: int):

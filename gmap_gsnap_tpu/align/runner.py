@@ -228,7 +228,7 @@ class GsnapRunner:
             sites = ss_mod.load_splicesites(
                 _IIT.read(path), db.chr_names, db.chr_starts
             )
-            self.known = sites.device_arrays()
+            self.known = sites.device_bitmasks(len(db.codes))
             self.splicing_on = True
         self.genome = db.device_genome
         # decoded genome string for MD computation

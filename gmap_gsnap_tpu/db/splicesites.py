@@ -42,6 +42,23 @@ class SpliceSites:
                       self.antiacceptors)
         )
 
+    def device_bitmasks(self, genome_length: int):
+        """Four genome-length bitvectors (uint32 words) — the TPU form
+        consumed by the splice scan (cf. the reference's splicecomp
+        bit-vector, splicetrie_build.c:464)."""
+        import jax.numpy as jnp
+
+        nwords = (genome_length + 31) // 32 + 2
+        out = []
+        for a in (self.donors, self.acceptors, self.antidonors,
+                  self.antiacceptors):
+            bits = np.zeros(nwords, np.uint32)
+            if len(a):
+                w = a >> 5
+                np.bitwise_or.at(bits, w, np.uint32(1) << (a & 31))
+            out.append(jnp.asarray(bits))
+        return tuple(out)
+
 
 def load_splicesites(iit: IIT, chr_names: list[str],
                      chr_starts: np.ndarray) -> SpliceSites:

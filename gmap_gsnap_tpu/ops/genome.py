@@ -106,6 +106,42 @@ def _shl32(x, amount):
     return jnp.where(big, jnp.uint32(0), x << safe)
 
 
+def fetch_span_codes(ref16: jax.Array, start, n: int) -> jax.Array:
+    """Unpacked 2-bit codes of genome[start : start+n] for a batch of
+    start positions (uint32[B]) -> uint8[B, n].
+
+    Fetches aligned 16-nt words (one gather per 16 nt) and unpacks with
+    vector shifts — ~14x fewer gathered elements than a per-position
+    fetch_codes, which matters because TPU gathers are elementwise."""
+    nwords = (n + NT_PER_WORD - 1) // NT_PER_WORD
+    start = start.astype(jnp.uint32)
+    w0 = (start >> 4).astype(jnp.int32)
+    sh2 = (2 * (start & 15))[..., None]
+    idx = w0[..., None] + jnp.arange(nwords + 1, dtype=jnp.int32)
+    idx = jnp.minimum(idx, ref16.shape[0] - 1)
+    raw = ref16[idx]
+    c16 = (raw[..., :-1] >> sh2) | _shl32(raw[..., 1:], 32 - sh2)
+    sh = 2 * jnp.arange(NT_PER_WORD, dtype=jnp.uint32)
+    codes = ((c16[..., None] >> sh) & 3).astype(jnp.uint8)
+    return codes.reshape(c16.shape[:-1] + (nwords * NT_PER_WORD,))[..., :n]
+
+
+def fetch_span_bits(bits32: jax.Array, start, n: int) -> jax.Array:
+    """Bits of a genome-length bitvector over [start, start+n) for a
+    batch of start positions -> bool[..., n].  Word-aligned fetch +
+    vector unpack (used for known-splicesite masks)."""
+    nwords = (n + 31) // 32
+    start = start.astype(jnp.uint32)
+    w0 = (start >> 5).astype(jnp.int32)
+    sh = (start & 31)[..., None]
+    idx = w0[..., None] + jnp.arange(nwords + 1, dtype=jnp.int32)
+    idx = jnp.clip(idx, 0, bits32.shape[0] - 1)
+    raw = bits32[idx]
+    al = (raw[..., :-1] >> sh) | _shl32(raw[..., 1:], 32 - sh)
+    b = ((al[..., None] >> jnp.arange(32, dtype=jnp.uint32)) & 1).astype(jnp.bool_)
+    return b.reshape(al.shape[:-1] + (nwords * 32,))[..., :n]
+
+
 def fetch_codes(ref16: jax.Array, positions) -> jax.Array:
     """Per-position 2-bit code gather: codes[i] = genome[positions[i]]."""
     positions = positions.astype(jnp.uint32)

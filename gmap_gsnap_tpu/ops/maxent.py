@@ -157,6 +157,47 @@ def splice_prob_span(span, kind: str, npos: int, origin: int = 20):
     return (odds / (1.0 + odds)).astype(jnp.float32)
 
 
+def splice_idx_span(span, kind: str, npos: int, origin: int = 20):
+    """Dense per-position table indices for a splice scan.
+
+    Pure static-slice/shift vector ops (no gathers): returns a list of
+    (table_name, idx int32[..., npos]) — callers gather table values
+    only at selected candidate positions."""
+    margin = _MARGIN[kind]
+    out = []
+    for name, offsets in _MODELS[kind]:
+        idx = None
+        for j, off in enumerate(offsets):
+            base = origin - margin + off
+            sl = jax.lax.slice_in_dim(span, base, base + npos, axis=-1).astype(jnp.int32)
+            piece = sl << (2 * j)
+            idx = piece if idx is None else idx + piece
+        out.append((name, idx))
+    return out
+
+
+def splice_prob_window(window, kind: str):
+    """Splice probability from pre-extracted model windows.
+
+    window: integer codes [..., W] where W = _WIDTH[kind] and
+    window[..., 0] is the base at coordinate - margin.  Used on sparse
+    candidate sets (the dense-scan variant is splice_prob_span)."""
+    tables = _tables_jnp()
+    odds = None
+    for name, offsets in _MODELS[kind]:
+        idx = None
+        for j, off in enumerate(offsets):
+            piece = window[..., off].astype(jnp.int32) << (2 * j)
+            idx = piece if idx is None else idx + piece
+        factor = tables[name][idx]
+        odds = factor if odds is None else odds * factor
+    return (odds / (1.0 + odds)).astype(jnp.float32)
+
+
+def window_margin_width(kind: str) -> tuple[int, int]:
+    return _MARGIN[kind], _WIDTH[kind]
+
+
 # ----------------------------------------------------------------- host path
 
 def splice_prob_np(codes: np.ndarray, positions: np.ndarray, kind: str) -> np.ndarray:
