@@ -271,6 +271,7 @@ class GsnapRunner:
             self.alt = (_jnp.asarray(alt16), self.genome.flag16)
             self._alt_str = dna.decode(alt_codes, db.flags)
             self._conv_plus = self._conv_minus = None
+            self._init_mesh()
             return
         if mode == "standard":
             self.index = db.device_index
@@ -299,24 +300,60 @@ class GsnapRunner:
             self.index, self.index_minus = idx
         # conversion names for host-side MD/trim computation
         self._conv_plus, self._conv_minus = gsnap_se._MODE_CONV[self.params.mode]
+        self._init_mesh()
+
+    def _init_mesh(self):
+        """Data-parallel scale-out: with >1 device, replicate the
+        database into every HBM and shard read batches over a 1-D
+        'reads' mesh (the reference worker-pool model, SURVEY.md 2.7)."""
+        import jax
+
+        from ..parallel import shard
+
+        self._ndev = len(jax.devices())
+        if self._ndev <= 1:
+            self.mesh = None
+            return
+        self.mesh = shard.reads_mesh()
+        (self.genome, self.index, self.index_minus, self.alt,
+         self.known) = shard.place(
+            self.mesh, self.genome, self.index, self.index_minus,
+            self.alt, self.known,
+        )
+
+    def _shard(self, codes, nflags, lengths):
+        """Pad to the mesh size and shard per-read arrays; returns
+        device arrays + the true batch size."""
+        import jax.numpy as jnp
+
+        from ..parallel import shard
+
+        if self.mesh is None:
+            return (jnp.asarray(codes), jnp.asarray(nflags),
+                    jnp.asarray(lengths), codes.shape[0])
+        codes, nflags, lengths, b = shard.pad_batch(
+            self._ndev, codes, nflags, lengths
+        )
+        c, f, l = shard.shard_reads(
+            self.mesh, jnp.asarray(codes), jnp.asarray(nflags),
+            jnp.asarray(lengths),
+        )
+        return c, f, l, b
 
     # ---------------------------------------------------------------- device
     def align_records(self, records: list[Record]):
-        import jax.numpy as jnp
-
         codes, nflags, lengths = encode_batch(records, self.lmax)
+        c, f, l, b = self._shard(codes, nflags, lengths)
         res = gsnap_gapped.align_batch_gapped(
             self.genome,
             self.index,
-            jnp.asarray(codes),
-            jnp.asarray(nflags),
-            jnp.asarray(lengths),
+            c, f, l,
             self.gapped_params,
             index_minus=self.index_minus,
             alt=self.alt,
             known=self.known,
         )
-        return {k: np.asarray(v) for k, v in res.items()}
+        return {k: np.asarray(v)[:b] for k, v in res.items()}
 
     # ------------------------------------------------------------------ host
     def _mismatch_masks(self, q: str, g0: int, conv) -> tuple[np.ndarray, np.ndarray]:
@@ -547,13 +584,14 @@ class GsnapRunner:
 
         c5, f5, l5 = encode_batch(recs5, self.lmax)
         c3, f3, l3 = encode_batch(recs3_inv, self.lmax)
+        c5, f5, l5, b = self._shard(c5, f5, l5)
+        c3, f3, l3, _ = self._shard(c3, f3, l3)
         # RNA pairmax when any splicing is enabled (gsnap.c pairmax_rna)
         pairmax = gsnap_pe.PAIRMAX_RNA if self.splicing_on else gsnap_pe.PAIRMAX_DNA
         params = gsnap_pe.PEParams(gapped=self.gapped_params, pairmax=pairmax)
         res = gsnap_pe.align_batch_pe(
             self.genome, self.index,
-            jnp.asarray(c5), jnp.asarray(f5), jnp.asarray(l5),
-            jnp.asarray(c3), jnp.asarray(f3), jnp.asarray(l3),
+            c5, f5, l5, c3, f3, l3,
             params,
             index_minus=self.index_minus,
             alt=self.alt,
@@ -561,9 +599,9 @@ class GsnapRunner:
         )
 
         def tohost(d):
-            return {k: np.asarray(v) for k, v in d.items()}
+            return {k: np.asarray(v)[:b] for k, v in d.items()}
 
-        out = {k: np.asarray(v) for k, v in res.items()
+        out = {k: np.asarray(v)[:b] for k, v in res.items()
                if not isinstance(v, dict)}
         for k in ("end5", "end3", "end5_pairing", "end3_pairing"):
             out[k] = tohost(res[k])

@@ -32,6 +32,9 @@ def main(argv=None) -> int:
                    help="accepted for compatibility (batching replaces threads)")
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--npaths", "-n", type=int, default=100)
+    p.add_argument("-q", "--part", default=None,
+                   help="process only the i-th of n parts, as i/n "
+                        "(multi-process input sharding, gsnap.c:999-1028)")
     p.add_argument("input", nargs="+", help="FASTQ/FASTA file(s)")
     args = p.parse_args(argv)
 
@@ -59,6 +62,15 @@ def main(argv=None) -> int:
         for path in args.input:
             records.extend(fasta.read_seqfile(path))
         lmax = max((len(r.seq) for r in records), default=100)
+
+    if args.part:
+        i, n = (int(x) for x in args.part.split("/"))
+        if paired:
+            records5 = records5[i::n]
+            records3 = records3[i::n]
+            records = records5
+        else:
+            records = records[i::n]
 
     mm = int(args.max_mismatches) if args.max_mismatches >= 0 else -1
     params = gsnap_se.GsnapParams(maxpaths=args.npaths, max_mismatches=mm,
