@@ -16,7 +16,7 @@ def main(argv=None) -> int:
     p.add_argument("-d", "--db")
     p.add_argument("-g", "--gseg", help="user-supplied genomic segment FASTA")
     p.add_argument("-f", "--format", default="paths",
-                   choices=["paths", "gff3_gene", "summary"])
+                   choices=["paths", "gff3_gene", "summary", "samse"])
     p.add_argument("-A", action="store_true", help="alignment output")
     p.add_argument("input", nargs="+")
     args = p.parse_args(argv)
@@ -45,6 +45,11 @@ def main(argv=None) -> int:
         dbmode = True
 
     gstr = dna.decode(db.codes, db.flags)
+    if args.format == "samse":
+        sys.stdout.write("".join(
+            f"@SQ\tSN:{n}\tLN:{int(e - s)}\n"
+            for n, s, e in zip(db.chr_names, db.chr_starts, db.chr_ends)
+        ))
     for path_in in args.input:
         for rec in fasta.read_fasta(path_in):
             path = gmap_mod.align_cdna(db, rec.seq)
@@ -53,6 +58,19 @@ def main(argv=None) -> int:
                 if path is None or path.watsonp
                 else dna.revcomp_str(rec.seq.upper())
             )
+            if args.format == "samse":
+                if path is None:
+                    sys.stdout.write(gmap_out.sam_record(
+                        None, rec.label, rec.seq, None, "", 0, qstr, gstr))
+                else:
+                    chrnum = int(__import__("numpy").searchsorted(
+                        db.chr_ends, path.gstart, side="right"))
+                    sys.stdout.write(gmap_out.sam_record(
+                        path, rec.label, rec.seq, None,
+                        db.chr_names[chrnum], int(db.chr_starts[chrnum]),
+                        qstr, gstr,
+                    ))
+                continue
             if path is None:
                 sys.stdout.write(f">{rec.header}\nPaths (0):\n\n")
                 continue

@@ -45,6 +45,91 @@ def _translation_bounds(path: Path, qstr: str, gstr: str):
     return leftpos, rightpos, length
 
 
+def sam_record(path: Path | None, qname: str, seq: str, qual: str | None,
+               chrname: str, chr_start: int, qstr: str, gstr: str,
+               nh: int = 1, hi: int = 1, mapq: int = 40) -> str:
+    """One SAM line for a GMAP path (gmap -f samse; Pair_print_sam,
+    pair.c).  Exon blocks emit M, junctions emit N (genomic gap >=
+    min_intronlength), D (smaller genomic gap), or I (query gap);
+    query ends outside the path soft-clip.  Tag set matches gsnap:
+    MD/NH/HI/NM/SM/XQ/X2 (+XS splice strand when introns exist)."""
+    if path is None:
+        q = qual if qual else "*"
+        return "\t".join([qname, "4", "*", "0", "0", "*", "*", "0", "0",
+                          seq.upper(), q]) + "\n"
+
+    L = path.querylength
+    flag = 0 if path.watsonp else 16
+    out_seq = qstr  # aligned-orientation sequence
+    out_qual = (qual if path.watsonp else qual[::-1]) if qual else "*"
+
+    cigar = []
+    md = []
+    run = 0
+    nm = 0
+    has_intron = False
+    if path.qstart:
+        cigar.append(f"{path.qstart}S")
+    prev = None
+    for e in path.exons:
+        if prev is not None:
+            dq = e.qstart - prev.qend
+            dg = e.gstart - prev.gend
+            if dq > 0:
+                cigar.append(f"{dq}I")
+                nm += dq
+            if dg >= MIN_INTRONLENGTH:
+                cigar.append(f"{dg}N")
+                has_intron = True
+            elif dg > 0:
+                cigar.append(f"{dg}D")
+                nm += dg
+                if run > 0:
+                    md.append(str(run))
+                md.append("^" + gstr[prev.gend : e.gstart])
+                run = 0
+        if cigar and cigar[-1].endswith("M"):
+            # merge adjacent M blocks (pure insertion junction)
+            m = int(cigar.pop()[:-1]) + (e.qend - e.qstart)
+            cigar.append(f"{m}M")
+        else:
+            cigar.append(f"{e.qend - e.qstart}M")
+        boundary = prev is not None and md and md[-1].startswith("^")
+        for q in range(e.qstart, e.qend):
+            g = e.gstart + (q - e.qstart)
+            qc = qstr[q]
+            gc = gstr[g]
+            if qc == gc or qc == "N":
+                run += 1
+            else:
+                if run > 0 or (q == e.qstart and boundary) or not md:
+                    md.append(str(run))
+                md.append(gc)
+                nm += 1
+                run = 0
+        prev = e
+    if run > 0:
+        md.append(str(run))
+    if not md:
+        md.append("0")
+    if path.qend < L:
+        cigar.append(f"{L - path.qend}S")
+
+    pos = path.gstart - chr_start + 1
+    fields = [
+        qname, str(flag), chrname, str(pos), str(mapq), "".join(cigar),
+        "*", "0", "0", out_seq, out_qual,
+        "MD:Z:" + "".join(md),
+        f"NH:i:{nh}", f"HI:i:{hi}", f"NM:i:{nm}",
+        f"SM:i:{mapq}", "XQ:i:40", "X2:i:0",
+    ]
+    if has_intron and path.cdna_direction:
+        # cdna_direction is in aligned space: +1 <=> GT-AG on plus genome
+        xs = "+" if path.cdna_direction > 0 else "-"
+        fields.append(f"XS:A:{xs}")
+    return "\t".join(fields) + "\n"
+
+
 def path_summary(
     path: Path,
     pathnum: int,

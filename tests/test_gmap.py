@@ -87,3 +87,48 @@ def test_gmap_minus_strand(chr17db):
     assert path is not None
     assert not path.watsonp
     assert path.gstart == 50000 and path.gend == 51200
+
+
+def test_gmap_samse_oracle_parity(chr17db, ref_tests, tmp_path):
+    """gmap -f samse byte parity vs the reference binary (HER2 both
+    strands + mutated / deletion-bearing queries)."""
+    import os
+    import pathlib
+    import random
+    import subprocess
+    import sys
+
+    oracle = "/tmp/refbuild/src/gmap"
+    odb = "/tmp/refbuild/trytest/gdb"
+    if not os.path.exists(oracle):
+        pytest.skip("reference oracle binaries not built")
+
+    random.seed(31)
+    seq = "".join(
+        l.strip() for l in open(ref_tests / "ss.chr17test") if not l.startswith(">")
+    ).upper()
+    her2 = next(fasta.read_fasta(str(ref_tests / "ss.her2")))
+    queries = [("her2", her2.seq), ("her2rc", dna.revcomp_str(her2.seq.upper()))]
+    q = list(seq[120000:120800])
+    for _ in range(8):
+        q[random.randrange(len(q))] = random.choice("ACGT")
+    queries.append(("mut800", "".join(q)))
+    queries.append(("del5", seq[130000:130400] + seq[130405:130800]))
+
+    fa = tmp_path / "q.fa"
+    with open(fa, "w") as f:
+        for n, s in queries:
+            f.write(f">{n}\n{s}\n")
+
+    ref = subprocess.run(
+        [oracle, "-D", odb, "-d", "chr17test", "-f", "samse", str(fa)],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=str(repo))
+    mine = subprocess.run(
+        [sys.executable, "-m", "gmap_gsnap_tpu.cli.gmap", "-D", odb,
+         "-d", "chr17test", "-f", "samse", str(fa)],
+        capture_output=True, text=True, env=env, check=True,
+    ).stdout
+    assert ref.splitlines() == mine.splitlines()
