@@ -47,6 +47,7 @@ FINAL_GCAG_INTRON = 20
 ATAC_INTRON = 12
 FINAL_ATAC_INTRON = 12
 MIN_INTRONLENGTH = 9
+MAX_INSERTLEN = 30  # largest query insertion the chainer bridges
 
 # intron dinucleotide codes (dinucleotide pairs as (left, right) strings)
 _CANONICAL = {
@@ -200,8 +201,8 @@ def _chain_segments(segs, k: int = 12, max_intronlen: int = 1_000_000,
         score[i] = seglen  # chain start
         for j in range(i):
             qs2, qe2, gs2, d2 = segs[j]
-            if d2 > d or (d - d2) > max_intronlen:
-                continue  # genome must not go backward; bound intron size
+            if (d - d2) > max_intronlen or (d2 - d) > MAX_INSERTLEN:
+                continue  # bound intron size; small negative steps = insertions
             qgap = qs - qe2
             if qgap < -k:
                 continue  # too much query overlap
@@ -210,6 +211,8 @@ def _chain_segments(segs, k: int = 12, max_intronlen: int = 1_000_000,
             penalty = max(qgap, 0)
             if gd > 0:
                 penalty += 25 if gd >= MIN_INTRONLENGTH else 12  # intron/indel open
+            elif gd < 0:
+                penalty += 12  # insertion open
             cand = score[j] + gain - penalty
             if cand > score[i]:
                 score[i] = cand
@@ -272,17 +275,20 @@ def _bridge_intron(gstr, qstr, qL_end, qR_start, diagL, diagR,
 def _solve_indel_junction(gstr, qstr, qL_end, qR_start, diagL, diagR):
     """Small genomic/cDNA indel between segments: pick the split point r
     maximizing exact matches on both diagonals (banded-DP equivalent for
-    a single indel; dynprog.c Dynprog_single_gap semantics)."""
+    a single indel; dynprog.c Dynprog_single_gap semantics).  For
+    insertions (diagR < diagL) the nins query bases [r, r+nins) are
+    unaligned and the right side resumes at r + nins."""
     peel = 11
+    nins = max(0, diagL - diagR)
     lo = max(0, min(qL_end, qR_start) - peel)
-    hi = min(len(qstr), max(qL_end, qR_start) + peel)
+    hi = min(len(qstr) - nins, max(qL_end, qR_start) + peel)
     best = None
     for r in range(lo, hi + 1):
         score = 0
         for q in range(lo, r):
             g = diagL + q
             score += FULLMATCH if (0 <= g < len(gstr) and qstr[q] == gstr[g]) else MISMATCH_HIGHQ
-        for q in range(r, hi):
+        for q in range(r + nins, hi + nins):
             g = diagR + q
             score += FULLMATCH if (0 <= g < len(gstr) and qstr[q] == gstr[g]) else MISMATCH_HIGHQ
         if best is None or score > best[1]:
@@ -303,9 +309,12 @@ def _count_matches(gstr, qstr, qs, qe, diag):
     return m, mm
 
 
-def _extend_end(gstr, qstr, qpos, diag, direction, trim_mismatch_score=-3):
+def _extend_end(gstr, qstr, qpos, diag, direction, trim_mismatch_score=-3,
+                ties_extend: bool = True):
     """Extend from qpos to the query end (direction=+1) or start (-1),
-    then trim by match/mismatch score (changepoint-like end trimming)."""
+    then trim by match/mismatch score (changepoint-like end trimming).
+    ties_extend=False keeps the SHORTER extension on score ties (the
+    dynprog end BEST_LOCAL behavior)."""
     L = len(qstr)
     best_score = 0
     best_q = qpos
@@ -317,16 +326,21 @@ def _extend_end(gstr, qstr, qpos, diag, direction, trim_mismatch_score=-3):
             score += 1
         else:
             score += trim_mismatch_score
-        if score >= best_score:
+        if score > best_score or (ties_extend and score == best_score):
             best_score = score
             best_q = q + (1 if direction > 0 else 0)
         q += direction
     return best_q
 
 
-def align_cdna(db: GenomeDB, query: str, max_intronlen: int = 1_000_000):
-    """Align a cDNA query; returns the best Path or None."""
-    genome_str = dna.decode(db.codes, db.flags)
+def align_cdna(db: GenomeDB, query: str, max_intronlen: int = 1_000_000,
+               extend_ends: bool = False):
+    """Align a cDNA query; returns the best Path or None.
+
+    extend_ends: extend the outer exons to the query bounds without
+    trimming (the QUERYEND_NOGAPS end policy used when GSNAP invokes
+    GMAP for rescue, stage1hr.c align_single_hit_with_gmap)."""
+    genome_str = db.genome_str
     paths = []
     for watsonp in (True, False):
         qstr = query.upper() if watsonp else dna.revcomp_str(query.upper())
@@ -338,11 +352,40 @@ def align_cdna(db: GenomeDB, query: str, max_intronlen: int = 1_000_000):
             continue
         path = _build_path(genome_str, qstr, chain, watsonp, db)
         if path is not None:
+            if extend_ends:
+                _extend_path_to_ends(genome_str, qstr, path)
             paths.append(path)
     if not paths:
         return None
     paths.sort(key=lambda p: -(p.matches - 3 * p.mismatches))
     return paths[0]
+
+
+def _extend_path_to_ends(gstr: str, qstr: str, path: Path) -> None:
+    """Re-extend the outer exons with the GMAP end-dynprog scoring
+    (BEST_LOCAL, FULLMATCH +3 / MISMATCH -3, dynprog.c:140-150): a
+    mismatch followed by a match still extends, unlike the GSNAP
+    +1/-3 trim policy."""
+    first = path.exons[0]
+    diag = first.gstart - first.qstart
+    newq = _extend_end(gstr, qstr, first.qstart, diag, -1,
+                       trim_mismatch_score=-1, ties_extend=False)
+    if newq < first.qstart:
+        m, mm = _count_matches(gstr, qstr, newq, first.qstart, diag)
+        first.qstart = newq
+        first.gstart = diag + newq
+        first.matches += m
+        first.mismatches += mm
+    last = path.exons[-1]
+    diag = last.gstart - last.qstart
+    newq = _extend_end(gstr, qstr, last.qend, diag, +1,
+                       trim_mismatch_score=-1, ties_extend=False)
+    if newq > last.qend:
+        m, mm = _count_matches(gstr, qstr, last.qend, newq, diag)
+        last.qend = newq
+        last.gend = diag + newq
+        last.matches += m
+        last.mismatches += mm
 
 
 def _build_path(gstr, qstr, chain, watsonp, db) -> Path | None:
@@ -380,7 +423,10 @@ def _build_path(gstr, qstr, chain, watsonp, db) -> Path | None:
                 r = _solve_indel_junction(gstr, qstr, qeL, qsR, dL, dR)
                 introntype = "indel"
             exon_bounds.append((prev_split, r, dL, introntype))
-            prev_split = r
+            # insertion (dR < dL): the inserted query bases [r, r+nins)
+            # are unaligned; the right exon resumes at r + nins so the
+            # genome stays contiguous
+            prev_split = r + (dL - dR) if gap < 0 else r
         last_end = _extend_end(gstr, qstr, merged[-1][1], merged[-1][3], +1)
         exon_bounds.append((prev_split, last_end, merged[-1][3], None))
 

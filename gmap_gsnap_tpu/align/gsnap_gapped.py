@@ -444,8 +444,8 @@ def _strand_hits(genome, index, queries, codes, nflags, lengths, conv, alt,
     top_d, votes = _top_diagonals(diag, base.ncand)
 
     # substitution-only hits (full-span verify)
-    nmm_sub = gsnap_se._verify(genome, queries, top_d, lengths, conv, alt)
-    nmm_sub = jnp.where(nmm_sub <= budget[:, None], nmm_sub, BIG_NMM)
+    nmm_raw = gsnap_se._verify(genome, queries, top_d, lengths, conv, alt)
+    nmm_sub = jnp.where(nmm_raw <= budget[:, None], nmm_raw, BIG_NMM)
 
     mm, pref = _prefix_mm(genome, queries, top_d, lengths, conv, alt)
 
@@ -527,6 +527,9 @@ def _strand_hits(genome, index, queries, codes, nflags, lengths, conv, alt,
         "kind": kind, "score": score, "nmm": nmm, "left": left, "right": right,
         "split": split, "nindels": nindels, "sense": sense,
         "prob_d": prob_d, "prob_a": prob_a,
+    }, {
+        # unfiltered diagonal candidates (terminal/rescue lanes)
+        "cand_left": top_d, "cand_votes": votes, "cand_nmm": nmm_raw,
     }
 
 
@@ -553,11 +556,11 @@ def gather_candidates(
         spansize = -(-index.k // index.interval) * index.interval
         budget = jnp.maximum((lengths + index.interval - 1) // spansize - 2, 0)
 
-    hf = _strand_hits(
+    hf, cf = _strand_hits(
         genome, index, queries_fwd, codes, nflags, lengths, conv_plus, alt,
         budget, params, known,
     )
-    hr = _strand_hits(
+    hr, cr = _strand_hits(
         genome, index_minus, queries_rev, codes_rc, nflags_rc, lengths,
         conv_minus, alt, budget, params, known,
     )
@@ -571,7 +574,12 @@ def gather_candidates(
         [jnp.ones((b, nplus), bool), jnp.zeros((b, ncand - nplus), bool)], axis=1
     )
     out["plusp"] = plusp
-    return out
+    cands = {k: jnp.concatenate([cf[k], cr[k]], axis=1) for k in cf}
+    nc = cf["cand_left"].shape[1]
+    cands["cand_plusp"] = jnp.concatenate(
+        [jnp.ones((b, nc), bool), jnp.zeros((b, nc), bool)], axis=1
+    )
+    return out, cands
 
 
 def rank_hits(out, base: GsnapParams, apply_optimal: bool = True,
@@ -651,9 +659,12 @@ def align_batch_gapped(
     ``known`` arrays are given).
 
     Returns dict of [B, maxpaths] arrays: kind, score, nmm, left, right,
-    split, nindels, sense, prob_d, prob_a, plusp; plus npaths int32[B].
+    split, nindels, sense, prob_d, prob_a, plusp; plus npaths int32[B]
+    and unranked cand_* arrays (terminal/rescue candidate diagonals).
     """
-    out = gather_candidates(
+    out, cands = gather_candidates(
         genome, index, index_minus, codes, nflags, lengths, params, alt, known
     )
-    return rank_hits(out, params.base)
+    final = rank_hits(out, params.base)
+    final.update(cands)
+    return final

@@ -95,9 +95,9 @@ def align_batch_pe(
     base = gp.base
     np_ = params.npair_end
 
-    out5 = gsnap_gapped.gather_candidates(
+    out5, cands5 = gsnap_gapped.gather_candidates(
         genome, index, index_minus, codes5, nflags5, lengths5, gp, alt, known)
-    out3 = gsnap_gapped.gather_candidates(
+    out3, cands3 = gsnap_gapped.gather_candidates(
         genome, index, index_minus, codes3, nflags3, lengths3, gp, alt, known)
 
     # pairing uses per-end hits WITHOUT the per-end optimal filter: a
@@ -193,4 +193,6 @@ def align_batch_pe(
         "end3": gsnap_gapped.rank_hits(out3, base),
         "end5_pairing": h5,
         "end3_pairing": h3,
+        "cands5": cands5,
+        "cands3": cands3,
     }

@@ -1,0 +1,213 @@
+"""Terminal hits + GMAP rescue + final hit selection (host side).
+
+Implements the tail of the reference's align_end (stage1hr.c:12400-12530):
+
+  * find_terminals (stage1hr.c:9012): one-sided partial alignments on
+    seeded diagonals, gated by done_level >= terminal_threshold (2),
+    trimmed with the TERM end policy and accepted when the trimmed
+    region has <= done_level mismatches and covers > min(L/3, 40) nt;
+  * GMAP terminal/improvement passes (stage1hr.c:12437-12521 +
+    align_singleend_with_gmap :11767): each terminal (and each kept
+    terminal with total trim >= 8) is re-aligned with the GMAP stack;
+    the GMAP hit survives when it has strictly more matches;
+  * Stage3end_optimal_score (stage3hr.c) "eventrim" selection: hits are
+    compared on mismatches inside a COMMON trimmed region derived from
+    the minimum trims of non-terminal hits, so trimmed/untrimmed/GMAP
+    alignments rank consistently; terminals are exempt until the final
+    pass.
+
+Hits here are host-side wrappers around the printable PostHit details;
+the device pipeline supplies both the ranked hits and the unfiltered
+candidate diagonals (cand_* arrays) that seed the terminal lane.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+TERMINAL_THRESHOLD = 2     # gsnap.c:182
+TERMINAL_MINLENGTH = 40    # stage3hr.c:39
+GMAP_IMPROVEMENT_TRIM = 8  # align_singleend_with_gmap trim trigger
+MAX_GMAP_TERMINAL = 50     # gsnap.c max_gmap_terminal
+PENALTY = {"sub": 0, "ins": 2, "del": 2, "splice": 0, "terminal": 0, "gmap": 0}
+
+
+@dataclass
+class HostHit:
+    d: object                 # PostHit (printable details)
+    hittype: str
+    nmatches: int             # reference whole-region nmatches
+    mm_positions: np.ndarray  # selection-mismatch positions (aligned coords)
+    loglik: float = 0.0
+    keep: bool = True
+
+    @property
+    def penalties(self) -> int:
+        return PENALTY[self.hittype]
+
+
+def trim_term(mm: np.ndarray, side: str) -> int:
+    """TERM-end trimming (substring.c trim_left_end / trim_right_end with
+    trim_mismatch_score -3); mm is the mismatch vector of the candidate
+    span.  Returns the trim amount for the requested side."""
+    from .runner import trim_ends
+
+    t5, t3 = trim_ends(mm, trim_mismatch_score=-3)
+    return t5 if side == "left" else t3
+
+
+def make_terminals(mm_fn, cand_left, cand_plusp, cand_nmm, L: int,
+                   max_mm: int, max_terminal_length: int, used=()):
+    """Build one-sided terminal candidates from unfiltered diagonals.
+
+    mm_fn(left, plusp) -> selection mismatch vector bool[L].
+    used: diagonals consumed by indel/splice solvers — their segments
+    are marked usedp in the reference and skipped by find_terminals
+    (stage1hr.c:9054).
+    Returns list of (left, plusp, trim5, trim3, nmm_trim, positions)."""
+    minlength = min(L // 3, TERMINAL_MINLENGTH)
+    mtl = min(max_terminal_length, L // 2)
+    out = []
+    seen = set(used)
+    for left, plusp, nmm_full in zip(cand_left, cand_plusp, cand_nmm):
+        left = int(left)
+        plusp = bool(plusp)
+        if nmm_full >= 10**6 or (left, plusp) in seen:
+            continue
+        seen.add((left, plusp))
+        mm = mm_fn(left, plusp)
+        pos = np.flatnonzero(mm)
+        npos = len(pos)
+        variants = []
+        # left-anchored (END/TERM): clean-enough prefix
+        if npos <= max_mm or pos[max_mm] > mtl:
+            t3 = trim_term(mm, "right")
+            variants.append((0, t3))
+        # right-anchored (TERM/END): clean-enough suffix
+        if npos <= max_mm or pos[npos - 1 - max_mm] < L - mtl:
+            t5 = trim_term(mm, "left")
+            variants.append((t5, 0))
+        for t5, t3 in variants:
+            span = slice(t5, L - t3)
+            nmm_trim = int(mm[span].sum())
+            if L - t5 - t3 <= minlength:
+                continue
+            if nmm_trim > max_mm:
+                continue
+            if t5 == 0 and t3 == 0 and nmm_full <= max_mm:
+                continue  # indistinguishable from a sub hit
+            out.append((left, plusp, t5, t3, nmm_trim, pos))
+    return out
+
+
+def common_region(hits: list[HostHit], L: int, finalp: bool):
+    """Stage3end_optimal_score_aux trim computation."""
+    min_tl = min_tr = 10**6
+    max_tl_term = max_tr_term = 0
+    for h in hits:
+        tl, tr = h.d.trim5, h.d.trim3
+        if not finalp and h.hittype == "terminal":
+            max_tl_term = max(max_tl_term, tl)
+            max_tr_term = max(max_tr_term, tr)
+        else:
+            min_tl = min(min_tl, tl)
+            min_tr = min(min_tr, tr)
+    tl = max_tl_term if min_tl == 10**6 else max(max_tl_term, min_tl)
+    tr = max_tr_term if min_tr == 10**6 else max(max_tr_term, min_tr)
+    return tl, tr
+
+
+def eventrim_score(h: HostHit, tl: int, tr: int, L: int) -> int:
+    """Mismatches of this hit inside [tl, L - tr) + penalties; GMAP hits
+    additionally pay for their own uncovered ends beyond the region."""
+    inregion = int(((h.mm_positions >= tl) & (h.mm_positions < L - tr)).sum())
+    score = inregion + h.penalties
+    if h.hittype == "gmap":
+        if h.d.trim5 > tl:
+            score += h.d.trim5 - tl
+        if h.d.trim3 > tr:
+            score += h.d.trim3 - tr
+    return score
+
+
+def optimal_pass(hits: list[HostHit], L: int, finalp: bool,
+                 keep_gmap: bool, subopt: int = 0) -> list[HostHit]:
+    if len(hits) <= 1:
+        return hits
+    tl, tr = common_region(hits, L, finalp)
+    scores = {id(h): eventrim_score(h, tl, tr, L) for h in hits}
+    contenders = [h for h in hits if finalp or h.hittype != "terminal"]
+    if not contenders:
+        return hits
+    minscore = min(scores[id(h)] for h in contenders) + subopt
+    out = []
+    for h in hits:
+        if not finalp and h.hittype == "terminal":
+            out.append(h)
+        elif keep_gmap and h.hittype == "gmap":
+            out.append(h)
+        elif scores[id(h)] <= minscore:
+            out.append(h)
+    return out
+
+
+# Hittype_T enum order (stage3hr.h:21-24): ties in overlap resolution go
+# to the LOWER hittype
+HITTYPE_ORDER = {"sub": 1, "ins": 2, "del": 3, "splice": 6, "gmap": 12,
+                 "terminal": 13}
+
+
+def remove_overlaps(hits: list[HostHit], finalp: bool) -> list[HostHit]:
+    """Keep the best hit per overlapping genomic locus (same strand).
+
+    Simplified Stage3end_remove_overlaps with hit_goodness_cmp's key
+    order (stage3hr.c:4385): nmatches_posttrim first, then lower
+    hittype; terminals neither win nor lose before the final pass."""
+    hits = sorted(
+        hits, key=lambda h: (-h.d.nmatches, HITTYPE_ORDER[h.hittype])
+    )
+    kept: list[HostHit] = []
+    for h in hits:
+        lo = h.d.left
+        hi = h.d.left + h.d.trim5 + h.d.ref_consumed + h.d.trim3
+        dup = False
+        for k in kept:
+            if k.d.plusp != h.d.plusp:
+                continue
+            if not finalp and (k.hittype == "terminal" or h.hittype == "terminal"):
+                continue  # terminals tie pre-final (hit_goodness_cmp)
+            klo = k.d.left
+            khi = k.d.left + k.d.trim5 + k.d.ref_consumed + k.d.trim3
+            if lo < khi and klo < hi:  # overlap
+                dup = True
+                break
+        if not dup:
+            kept.append(h)
+    return kept
+
+
+def select_final(hits: list[HostHit], L: int, improvement_fn=None,
+                 subopt: int = 0) -> list[HostHit]:
+    """The reference's post-cascade selection ladder (align_end tail)."""
+    if not hits:
+        return hits
+    hits = optimal_pass(hits, L, finalp=False, keep_gmap=True, subopt=subopt)
+    hits = remove_overlaps(hits, finalp=False)
+    hits = optimal_pass(hits, L, finalp=False, keep_gmap=False, subopt=subopt)
+    if improvement_fn is not None:
+        extra = []
+        for h in hits:
+            if (h.hittype == "terminal"
+                    and h.d.trim5 + h.d.trim3 >= GMAP_IMPROVEMENT_TRIM):
+                g = improvement_fn()
+                if g is not None and g.nmatches > h.nmatches:
+                    extra.append(g)
+                    h.keep = False
+        hits = [h for h in hits if h.keep] + extra
+    hits = optimal_pass(hits, L, finalp=True, keep_gmap=True, subopt=subopt)
+    hits = remove_overlaps(hits, finalp=True)
+    hits = optimal_pass(hits, L, finalp=True, keep_gmap=False, subopt=subopt)
+    hits.sort(key=lambda h: (-h.d.nmatches, -h.loglik))
+    return hits

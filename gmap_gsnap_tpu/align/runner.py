@@ -186,6 +186,8 @@ class PostHit:
     intron: int = 0    # N-gap length (splice hits)
     ndel: int = 0      # deletion length (querylength_adj = L + ndel)
     parts: tuple = ()  # aligned parts (qstart, qend, genome_start)
+    mmpos: tuple = ()  # selection-mismatch query positions (untrimmed)
+    nmatches_whole: int = 0  # reference nmatches (whole region incl trims)
 
 
 def encode_batch(records: list[Record], lmax: int):
@@ -232,7 +234,7 @@ class GsnapRunner:
             self.splicing_on = True
         self.genome = db.device_genome
         # decoded genome string for MD computation
-        self._genome_str = dna.decode(db.codes, db.flags)
+        self._genome_str = db.genome_str
         self.index_minus = None
         self.alt = None
         self._alt_str = None
@@ -447,11 +449,17 @@ class GsnapRunner:
             )
         loglik = 0.0
         nmatches = 0
+        mmpos_all = []
+        nmm_whole = 0
+        aligned_len = 0
         for (qs, qe, _), mask, span in zip(parts, masks, spans):
             sel = mask[span]
             qpos = np.arange(qs + span.start, qs + span.stop)
             loglik += float(MISMATCH_LOGPROB[qv[qpos[sel]]].sum())
             nmatches += len(sel) - int(sel.sum())
+            mmpos_all.extend((qs + p) for p in np.flatnonzero(mask))
+            nmm_whole += int(mask.sum())
+            aligned_len += len(mask)
 
         # CIGAR core (no clips) + genome consumption
         a = len(masks[0]) - trim5
@@ -472,40 +480,172 @@ class GsnapRunner:
                 xs = "+" if sense else "-"
                 return PostHit(left, plusp, trim5, trim3, nm, nmatches,
                                loglik, md, cigar_core, ref_consumed, xs, gap,
-                               0, tuple(parts))
+                               0, tuple(parts), tuple(mmpos_all),
+                               aligned_len - nmm_whole)
             else:
                 cigar_core = f"{a}M{nind}I{b}M"
                 ref_consumed = a + b
                 xs = None
         ndel = nind if kind == KIND_DEL else 0
         return PostHit(left, plusp, trim5, trim3, nm, nmatches, loglik, md,
-                       cigar_core, ref_consumed, xs, 0, ndel, tuple(parts))
+                       cigar_core, ref_consumed, xs, 0, ndel, tuple(parts),
+                       tuple(mmpos_all), aligned_len - nmm_whole)
+
+    def _terminal_hit(self, rec: Record, left: int, plusp: bool,
+                      t5: int, t3: int) -> PostHit:
+        """Terminal (one-sided) hit details: forced trims, sub-style."""
+        L = len(rec.seq)
+        q = rec.seq.upper() if plusp else dna.revcomp_str(rec.seq.upper())
+        conv = self._conv_plus if plusp else self._conv_minus
+        mm_sel, mm_ref = self._mismatch_masks(q, left, conv)
+        span = slice(t5, L - t3)
+        md, nm = sam.md_gapped([(mm_ref[span], self._genome_str[left + t5 : left + L - t3])], [])
+        qual = rec.quality if rec.quality else None
+        if qual is None:
+            qv = np.full(L, MAX_QUALITY_SCORE, int)
+        else:
+            qq = qual if plusp else qual[::-1]
+            qv = np.clip(np.frombuffer(qq.encode(), np.uint8).astype(int)
+                         - QUALITY_ADJ, 0, MAX_QUALITY_SCORE)
+        sel = mm_sel[span]
+        qpos = np.arange(t5, L - t3)
+        loglik = float(MISMATCH_LOGPROB[qv[qpos[sel]]].sum())
+        nmatches = (L - t5 - t3) - int(sel.sum())
+        return PostHit(left, plusp, t5, t3, nm, nmatches, loglik, md,
+                       f"{L - t5 - t3}M", L - t5 - t3, None, 0, 0,
+                       ((0, L, left),), tuple(np.flatnonzero(mm_sel)),
+                       nmatches)
+
+    def _gmap_hosthit(self, rec: Record):
+        """GMAP rescue: align the read with the GMAP stack; returns a
+        HostHit or None (align_single_hit_with_gmap, stage1hr.c:11009)."""
+        from ..io import gmap_out
+        from . import gmap as gmap_mod
+        from . import rescue
+
+        path = gmap_mod.align_cdna(self.db, rec.seq, extend_ends=True)
+        if path is None or not path.exons:
+            return None
+        L = len(rec.seq)
+        qstr = rec.seq.upper() if path.watsonp else dna.revcomp_str(rec.seq.upper())
+        gstr = self._genome_str
+        core, md, nm, has_intron = gmap_out.path_cigar_md(
+            path, qstr, gstr, sam_mode="gsnap"
+        )
+        mmpos = []
+        for e in path.exons:
+            for qp in range(e.qstart, e.qend):
+                gc = gstr[e.gstart + (qp - e.qstart)]
+                if qstr[qp] != gc and qstr[qp] != "N":
+                    mmpos.append(qp)
+        qual = rec.quality if rec.quality else None
+        if qual is None:
+            qv = np.full(L, MAX_QUALITY_SCORE, int)
+        else:
+            qq = qual if path.watsonp else qual[::-1]
+            qv = np.clip(np.frombuffer(qq.encode(), np.uint8).astype(int)
+                         - QUALITY_ADJ, 0, MAX_QUALITY_SCORE)
+        loglik = float(MISMATCH_LOGPROB[qv[np.array(mmpos, int)]].sum()) if mmpos else 0.0
+        intron = sum(
+            (b.gstart - a.gend)
+            for a, b in zip(path.exons, path.exons[1:])
+            if b.gstart - a.gend >= 9
+        )
+        ndel = sum(
+            (b.gstart - a.gend)
+            for a, b in zip(path.exons, path.exons[1:])
+            if 0 < b.gstart - a.gend < 9
+        )
+        xs = None
+        if has_intron and path.cdna_direction:
+            xs = "+" if path.cdna_direction > 0 else "-"
+        t5, t3 = path.qstart, L - path.qend
+        covered = sum(e.qend - e.qstart for e in path.exons)
+        nmatches = covered - len(mmpos)
+        d = PostHit(path.gstart - path.qstart, path.watsonp, t5, t3, nm,
+                    nmatches, loglik, md, core,
+                    path.gend - path.gstart, xs, intron, ndel,
+                    tuple((e.qstart, e.qend, e.gstart) for e in path.exons),
+                    tuple(mmpos), nmatches)
+        return rescue.HostHit(d, "gmap", nmatches, np.array(mmpos, int), loglik)
+
+    def _rescued_hits(self, rec: Record, hits, row: int, npaths: int,
+                      maxpaths: int):
+        """Device hits + terminal lane + GMAP rescue -> final ordered
+        HostHit list (align_end tail, stage1hr.c:12400-12530)."""
+        from . import rescue
+
+        L = len(rec.seq)
+        kindname = {0: "sub", 1: "ins", 2: "del", 3: "splice"}
+        hhits = []
+        n = min(int(npaths), maxpaths)
+        for i in range(n):
+            d = self._end_hit(rec, hits, row, i)
+            hhits.append(rescue.HostHit(
+                d, kindname[int(hits["kind"][row, i])], d.nmatches_whole,
+                np.array(d.mmpos, int), d.loglik,
+            ))
+
+        spansize = -(-self.db.k // self.db.interval) * self.db.interval
+        budget = max((L + self.db.interval - 1) // spansize - 2, 0)
+        best = int(hits["score"][row, 0]) if n > 0 else 10**6
+        done = min(budget, best)
+        gmap_cache = [False, None]
+
+        def gmap_once():
+            if not gmap_cache[0]:
+                gmap_cache[0] = True
+                gmap_cache[1] = self._gmap_hosthit(rec)
+            return gmap_cache[1]
+
+        if done >= rescue.TERMINAL_THRESHOLD:
+            def mm_fn(left, plusp):
+                q = rec.seq.upper() if plusp else dna.revcomp_str(rec.seq.upper())
+                conv = self._conv_plus if plusp else self._conv_minus
+                return self._mismatch_masks(q, left, conv)[0]
+
+            # indel/splice diagonals are usedp in the reference and do
+            # not seed terminals (stage1hr.c solve_middle_* / solve_*splice)
+            used = set()
+            for i in range(n):
+                if int(hits["kind"][row, i]) != 0:
+                    pp = bool(hits["plusp"][row, i])
+                    used.add((int(hits["left"][row, i]), pp))
+                    used.add((int(hits["right"][row, i]), pp))
+            terms = rescue.make_terminals(
+                mm_fn, np.asarray(hits["cand_left"][row]),
+                np.asarray(hits["cand_plusp"][row]),
+                np.asarray(hits["cand_nmm"][row]), L, done,
+                spansize + self.db.interval - 1, used=used,
+            )
+            term_hits = []
+            for left, plusp, t5, t3, nmm_trim, pos in terms:
+                d = self._terminal_hit(rec, left, plusp, t5, t3)
+                term_hits.append(rescue.HostHit(
+                    d, "terminal", d.nmatches, pos, d.loglik))
+            hhits.extend(term_hits)
+            if term_hits and len(term_hits) <= rescue.MAX_GMAP_TERMINAL:
+                g = gmap_once()
+                if g is not None and any(
+                    g.nmatches > t.nmatches for t in term_hits
+                ):
+                    hhits.append(g)
+
+        if not hhits:
+            return []
+        return rescue.select_final(
+            hhits, L, improvement_fn=gmap_once,
+            subopt=self.params.subopt_levels,
+        )[:maxpaths]
 
     def sam_records(self, rec: Record, hits, row: int, npaths,
                     maxpaths: int = 100) -> str:
         qual = rec.quality if rec.quality else None
-        if npaths == 0:
+        final = self._rescued_hits(rec, hits, row, npaths, maxpaths)
+        if not final:
             return sam.se_record(rec.label, rec.seq.upper(), qual, None)
-
-        n = min(int(npaths), maxpaths)
-        details = [
-            self._hit_details(
-                rec,
-                int(hits["kind"][row, i]),
-                int(hits["left"][row, i]),
-                int(hits["right"][row, i]),
-                int(hits["split"][row, i]),
-                int(hits["nindels"][row, i]),
-                bool(hits["sense"][row, i]),
-                bool(hits["plusp"][row, i]),
-            )
-            for i in range(n)
-        ]
-        # rank like Stage3end_output_cmp: nmatches desc, then loglik desc
-        order = sorted(
-            range(n), key=lambda i: (-details[i].nmatches, -details[i].loglik)
-        )
-        details = [details[i] for i in order]
+        details = [h.d for h in final]
+        n = len(details)
 
         # MAPQ (stage3hr.c:3443-3545)
         if n == 1:

@@ -33,6 +33,12 @@ class GenomeDB:
     basesize: int = 0
 
     @cached_property
+    def genome_str(self) -> str:
+        from ..utils import dna
+
+        return dna.decode(self.codes, self.flags)
+
+    @cached_property
     def offsets(self) -> np.ndarray | None:
         """uint32[4^k+1]; loaded lazily (gamma expansion can be slow)."""
         if self.index_files is None:

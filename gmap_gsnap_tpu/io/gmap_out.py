@@ -45,31 +45,22 @@ def _translation_bounds(path: Path, qstr: str, gstr: str):
     return leftpos, rightpos, length
 
 
-def sam_record(path: Path | None, qname: str, seq: str, qual: str | None,
-               chrname: str, chr_start: int, qstr: str, gstr: str,
-               nh: int = 1, hi: int = 1, mapq: int = 40) -> str:
-    """One SAM line for a GMAP path (gmap -f samse; Pair_print_sam,
-    pair.c).  Exon blocks emit M, junctions emit N (genomic gap >=
-    min_intronlength), D (smaller genomic gap), or I (query gap);
-    query ends outside the path soft-clip.  Tag set matches gsnap:
-    MD/NH/HI/NM/SM/XQ/X2 (+XS splice strand when introns exist)."""
-    if path is None:
-        q = qual if qual else "*"
-        return "\t".join([qname, "4", "*", "0", "0", "*", "*", "0", "0",
-                          seq.upper(), q]) + "\n"
+def path_cigar_md(path: Path, qstr: str, gstr: str, sam_mode: str = "gmap"):
+    """CIGAR core (no clips) + MD + NM + intron presence for a GMAP
+    path.  Exon blocks emit M, junctions emit N (genomic gap >=
+    min_intronlength with canonical-ish dinucleotides, or > 50 nt =
+    max_deletionlength), D (other genomic gaps), or I (query gaps).
 
-    L = path.querylength
-    flag = 0 if path.watsonp else 16
-    out_seq = qstr  # aligned-orientation sequence
-    out_qual = (qual if path.watsonp else qual[::-1]) if qual else "*"
+    sam_mode: "gmap" = the gmap binary's printer (deletions in MD with
+    '^', counted in NM); "gsnap" = gsnap's GMAP-method printer
+    (samprint.c print_gmap: deletions absent from MD/NM)."""
+    from ..align.gmap import intron_score
 
     cigar = []
     md = []
     run = 0
     nm = 0
     has_intron = False
-    if path.qstart:
-        cigar.append(f"{path.qstart}S")
     prev = None
     for e in path.exons:
         if prev is not None:
@@ -78,16 +69,24 @@ def sam_record(path: Path | None, qname: str, seq: str, qual: str | None,
             if dq > 0:
                 cigar.append(f"{dq}I")
                 nm += dq
+            intronp = False
             if dg >= MIN_INTRONLENGTH:
+                gl = gstr[prev.gend : prev.gend + 2]
+                gr = gstr[e.gstart - 2 : e.gstart]
+                _, itype = intron_score(gl, gr, path.cdna_direction, 1, True)
+                intronp = itype != "noncanonical" or dg > 50
+            if intronp:
                 cigar.append(f"{dg}N")
                 has_intron = True
             elif dg > 0:
                 cigar.append(f"{dg}D")
-                nm += dg
-                if run > 0:
-                    md.append(str(run))
-                md.append("^" + gstr[prev.gend : e.gstart])
-                run = 0
+                if sam_mode == "gmap":
+                    nm += dg
+                    if run > 0:
+                        md.append(str(run))
+                    md.append("^" + gstr[prev.gend : e.gstart])
+                    run = 0
+                # gsnap mode: deletion invisible in MD/NM; runs merge
         if cigar and cigar[-1].endswith("M"):
             # merge adjacent M blocks (pure insertion junction)
             m = int(cigar.pop()[:-1]) + (e.qend - e.qstart)
@@ -112,8 +111,34 @@ def sam_record(path: Path | None, qname: str, seq: str, qual: str | None,
         md.append(str(run))
     if not md:
         md.append("0")
+    return "".join(cigar), "".join(md), nm, has_intron
+
+
+def sam_record(path: Path | None, qname: str, seq: str, qual: str | None,
+               chrname: str, chr_start: int, qstr: str, gstr: str,
+               nh: int = 1, hi: int = 1, mapq: int = 40) -> str:
+    """One SAM line for a GMAP path (gmap -f samse; Pair_print_sam,
+    pair.c).  Query ends outside the path soft-clip.  Tag set matches
+    gsnap: MD/NH/HI/NM/SM/XQ/X2 (+XS splice strand when introns
+    exist)."""
+    if path is None:
+        q = qual if qual else "*"
+        return "\t".join([qname, "4", "*", "0", "0", "*", "*", "0", "0",
+                          seq.upper(), q]) + "\n"
+
+    L = path.querylength
+    flag = 0 if path.watsonp else 16
+    out_seq = qstr  # aligned-orientation sequence
+    out_qual = (qual if path.watsonp else qual[::-1]) if qual else "*"
+
+    core, mds, nm, has_intron = path_cigar_md(path, qstr, gstr)
+    cigar = []
+    if path.qstart:
+        cigar.append(f"{path.qstart}S")
+    cigar.append(core)
     if path.qend < L:
         cigar.append(f"{L - path.qend}S")
+    md = [mds]
 
     pos = path.gstart - chr_start + 1
     fields = [
