@@ -1,0 +1,127 @@
+"""Utility-CLI parity vs the reference Perl tools and binaries."""
+
+import os
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+UTIL = "/tmp/refbuild/util"
+ORACLE_DB = "/tmp/refbuild/trytest/gdb"
+FIXTURE = "/root/reference/tests/ss.chr17test"
+
+needs_oracle = pytest.mark.skipif(
+    not os.path.isdir(UTIL), reason="reference oracle build unavailable"
+)
+
+GTF = (
+    'chr1\tt\texon\t100\t200\t.\t+\t.\tgene_id "g1"; transcript_id "t1";\n'
+    'chr1\tt\texon\t300\t400\t.\t+\t.\tgene_id "g1"; transcript_id "t1";\n'
+    'chr1\tt\texon\t500\t600\t.\t+\t.\tgene_id "g1"; transcript_id "t1";\n'
+    'chr1\tt\texon\t500\t600\t.\t-\t.\tgene_id "g2"; transcript_id "t2";\n'
+    'chr1\tt\texon\t300\t400\t.\t-\t.\tgene_id "g2"; transcript_id "t2";\n'
+    'chr1\tt\texon\t100\t200\t.\t-\t.\tgene_id "g2"; transcript_id "t2";\n'
+)
+GFF3 = (
+    "##gff-version 3\n"
+    "chr1\tx\tgene\t100\t600\t.\t+\t.\tID=g1;Name=G1\n"
+    "chr1\tx\tmRNA\t100\t600\t.\t+\t.\tID=t1;Parent=g1\n"
+    "chr1\tx\texon\t100\t200\t.\t+\t.\tParent=t1\n"
+    "chr1\tx\texon\t300\t400\t.\t+\t.\tParent=t1\n"
+    "chr1\tx\texon\t500\t600\t.\t+\t.\tParent=t1\n"
+    "chr1\tx\tgene\t100\t600\t.\t-\t.\tID=g2;Name=G2\n"
+    "chr1\tx\tmRNA\t100\t600\t.\t-\t.\tID=t2;Parent=g2\n"
+    "chr1\tx\texon\t500\t600\t.\t-\t.\tParent=t2\n"
+    "chr1\tx\texon\t300\t400\t.\t-\t.\tParent=t2\n"
+    "chr1\tx\texon\t100\t200\t.\t-\t.\tParent=t2\n"
+)
+TRACK = (
+    "q1\tchr1\t+\t99\t599\t99\t599\t3\t99,299,499,\t200,400,600,\n"
+    "q2\tchr1\t-\t99\t599\t99\t599\t3\t99,299,499,\t200,400,600,\n"
+)
+
+
+def _ours(mod: str, stdin: str, *args) -> str:
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=str(REPO))
+    return subprocess.run(
+        [sys.executable, "-m", f"gmap_gsnap_tpu.cli.{mod}", *args],
+        input=stdin, capture_output=True, text=True, env=env, check=True,
+    ).stdout
+
+
+def _perl(tool: str, stdin: str) -> str:
+    return subprocess.run(
+        [f"{UTIL}/{tool}"], input=stdin, capture_output=True, text=True,
+        check=True,
+    ).stdout
+
+
+@needs_oracle
+@pytest.mark.parametrize("tool,stdin", [
+    ("gtf_splicesites", GTF), ("gtf_introns", GTF),
+    ("gff3_splicesites", GFF3), ("gff3_introns", GFF3),
+    ("psl_splicesites", TRACK), ("psl_introns", TRACK),
+])
+def test_extractor_parity(tool, stdin):
+    assert _ours(tool, stdin) == _perl(tool, stdin)
+
+
+def test_dbsnp_iit():
+    row = ["585", "chr1", "99", "100", "rs1", "0", "+", "A", "A", "A/G",
+           "g", "single", "by-cluster", "0", "0", "unknown", "exact", "1"]
+    rowm = list(row)
+    rowm[4], rowm[6], rowm[9] = "rs2", "-", "C/T"
+    stdin = "\t".join(row) + "\n" + "\t".join(rowm) + "\n"
+    out = _ours("dbsnp_iit", stdin)
+    assert out == ">rs1 chr1:100 AG +\n>rs2 chr1:100 AG -\n"
+
+
+@needs_oracle
+def test_fa_coords_golden(tmp_path):
+    out = tmp_path / "coords.txt"
+    _ours("fa_coords", "", "-o", str(out), FIXTURE)
+    golden = open("/root/reference/tests/coords1.test.ok").read()
+    assert open(out).read() == golden
+
+
+@needs_oracle
+def test_gmap_process_parity(tmp_path):
+    coords = tmp_path / "coords.txt"
+    _ours("fa_coords", "", "-o", str(coords), FIXTURE)
+    ours = _ours("gmap_process", "", "-c", str(coords), FIXTURE)
+    ref = subprocess.run(
+        [f"{UTIL}/gmap_process", "-c", str(coords), FIXTURE],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    assert ours == ref
+
+
+@needs_oracle
+def test_gmap_build_artifacts(tmp_path):
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=str(REPO))
+    subprocess.run(
+        [sys.executable, "-m", "gmap_gsnap_tpu.cli.gmap_build", "-d",
+         "chr17test", "-D", str(tmp_path), "-k", "12", FIXTURE],
+        capture_output=True, text=True, env=env, check=True,
+    )
+    d = tmp_path / "chr17test"
+    assert (d / "chr17test.genomecomp").read_bytes() == open(
+        "/root/reference/tests/setup.genomecomp.ok", "rb").read()
+    assert (d / "chr17test.ref123positions").read_bytes() == open(
+        "/root/reference/tests/setup.ref123positions.ok", "rb").read()
+
+
+@needs_oracle
+def test_uniqscan_parity():
+    seq = "".join(
+        l.strip() for l in open(FIXTURE) if not l.startswith(">")
+    ).upper()
+    for s in (seq[50000:50060], seq[141000:141080]):
+        ref = subprocess.run(
+            ["/tmp/refbuild/src/uniqscan", "-D", ORACLE_DB, "-d", "chr17test", s],
+            capture_output=True, text=True, check=True,
+        ).stdout
+        ours = _ours("uniqscan", "", "-D", ORACLE_DB, "-d", "chr17test", s)
+        assert ours == ref
