@@ -361,6 +361,39 @@ def align_cdna(db: GenomeDB, query: str, max_intronlen: int = 1_000_000,
     return paths[0]
 
 
+def chop_path_ends(gstr: str, qstr: str, path: Path) -> None:
+    """GMAP's changepoint end trimming (chop_ends_by_changepoint,
+    stage3.c:2130): chop alignment ends whose match rate drops sharply
+    below the interior rate."""
+    from .changepoint import chop_ends
+
+    cols = []  # (exon_index, qpos, match)
+    for ei, e in enumerate(path.exons):
+        diag = e.gstart - e.qstart
+        for q in range(e.qstart, e.qend):
+            g = diag + q
+            m = 1 if (0 <= g < len(gstr) and qstr[q] == gstr[g]) else 0
+            cols.append((ei, q, m))
+    if not cols:
+        return
+    chop_l, chop_r = chop_ends([c[2] for c in cols])
+    if chop_l == 0 and chop_r == 0:
+        return
+    kept = cols[chop_l : len(cols) - chop_r if chop_r else len(cols)]
+    if not kept:
+        return
+    new_exons = []
+    for ei, e in enumerate(path.exons):
+        qs = [q for (i, q, _) in kept if i == ei]
+        if not qs:
+            continue
+        diag = e.gstart - e.qstart
+        lo, hi = qs[0], qs[-1] + 1
+        m, mm = _count_matches(gstr, qstr, lo, hi, diag)
+        new_exons.append(Exon(lo, hi, diag + lo, diag + hi, m, mm))
+    path.exons = new_exons
+
+
 def _extend_path_to_ends(gstr: str, qstr: str, path: Path) -> None:
     """Re-extend the outer exons with the GMAP end-dynprog scoring
     (BEST_LOCAL, FULLMATCH +3 / MISMATCH -3, dynprog.c:140-150): a

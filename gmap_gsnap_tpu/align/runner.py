@@ -214,6 +214,7 @@ class GsnapRunner:
             base=self.params, novelsplicing=novelsplicing
         )
         self.known = None
+        self._splice_labels = None
         self.splicing_on = novelsplicing
         if splicesdb is not None:
             import os as _os
@@ -231,6 +232,7 @@ class GsnapRunner:
                 _IIT.read(path), db.chr_names, db.chr_starts
             )
             self.known = sites.device_bitmasks(len(db.codes))
+            self._splice_labels = sites.labels
             self.splicing_on = True
         self.genome = db.device_genome
         # decoded genome string for MD computation
@@ -529,6 +531,9 @@ class GsnapRunner:
         L = len(rec.seq)
         qstr = rec.seq.upper() if path.watsonp else dna.revcomp_str(rec.seq.upper())
         gstr = self._genome_str
+        gmap_mod.chop_path_ends(gstr, qstr, path)
+        if not path.exons:
+            return None
         core, md, nm, has_intron = gmap_out.path_cigar_md(
             path, qstr, gstr, sam_mode="gsnap"
         )
@@ -637,6 +642,26 @@ class GsnapRunner:
             hhits, L, improvement_fn=gmap_once,
             subopt=self.params.subopt_levels,
         )[:maxpaths]
+
+    def native_records(self, rec: Record, hits, row: int, npaths,
+                       maxpaths: int = 100) -> str:
+        """GSNAP native (default) output for one read."""
+        from ..io import gsnap_native
+
+        qual = rec.quality if rec.quality else None
+        final = self._rescued_hits(rec, hits, row, npaths, maxpaths)
+        mapqs = []
+        if final:
+            mapqs, _, _ = self._end_mapqs([h.d for h in final], qual)
+
+        def chr_lookup(left):
+            chrnum = int(np.searchsorted(self.db.chr_ends, left, side="right"))
+            return self.db.chr_names[chrnum], int(self.db.chr_starts[chrnum])
+
+        return gsnap_native.read_block(
+            rec, final, self._genome_str, self.db.codes, chr_lookup, mapqs,
+            splice_labels=self._splice_labels,
+        )
 
     def sam_records(self, rec: Record, hits, row: int, npaths,
                     maxpaths: int = 100) -> str:
@@ -996,23 +1021,22 @@ class GsnapRunner:
 
     # ------------------------------------------------------------------ main
     def run(self, records: list[Record], out, batch_size: int = 256,
-            emit_header: bool = True) -> int:
-        if emit_header:
+            emit_header: bool = True, fmt: str = "sam") -> int:
+        if emit_header and fmt == "sam":
             out.write(
                 sam.header(
                     self.db.chr_names,
                     (self.db.chr_ends - self.db.chr_starts).tolist(),
                 )
             )
+        emit = self.sam_records if fmt == "sam" else self.native_records
         total = 0
         for i in range(0, len(records), batch_size):
             chunk = records[i : i + batch_size]
             res = self.align_records(chunk)
             for j, rec in enumerate(chunk):
                 out.write(
-                    self.sam_records(
-                        rec, res, j, int(res["npaths"][j]), self.params.maxpaths
-                    )
+                    emit(rec, res, j, int(res["npaths"][j]), self.params.maxpaths)
                 )
                 total += 1
         return total

@@ -17,8 +17,8 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="gsnap", add_help=True)
     p.add_argument("-D", "--dir", required=True, help="genome directory")
     p.add_argument("-d", "--db", required=True, help="genome database")
-    p.add_argument("-A", "--format", default="sam", choices=["sam"],
-                   help="output format")
+    p.add_argument("-A", "--format", default="sam", choices=["sam", "gsnap"],
+                   help="output format (sam, or the gsnap native format)")
     p.add_argument("-m", "--max-mismatches", type=float, default=-1)
     p.add_argument("--mode", default="standard",
                    choices=["standard", "cmet-stranded", "atoi-stranded"])
@@ -84,7 +84,8 @@ def main(argv=None) -> int:
     if paired:
         n = r.run_pe(records5, records3, sys.stdout, batch_size=args.batch_size)
     else:
-        n = r.run(records, sys.stdout, batch_size=args.batch_size)
+        n = r.run(records, sys.stdout, batch_size=args.batch_size,
+                  fmt=args.format)
     dt = time.time() - t0
     print(f"Processed {n} queries in {dt:.2f} seconds ({n/dt:.2f} queries/sec)",
           file=sys.stderr)

@@ -27,6 +27,7 @@ class SpliceSites:
     antidonors: np.ndarray
     antiacceptors: np.ndarray
     max_dist: int              # largest annotated intron distance (0 if none)
+    labels: dict | None = None  # universal coord -> site label
 
     @property
     def nsites(self) -> int:
@@ -68,6 +69,7 @@ def load_splicesites(iit: IIT, chr_names: list[str],
     buckets: dict[str, list[int]] = {
         "donors": [], "acceptors": [], "antidonors": [], "antiacceptors": []
     }
+    labels: dict[int, str] = {}
     max_dist = 0
     for div, ivs in iit.intervals.items():
         if div not in offs:
@@ -84,6 +86,9 @@ def load_splicesites(iit: IIT, chr_names: list[str],
             else:
                 continue
             buckets[key].append(pos)
+            labs = iit.labels.get(div, [])
+            if i < len(labs):
+                labels.setdefault(pos, labs[i])
             ann = anns[i].decode() if i < len(anns) and anns[i] else ""
             if ann.strip():
                 try:
@@ -96,4 +101,5 @@ def load_splicesites(iit: IIT, chr_names: list[str],
         antidonors=np.array(sorted(set(buckets["antidonors"])), np.uint32),
         antiacceptors=np.array(sorted(set(buckets["antiacceptors"])), np.uint32),
         max_dist=max_dist,
+        labels=labels,
     )

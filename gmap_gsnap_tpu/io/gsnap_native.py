@@ -1,0 +1,248 @@
+"""GSNAP native (default) output format.
+
+Replicates the reference's `>read  npaths  quality  label` blocks with
+per-segment alignment rows (README:700-787; printers in substring.c /
+stage3hr.c print_one_paired_end):
+
+  * segment text = genomic sequence in READ orientation, mismatches in
+    lowercase; multi-segment hits pad with dashes into a common column
+    space of width L + (deleted/intron display columns);
+  * deleted genome bases and splice dinucleotides render lowercase in
+    the junction columns;
+  * per-segment fields: query range (1-based, read coords), signed
+    chr range, end labels (start:/end: trims, term:, del:, ins:,
+    donor:/acceptor: probs), matches, sub, and on the first segment
+    segs:/align_score:/mapq: (+method:gmap, pair_score/insert_length).
+
+Single-end records; hits arrive as the ranked HostHit list shared with
+the SAM path.
+"""
+
+from __future__ import annotations
+
+
+def _revcomp(s: str) -> str:
+    return s.translate(str.maketrans("ACGTacgtn", "TGCAtgcan"))[::-1]
+
+
+def _seg_text(gseq: str, query: str) -> str:
+    """Genomic text with lowercase where it mismatches the query."""
+    out = []
+    for g, q in zip(gseq, query):
+        out.append(g if g == q or q == "N" else g.lower())
+    return "".join(out)
+
+
+def _fmt_prob(p: float) -> str:
+    return f"{p:.2f}"
+
+
+def hit_lines(h, rec, genome_str: str, codes, chrname: str, chr_start: int,
+              mapq: int, pair_suffix: str | None = None,
+              splice_labels=None) -> list[str]:
+    """Render one hit (HostHit) as native segment lines (no leading
+    space/comma markers)."""
+    d = h.d
+    L = len(rec.seq)
+    read = rec.seq.upper()
+
+    # aligned-space segments: (qs, qe, g0) plus junction info
+    parts = list(d.parts) if d.parts else [(0, L, d.left)]
+    # aligned-space trims -> per-part spans
+    spans = []
+    for k, (qs, qe, g0) in enumerate(parts):
+        lo = qs + (d.trim5 if k == 0 else 0)
+        hi = qe - (d.trim3 if k == len(parts) - 1 else 0)
+        spans.append((lo, hi, g0))
+
+    # junction descriptors between consecutive parts (aligned order)
+    juncs = []
+    for (qs1, qe1, g1), (qs2, qe2, g2) in zip(parts, parts[1:]):
+        dq = qs2 - qe1                  # query gap (insertion)
+        gend1 = g1 + (qe1 - qs1)        # genome end of part 1
+        gap = g2 - gend1                # genomic gap (deletion / intron)
+        if dq > 0:
+            juncs.append(("ins", dq, gend1, g2))
+        elif "N" in d.cigar_core and h.hittype in ("splice", "gmap") and gap >= 9:
+            juncs.append(("intron", gap, gend1, g2))
+        else:
+            juncs.append(("del", gap, gend1, g2))
+
+    # display rows share the read's column space (width L): deleted
+    # bases / splice dinucleotides overprint into the dash region
+    width = L
+
+    from ..ops import maxent as maxent_mod
+    import numpy as np
+
+    lines = []
+    nsegs = len(parts)
+    seg_infos = []
+    q_aln = read if d.plusp else _revcomp(read)
+    for k, ((lo, hi, g0), (qs, qe, _)) in enumerate(zip(spans, parts)):
+        # segment TEXT spans the whole part (trimmed bases still shown);
+        # ranges/labels/sub reflect the trimmed span [lo, hi)
+        gseq = genome_str[g0 : g0 + (qe - qs)]
+        text = _seg_text(gseq, q_aln[qs:qe])
+        sub = sum(1 for c in text[lo - qs : hi - qs] if c.islower())
+        seg_infos.append((lo, hi, g0 + (lo - qs), qs, qe, text, sub))
+
+    # build display rows in ALIGNED order first
+    rows = []
+    for k, (lo, hi, gstart, qs, qe, text, sub) in enumerate(seg_infos):
+        row = "-" * qs + text
+        # junction decoration after this segment
+        if k < len(juncs):
+            kind, n, gend1, g2 = juncs[k]
+            if kind == "del":
+                # deleted genome bases extend the row; trailing dashes
+                # count L - qe, except single-base deletions which the
+                # reference prints one dash short (observed quirk)
+                row += genome_str[gend1 : gend1 + n].lower() + "-" * (
+                    L - qe - (1 if n == 1 else 0))
+            elif kind == "intron":
+                row += genome_str[gend1 : gend1 + 2].lower() + "-" * (L - qe - 2)
+            else:
+                row += "-" * (L - qe)
+        elif len(row) < width:
+            row = row + "-" * (width - len(row))
+        # junction decoration before this segment (acceptor dinucl)
+        if k > 0:
+            kindp, n, gend1, g2 = juncs[k - 1]
+            if kindp == "intron" and qs >= 2:
+                row = row[: qs - 2] + genome_str[g2 - 2 : g2].lower() + row[qs:]
+        rows.append(row)
+
+    # read-order: minus hits print segments reversed with flipped coords
+    order = range(nsegs) if d.plusp else range(nsegs - 1, -1, -1)
+
+    # splice annotations
+    sense = None
+    if h.hittype in ("splice", "gmap") and any(j[0] == "intron" for j in juncs):
+        sense = "sense" if (d.xs == "+") == d.plusp else "antisense"
+
+    out = []
+    for print_i, k in enumerate(order):
+        lo, hi, gstart, qs, qe, text, sub = seg_infos[k]
+        row = rows[k]
+        if d.plusp:
+            q1, q2 = lo + 1, hi
+            gg1, gg2 = gstart - chr_start + 1, gstart + (hi - lo) - chr_start
+            rng = f"+{chrname}:{gg1}..{gg2}"
+        else:
+            q1, q2 = L - hi + 1, L - lo
+            gg1 = gstart + (hi - lo) - chr_start
+            gg2 = gstart + 1 - chr_start
+            rng = f"-{chrname}:{gg1}..{gg2}"
+            row = _revcomp(row)
+
+        # end labels in read order; outer ends use read-oriented trims
+        def outer_label(read_start: bool):
+            val = (d.trim5 if d.plusp == read_start else d.trim3)
+            name = "term" if h.hittype == "terminal" and val > 0 else (
+                "start" if read_start else "end")
+            return f"{name}:{val}"
+
+        def junc_label(j: int, left_side_of_junction: bool):
+            kind, n, gend1, g2 = juncs[j]
+            if kind == "ins":
+                return f"ins:{n}"
+            if kind == "del":
+                return f"del:{n}"
+            if left_side_of_junction:
+                return f"donor:{_fmt_prob(_donor_prob(codes, gend1, d))}"
+            return f"acceptor:{_fmt_prob(_acceptor_prob(codes, g2, d))}"
+
+        lab_lo = outer_label(d.plusp) if k == 0 else junc_label(k - 1, False)
+        lab_hi = (outer_label(not d.plusp) if k == nsegs - 1
+                  else junc_label(k, True))
+        first_lab, second_lab = (lab_lo, lab_hi) if d.plusp else (lab_hi, lab_lo)
+        # single-segment hits print the hit-level nmatches (whole region
+        # for subs, trimmed for terminals); multi-segment hits print
+        # per-segment matches
+        if nsegs == 1:
+            nmatches_seg = h.nmatches
+        else:
+            nmatches_seg = (hi - lo) - sub
+        fields = f"{first_lab}..{second_lab},matches:{nmatches_seg},sub:{sub}"
+        if sense is not None:
+            dists = []
+            if k > 0 and juncs[k - 1][0] == "intron":
+                dists.append(("1" if d.plusp else "2", juncs[k - 1][1],
+                              juncs[k - 1][3]))  # acceptor coord
+            if k < len(juncs) and juncs[k][0] == "intron":
+                dists.append(("2" if d.plusp else "1", juncs[k][1],
+                              juncs[k][2]))      # donor coord
+            for which, dist, sitepos in dists:
+                fields += f",dir:{sense},splice_type:consistent,splice_dist_{which}:{dist}"
+                if splice_labels and sitepos in splice_labels:
+                    fields += f",label_{which}:{splice_labels[sitepos]}"
+
+        line = f"{row}\t{q1}..{q2}\t{rng}\t{fields}"
+        if print_i == 0:
+            tail = f"segs:{nsegs},align_score:{_align_score(h)},mapq:{mapq}"
+            if h.hittype == "gmap":
+                tail += ",method:gmap"
+            line += f"\t{tail}"
+            if pair_suffix is not None:
+                line += f"\t{pair_suffix}"
+            elif h.hittype == "gmap":
+                line += "\tpair_score:0,insert_length:0"
+        out.append(line)
+    return out
+
+
+def _align_score(h) -> int:
+    d = h.d
+    if h.hittype == "sub":
+        return len(d.mmpos)
+    if h.hittype == "terminal":
+        return d.nm
+    if h.hittype in ("ins", "del"):
+        return len(d.mmpos) + 2
+    if h.hittype == "splice":
+        return len(d.mmpos)
+    # gmap: mismatches + indel/intron penalties (stage3hr.c:3179)
+    njunc_indel = max(0, d.cigar_core.count("D") + d.cigar_core.count("I"))
+    return len(d.mmpos) + 2 * njunc_indel
+
+
+def _donor_prob(codes, pos, d) -> float:
+    return _model_prob(codes, pos, d, "donor")
+
+
+def _acceptor_prob(codes, pos, d) -> float:
+    return _model_prob(codes, pos, d, "acceptor")
+
+
+def _model_prob(codes, pos, d, side: str) -> float:
+    import numpy as np
+
+    from ..ops import maxent as maxent_mod
+
+    # sense on plus genome: donor at intron start, acceptor at intron end
+    sense_plus = d.xs != "-"
+    if side == "donor":
+        kind = "donor" if sense_plus else "antiacceptor"
+    else:
+        kind = "acceptor" if sense_plus else "antidonor"
+    return float(maxent_mod.splice_prob_np(codes, np.array([pos]), kind)[0])
+
+
+def read_block(rec, final_hits, genome_str, codes, chr_lookup, mapqs,
+               splice_labels=None) -> str:
+    """One read's native output block (header + hit lines + blank);
+    nomapping reads print the header with 0 paths."""
+    qual = rec.quality if rec.quality else ""
+    if not final_hits:
+        return f">{rec.seq.upper()}\t0\t{qual}\t{rec.label}\n\n"
+    header = f">{rec.seq.upper()}\t{len(final_hits)}\t{qual}\t{rec.label}"
+    lines = [header]
+    for i, h in enumerate(final_hits):
+        chrname, chr_start = chr_lookup(h.d.left)
+        segs = hit_lines(h, rec, genome_str, codes, chrname, chr_start,
+                         mapqs[i] if i < len(mapqs) else 0,
+                         splice_labels=splice_labels)
+        for j, s in enumerate(segs):
+            lines.append((" " if j == 0 else ",") + s)
+    return "\n".join(lines) + "\n\n"

@@ -1,0 +1,130 @@
+"""GSNAP native (default) output format parity vs the reference."""
+
+import os
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+ORACLE_GSNAP = "/tmp/refbuild/src/gsnap"
+ORACLE_DB = "/tmp/refbuild/trytest/gdb"
+REPO = pathlib.Path(__file__).resolve().parent.parent
+FIXTURE = "/root/reference/tests/ss.chr17test"
+
+needs_oracle = pytest.mark.skipif(
+    not os.path.exists(ORACLE_GSNAP), reason="reference oracle not built"
+)
+
+
+def _run(args, fq):
+    ref = subprocess.run(
+        [ORACLE_GSNAP, "-D", ORACLE_DB, "-d", "chr17test", *args, str(fq)],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=str(REPO))
+    mine = subprocess.run(
+        [sys.executable, "-m", "gmap_gsnap_tpu.cli.gsnap", "-D", ORACLE_DB,
+         "-d", "chr17test", "-A", "gsnap", *args, str(fq)],
+        capture_output=True, text=True, env=env, check=True,
+    ).stdout
+    return ref, mine
+
+
+@needs_oracle
+def test_native_indel_splice_parity(tmp_path):
+    """Byte parity on substitution/indel/splice reads both strands,
+    including the segment text, dash layout, end labels, probabilities,
+    and method:gmap annotations."""
+    import re
+
+    seq = "".join(
+        l.strip() for l in open(FIXTURE) if not l.startswith(">")
+    ).upper()
+    comp = str.maketrans("ACGT", "TGCA")
+    reads = []
+    for i, n in enumerate([1, 3, 30]):
+        p = 20000 + i * 1000
+        reads.append((f"del{n}", seq[p : p + 50] + seq[p + 50 + n : p + 100 + n]))
+    import random
+
+    random.seed(5)
+    for i, n in enumerate([1, 3, 9]):
+        p = 40000 + i * 1000
+        ins = "".join(random.choice("ACGT") for _ in range(n))
+        reads.append((f"ins{n}", seq[p : p + 50] + ins + seq[p + 50 : p + 100 - n]))
+    # low-prob GT..AG junction (GMAP-rescued in both aligners)
+    p = 60000
+    g = seq[p : p + 5000]
+    for it in re.finditer("GT", g):
+        s = it.start()
+        e = g.find("AG", s + 80)
+        if 100 < e + 2 - s < 2000:
+            break
+    r = seq[p + s - 50 : p + s] + seq[p + e + 2 : p + e + 52]
+    reads.append(("splice", r))
+    reads.append(("spliceM", r.translate(comp)[::-1]))
+    # plain subs incl a minus-strand read
+    r = list(seq[90000:90050])
+    r[3] = "A" if r[3] != "A" else "C"
+    reads.append(("sub", "".join(r)))
+    reads.append(("subM", "".join(r).translate(comp)[::-1]))
+    # nomapping
+    reads.append(("nomap", "ACGT" * 13))
+
+    fq = tmp_path / "n.fq"
+    with open(fq, "w") as f:
+        for nme, rr in reads:
+            f.write(f"@{nme}\n{rr}\n+\n{'I' * len(rr)}\n")
+
+    ref, mine = _run(["-N1"], fq)
+    assert ref.splitlines() == mine.splitlines()
+
+
+@needs_oracle
+def test_native_known_splicesites_labels(tmp_path):
+    """-s known sites: label_N annotations and probabilities match."""
+    import shutil
+
+    gdb = tmp_path / "gdb"
+    shutil.copytree(f"{ORACLE_DB}/chr17test", gdb / "chr17test",
+                    ignore=shutil.ignore_patterns("*.snps"))
+    seq = "".join(
+        l.strip() for l in open(FIXTURE) if not l.startswith(">")
+    ).upper()
+    import re
+
+    p = 60000
+    g = seq[p : p + 5000]
+    for it in re.finditer("GT", g):
+        s = it.start()
+        e = g.find("AG", s + 80)
+        if 100 < e + 2 - s < 2000:
+            break
+    istart, iend = p + s, p + e + 2
+    from gmap_gsnap_tpu.db.iit_text import iit_from_text
+
+    maps = gdb / "chr17test" / "chr17test.maps"
+    maps.mkdir(exist_ok=True)
+    iit_from_text(
+        f">j.d chr17test:{istart}..{istart + 1} donor\n"
+        f">j.a chr17test:{iend}..{iend + 1} acceptor\n"
+    ).write(str(maps / "ss.iit"))
+
+    r = seq[istart - 50 : istart] + seq[iend : iend + 50]
+    fq = tmp_path / "k.fq"
+    with open(fq, "w") as f:
+        f.write(f"@k\n{r}\n+\n{'I' * len(r)}\n")
+
+    ref = subprocess.run(
+        [ORACLE_GSNAP, "-D", str(gdb), "-d", "chr17test", "-s", "ss", str(fq)],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=str(REPO))
+    mine = subprocess.run(
+        [sys.executable, "-m", "gmap_gsnap_tpu.cli.gsnap", "-D", str(gdb),
+         "-d", "chr17test", "-s", "ss", "-A", "gsnap", str(fq)],
+        capture_output=True, text=True, env=env, check=True,
+    ).stdout
+    assert ref.splitlines() == mine.splitlines()
+    assert "label_2:j.d" in mine
