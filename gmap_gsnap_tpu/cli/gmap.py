@@ -16,8 +16,17 @@ def main(argv=None) -> int:
     p.add_argument("-d", "--db")
     p.add_argument("-g", "--gseg", help="user-supplied genomic segment FASTA")
     p.add_argument("-f", "--format", default="paths",
-                   choices=["paths", "gff3_gene", "summary", "samse"])
+                   choices=["paths", "gff3_gene", "summary", "samse", "psl",
+                            "splicesites", "introns", "map_genes", "map_exons"])
     p.add_argument("-A", action="store_true", help="alignment output")
+    p.add_argument("-Z", "--compress", action="store_true",
+                   help="compressed output format")
+    p.add_argument("-E", "--exons", default=None, choices=["cdna", "genomic"],
+                   help="print exon sequences")
+    p.add_argument("-P", "--protein-dna", action="store_true",
+                   help="print protein sequence (cDNA)")
+    p.add_argument("-Q", "--protein-gen", action="store_true",
+                   help="print protein sequence (genomic)")
     p.add_argument("input", nargs="+")
     args = p.parse_args(argv)
 
@@ -72,15 +81,39 @@ def main(argv=None) -> int:
                     ))
                 continue
             if path is None:
-                sys.stdout.write(f">{rec.header}\nPaths (0):\n\n")
+                if args.format == "paths" and not args.compress:
+                    sys.stdout.write(f">{rec.header}\nPaths (0):\n\n")
                 continue
             chrnum = int(
                 __import__("numpy").searchsorted(db.chr_ends, path.gstart, side="right")
             )
             chrname = db.chr_names[chrnum]
+            chr_start = int(db.chr_starts[chrnum])
             chrlength = int(db.chr_ends[chrnum] - db.chr_starts[chrnum])
             path.chrnum = chrnum
-            if args.format == "gff3_gene":
+            from ..io import gmap_align_fmt as afmt
+
+            if args.compress:
+                sys.stdout.write(gmap_out.compressed_output(
+                    path, rec.label, 1, 1, chrname, chr_start))
+            elif args.exons:
+                sys.stdout.write(afmt.exons_output(
+                    path, rec.header, qstr, gstr, args.exons == "genomic"))
+            elif args.protein_dna or args.protein_gen:
+                sys.stdout.write(afmt.protein_output(
+                    path, rec.header, qstr, gstr, args.protein_gen))
+            elif args.format == "psl":
+                sys.stdout.write(gmap_out.psl_output(
+                    path, rec.label, chrname, chr_start, chrlength))
+            elif args.format == "splicesites":
+                sys.stdout.write(gmap_out.splicesites_output(path, rec.label, chrname))
+            elif args.format == "introns":
+                sys.stdout.write(gmap_out.introns_output(path, rec.label, chrname))
+            elif args.format in ("map_genes", "map_exons"):
+                sys.stdout.write(gmap_out.map_output(
+                    path, rec.label, rec.header, chrname,
+                    args.format == "map_exons"))
+            elif args.format == "gff3_gene":
                 sys.stdout.write(
                     gmap_out.gff3_gene(
                         path, 1, rec.label, chrname, db.dbname, qstr, gstr
@@ -93,6 +126,17 @@ def main(argv=None) -> int:
                         rec.header, [path], chrname, chrlength, qstr, gstr, dbmode
                     )
                 )
+                if args.A:
+                    from ..io import gmap_align_fmt as afmt
+
+                    cname = chrname if dbmode else None
+                    sys.stdout.write("Alignments:\n")
+                    sys.stdout.write("  Alignment for path 1:\n\n")
+                    sys.stdout.write(afmt.exon_table(path, chr_start, cname))
+                    sys.stdout.write("\n")
+                    sys.stdout.write(
+                        afmt.alignment_body(path, qstr, gstr, chr_start, cname)
+                    )
     return 0
 
 

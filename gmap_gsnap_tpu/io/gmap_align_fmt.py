@@ -1,0 +1,245 @@
+"""GMAP -A ALIGNMENT output (Pair_print_alignment, pair.c): per-path
+exon table plus 50-column alignment blocks with amino-acid rows,
+genomic/query coordinates, match bars, and 9-column intron inserts.
+Golden: tests/align.test.ok (gmap -A -g chr17test ss.her2).
+"""
+
+from __future__ import annotations
+
+from ..align.gmap import Path
+from ..align import translation as tr
+from ..utils import dna
+
+_BAR = {"canonical": ">", "gcag": ")", "atac": "]", "noncanonical": "="}
+_BAR_REV = {"canonical": "<", "gcag": "(", "atac": "[", "noncanonical": "="}
+
+
+def exon_table(path: Path, chr_start: int, chrname: str | None) -> str:
+    out = []
+    L = path.querylength
+    exons = path.exons if path.watsonp else list(reversed(path.exons))
+    pre = f"{chrname}:" if chrname else ""
+    for i, e in enumerate(exons):
+        ln = e.qend - e.qstart
+        pct = round(100.0 * e.matches / max(1, ln))
+        if path.watsonp:
+            g1, g2 = e.gstart - chr_start + 1, e.gend - chr_start
+            q1, q2 = e.qstart + 1, e.qend
+        else:
+            g1, g2 = e.gend - chr_start, e.gstart - chr_start + 1
+            q1, q2 = L - e.qend + 1, L - e.qstart
+        line = f"    {pre}{g1}-{pre}{g2}  ({q1}-{q2})   {pct}%"
+        if i < len(exons) - 1:
+            nxt = exons[i + 1]
+            gap = (nxt.gstart - e.gend) if path.watsonp else (e.gstart - nxt.gend)
+            arrow = "->" if path.watsonp else "<-"
+            line += f" {arrow}   ...{gap}..."
+        out.append(line)
+    return "".join(l + "\n" for l in out)
+
+
+def _columns(path: Path, qstr: str, gstr: str):
+    """Aligned-order column stream: list of dicts with g, q, bar, gpos
+    (0-based genome), qpos (0-based aligned query)."""
+    cols = []
+    exons = path.exons
+    itypes = path.intron_types
+    for k, e in enumerate(exons):
+        diag = e.gstart - e.qstart
+        for q in range(e.qstart, e.qend):
+            g = diag + q
+            gc = gstr[g] if 0 <= g < len(gstr) else "N"
+            qc = qstr[q]
+            cols.append({"g": gc, "q": qc, "bar": "|" if gc == qc else " ",
+                         "gpos": g, "qpos": q})
+        if k < len(exons) - 1:
+            nxt = exons[k + 1]
+            dq = nxt.qstart - e.qend
+            gap = nxt.gstart - e.gend
+            if dq > 0:  # insertion columns
+                for q in range(e.qend, nxt.qstart):
+                    cols.append({"g": "-", "q": qstr[q], "bar": " ",
+                                 "gpos": None, "qpos": q})
+            if gap >= 9:
+                itype = itypes[k] if k < len(itypes) else "noncanonical"
+                bar = (_BAR if path.cdna_direction >= 0 else _BAR_REV).get(
+                    itype, "=")
+                s = str(gap)
+                left = (9 - len(s)) // 2
+                text = " " * left + s + " " * (9 - left - len(s))
+                for i in range(3):
+                    cols.append({"g": gstr[e.gend + i], "q": text[i],
+                                 "bar": bar, "gpos": e.gend + i,
+                                 "qpos": None, "intron": True})
+                for i in range(3):
+                    cols.append({"g": ".", "q": text[3 + i], "bar": ".",
+                                 "gpos": None, "qpos": None, "intron": True})
+                for i in range(3):
+                    cols.append({"g": gstr[nxt.gstart - 3 + i],
+                                 "q": text[6 + i], "bar": bar,
+                                 "gpos": nxt.gstart - 3 + i, "qpos": None,
+                                 "intron": True})
+            elif gap > 0:  # deletion columns
+                for g in range(e.gend, nxt.gstart):
+                    cols.append({"g": gstr[g], "q": "-", "bar": " ",
+                                 "gpos": g, "qpos": None})
+    return cols
+
+
+def _aa_by_qpos(qstr: str):
+    """letter + ordinal per query position (letter at codon middle)."""
+    aa = tr.translate_forward(qstr)
+    frame, starti, endi, length, endstopp = tr.find_bounds_forward(aa)
+    letters = {}
+    nums = {}
+    if length == 0:
+        return letters, nums
+    num = 1
+    for i in range(starti, endi + 1, 3):
+        letters[i] = aa[i]
+        nums[i] = num
+        num += 1
+    return letters, nums
+
+
+def _wrap50(s: str) -> str:
+    return "".join(s[i : i + 50] + "\n" for i in range(0, len(s), 50))
+
+
+def exons_output(path: Path, header: str, qstr: str, gstr: str,
+                 genomic: bool) -> str:
+    """gmap -E cdna|genomic (Pair_print_exons, pair.c): per-exon
+    sequence dumps; genomic mode annotates the translation phase."""
+    aa = tr.translate_forward(qstr)
+    frame, starti, endi, length, _ = tr.find_bounds_forward(aa)
+    out = [f">{header}", "<path 1>"]
+    exons = path.exons if path.watsonp else list(reversed(path.exons))
+    L = path.querylength
+    for i, e in enumerate(exons):
+        if path.watsonp:
+            qs = e.qstart
+            seq = gstr[e.gstart : e.gend] if genomic else qstr[e.qstart : e.qend]
+        else:
+            qs = L - e.qend
+            seq = (dna.revcomp_str(gstr[e.gstart : e.gend]) if genomic
+                   else dna.revcomp_str(qstr[e.qstart : e.qend]))
+        if not genomic and i == 0:
+            out.append(f"<exon {i+1}>")
+        else:
+            phase = (qs - frame) % 3 if length else 0
+            out.append(f"<exon {i+1}, phase {phase}>")
+        out.append(_wrap50(seq).rstrip("\n"))
+        out.append("</exon>")
+    out.append("</path>")
+    return "".join(l + "\n" for l in out)
+
+
+def protein_output(path: Path, header: str, qstr: str, gstr: str,
+                   genomic: bool) -> str:
+    """gmap -P / -Q: translated protein, 50 aa per line."""
+    # both modes translate in the ALIGNED orientation (the sense strand
+    # for minus-path alignments): cDNA = the aligned query, genomic =
+    # the exon concatenation on the plus genome
+    if genomic:
+        src = "".join(gstr[e.gstart : e.gend] for e in path.exons)
+    else:
+        src = qstr
+    aa = tr.translate_forward(src)
+    frame, starti, endi, length, _ = tr.find_bounds_forward(aa)
+    if length == 0:
+        return f">{header}\n"
+    prot = "".join(aa[i] for i in range(starti, endi + 1, 3))
+    prot = prot.rstrip("*")  # trailing stop codon is not printed
+    return f">{header}\n" + _wrap50(prot)
+
+
+def alignment_body(path: Path, qstr: str, gstr: str, chr_start: int,
+                   chrname: str | None) -> str:
+    cols = _columns(path, qstr, gstr)
+    if not path.watsonp:
+        # display in read order: reverse columns, complement bases
+        comp = str.maketrans("ACGTacgt", "TGCAtgca")
+        rev = []
+        for c in reversed(cols):
+            c = dict(c)
+            if c["g"] not in ".-" and not c.get("intron") or (
+                    c.get("intron") and c["g"] != "."):
+                c["g"] = c["g"].translate(comp)
+            if c["q"] not in ".-" and c.get("qpos") is not None:
+                c["q"] = c["q"].translate(comp)
+            rev.append(c)
+        # intron length text gets reversed too; rebuild it
+        cols = rev
+        i = 0
+        while i < len(cols):
+            if cols[i].get("intron"):
+                j = i
+                while j < len(cols) and cols[j].get("intron"):
+                    j += 1
+                # re-derive gap length from genomic coords
+                gp = [c["gpos"] for c in cols[i:j] if c["gpos"] is not None]
+                gap = max(gp) - min(gp) - 5 + 9 if gp else 0
+                s = str(gap)
+                left = (9 - len(s)) // 2
+                text = " " * left + s + " " * (9 - left - len(s))
+                for k in range(i, j):
+                    cols[k]["q"] = text[k - i]
+                i = j
+            else:
+                i += 1
+
+    L = path.querylength
+    aac, aac_num = _aa_by_qpos(qstr)
+    # genomic-side translation over exon columns (same coords for clean
+    # alignments; mismatches translate the genome letters)
+    gcols = "".join(c["g"] for c in cols if c["qpos"] is not None or
+                    (c["gpos"] is not None and not c.get("intron") and c["q"] == "-"))
+    aag, aag_num = _aa_by_qpos(gcols) if gcols != qstr else (aac, aac_num)
+
+    # map aa letters onto display columns
+    disp_q = lambda c: (L - 1 - c["qpos"]) if not path.watsonp else c["qpos"]
+    pre = f"{chrname}:" if chrname else ""
+
+    out = []
+    for b0 in range(0, len(cols), 50):
+        block = cols[b0 : b0 + 50]
+        n = len(block)
+        ruler = "".join(
+            ":" if (b0 + i + 1) % 10 == 0 else
+            ("." if (b0 + i + 1) % 5 == 0 else " ")
+            for i in range(n)
+        )
+        out.append(f"{b0:>14} {ruler}")
+
+        def aa_row(label, letters, nums):
+            chars = []
+            first_num = None
+            for c in block:
+                q = c["qpos"]
+                key = None
+                if q is not None:
+                    key = q if path.watsonp else q
+                if key is not None and key in letters:
+                    chars.append(letters[key])
+                    if first_num is None:
+                        first_num = nums[key]
+                else:
+                    chars.append(" ")
+            if first_num is None:
+                # no residues in this block: unlabeled blank row
+                return " " * (15 + len(block))
+            return f"{label}{first_num:>10} " + "".join(chars)
+
+        out.append(aa_row("aa.g", aag, aag_num))
+
+        gpos0 = next((c["gpos"] for c in block if c["gpos"] is not None), None)
+        gdisp = "" if gpos0 is None else f"{pre}{gpos0 - chr_start + 1}"
+        out.append(f"{gdisp:>14} " + "".join(c["g"] for c in block))
+        out.append(" " * 15 + "".join(c["bar"] for c in block))
+        qpos0 = next((c["qpos"] for c in block if c["qpos"] is not None), None)
+        qdisp = "" if qpos0 is None else str(
+            (qpos0 + 1) if path.watsonp else (L - qpos0))
+        out.append(f"{qdisp:>14} " + "".join(c["q"] for c in block))
+        out.append(aa_row("aa.c", aac, aac_num))
+        out.append("")
+    return "".join(l + "\n" for l in out)

@@ -155,6 +155,141 @@ def sam_record(path: Path | None, qname: str, seq: str, qual: str | None,
     return "\t".join(fields) + "\n"
 
 
+def _transcript_exons(path: Path):
+    """Exons in transcript order with 1-based (start, end) coordinate
+    pairs oriented by strand (descending for minus paths)."""
+    if path.watsonp:
+        return [(e.gstart + 1, e.gend) for e in path.exons]
+    return [(e.gend, e.gstart + 1) for e in reversed(path.exons)]
+
+
+def splicesites_output(path: Path, label: str, chrname: str) -> str:
+    """gmap -f splicesites (Pair_print_splicesites, pair.c)."""
+    exons = _transcript_exons(path)
+    n = len(exons)
+    out = []
+    for i in range(n - 1):
+        if path.watsonp:
+            hi = exons[i][1]
+            lo_next = exons[i + 1][0]
+            d = lo_next - hi - 1
+            out.append(f">{label}.exon{i+1}/{n} {chrname}:{hi}..{hi+1} donor {d}")
+            out.append(f">{label}.exon{i+2}/{n} {chrname}:{lo_next-1}..{lo_next} acceptor {d}")
+        else:
+            lo = exons[i][1]
+            hi_next = exons[i + 1][0]
+            d = lo - hi_next - 1
+            out.append(f">{label}.exon{i+1}/{n} {chrname}:{lo}..{lo-1} donor {d}")
+            out.append(f">{label}.exon{i+2}/{n} {chrname}:{hi_next+1}..{hi_next} acceptor {d}")
+    return "".join(l + "\n" for l in out)
+
+
+def introns_output(path: Path, label: str, chrname: str) -> str:
+    """gmap -f introns."""
+    exons = _transcript_exons(path)
+    n = len(exons)
+    out = []
+    for i in range(n - 1):
+        out.append(
+            f">{label}.intron{i+1}/{n-1} {chrname}:{exons[i][1]}..{exons[i+1][0]}"
+        )
+    return "".join(l + "\n" for l in out)
+
+
+def map_output(path: Path, label: str, header: str, chrname: str,
+               with_exons: bool) -> str:
+    """gmap -f map_genes / map_exons (IIT FASTA map format)."""
+    exons = _transcript_exons(path)
+    lo, hi = exons[0][0], exons[-1][1]
+    out = [f">{label} {chrname}:{lo}..{hi}", header]
+    if with_exons:
+        for a, b in exons:
+            out.append(f"{a} {b}")
+    return "".join(l + "\n" for l in out)
+
+
+def psl_output(path: Path, label: str, chrname: str, chr_start: int,
+               chrlength: int) -> str:
+    """gmap -f psl (Pair_print_pslformat_nt, pair.c)."""
+    matches = path.matches
+    mismatches = path.mismatches
+    qinserts = sum(
+        max(0, b.qstart - a.qend) for a, b in zip(path.exons, path.exons[1:])
+    )
+    nq = sum(
+        1 for a, b in zip(path.exons, path.exons[1:]) if b.qstart > a.qend
+    )
+    tgaps = [
+        b.gstart - a.gend for a, b in zip(path.exons, path.exons[1:])
+        if b.gstart > a.gend
+    ]
+    L = path.querylength
+    strand = "+" if path.watsonp else "-"
+    qstart, qend = path.qstart, path.qend
+    if not path.watsonp:
+        qstart, qend = L - path.qend, L - path.qstart
+    fields = [
+        matches, mismatches, 0, 0, nq, qinserts, len(tgaps), sum(tgaps),
+        strand, label, L, qstart, qend,
+        chrname, chrlength,
+        path.gstart - chr_start, path.gend - chr_start,
+        len(path.exons),
+        ",".join(str(e.qend - e.qstart) for e in path.exons) + ",",
+        ",".join(str(e.qstart) for e in path.exons) + ",",
+        ",".join(str(e.gstart - chr_start) for e in path.exons) + ",",
+    ]
+    return "\t".join(str(f) for f in fields) + "\n"
+
+
+_INTRON_CHAR = {"canonical": ">", "gcag": ")", "atac": "]", "noncanonical": "="}
+_INTRON_CHAR_REV = {"canonical": "<", "gcag": "(", "atac": "[", "noncanonical": "="}
+
+
+def compressed_output(path: Path, label: str, pathnum: int, npaths: int,
+                      chrname: str, chr_start: int) -> str:
+    """gmap -Z compressed format (Pair_print_compressed, pair.c)."""
+    L = path.querylength
+    cov = path.coverage()
+    pct = path.identity()
+    g1 = path.gstart - chr_start + 1
+    g2 = path.gend - chr_start
+    # transcript sense: aligned-space direction is relative to the
+    # (possibly revcomped) aligned query
+    sense = "sense" if (path.cdna_direction > 0) == path.watsonp else "antisense"
+    if path.watsonp:
+        strand = "+"
+        hdr = (f">{label} {chrname} {pathnum}/{npaths} {L} {len(path.exons)} "
+               f"{cov:.1f} {pct:.1f} {path.qstart+1}..{path.qend} {g1}..{g2} "
+               f"{chrname}:{g1}..{g2} + dir:{sense}")
+    else:
+        strand = "-"
+        hdr = (f">{label} {chrname} {pathnum}/{npaths} {L} {len(path.exons)} "
+               f"{cov:.1f} {pct:.1f} {L-path.qend+1}..{L-path.qstart} "
+               f"{g2}..{g1} {chrname}:{g2}..{g1} - dir:{sense}")
+    out = [hdr]
+    exons = path.exons if path.watsonp else list(reversed(path.exons))
+    itypes = path.intron_types if path.watsonp else list(reversed(path.intron_types))
+    for i, e in enumerate(exons):
+        ln = e.qend - e.qstart
+        epct = round(100.0 * e.matches / max(1, ln))
+        if path.watsonp:
+            ga, gb = e.gstart - chr_start + 1, e.gend - chr_start
+            qa, qb = e.qstart + 1, e.qend
+        else:
+            ga, gb = e.gend - chr_start, e.gstart - chr_start + 1
+            qa, qb = L - e.qend + 1, L - e.qstart
+        if i < len(exons) - 1:
+            table = _INTRON_CHAR if path.watsonp else _INTRON_CHAR_REV
+            it = (itypes[i] if i < len(itypes) else "noncanonical")
+            ch = table.get(it, "=")
+            nxt = exons[i + 1]
+            intron = (nxt.gstart - e.gend) if path.watsonp else (e.gstart - nxt.gend)
+            out.append(f"\t{ga} {gb} {qa} {qb} {epct}\t{ln}{ch}\t{ln}\t{intron}")
+        else:
+            out.append(f"\t{ga} {gb} {qa} {qb} {epct}\t{ln}*\t{ln}")
+    return "".join(l + "\n" for l in out)
+
+
 def path_summary(
     path: Path,
     pathnum: int,

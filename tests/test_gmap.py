@@ -132,3 +132,62 @@ def test_gmap_samse_oracle_parity(chr17db, ref_tests, tmp_path):
         capture_output=True, text=True, env=env, check=True,
     ).stdout
     assert ref.splitlines() == mine.splitlines()
+
+
+def test_align_golden_byte_parity(ref_tests, tmp_path):
+    """gmap -A -g == tests/align.test.ok (the shipped ALIGNMENT golden)."""
+    import os
+    import pathlib
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=str(repo))
+    out = subprocess.run(
+        [sys.executable, "-m", "gmap_gsnap_tpu.cli.gmap", "-A", "-g",
+         str(ref_tests / "ss.chr17test"), str(ref_tests / "ss.her2")],
+        capture_output=True, text=True, env=env, check=True,
+    ).stdout
+    golden = open(ref_tests / "align.test.ok").read()
+    assert out == golden
+
+
+def test_gmap_formats_oracle_parity(ref_tests):
+    """psl/splicesites/introns/map/compressed/exons/protein formats vs
+    the reference binary on HER2 (both strands where supported)."""
+    import os
+    import pathlib
+    import subprocess
+    import sys
+
+    oracle = "/tmp/refbuild/src/gmap"
+    odb = "/tmp/refbuild/trytest/gdb"
+    if not os.path.exists(oracle):
+        pytest.skip("reference oracle not built")
+    her2 = str(ref_tests / "ss.her2")
+    rc = dna.revcomp_str(next(fasta.read_fasta(her2)).seq.upper())
+    import tempfile
+
+    rcfa = tempfile.NamedTemporaryFile("w", suffix=".fa", delete=False)
+    rcfa.write(">her2rc\n" + rc + "\n")
+    rcfa.close()
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=str(repo))
+
+    both = [her2, rcfa.name]
+    cases = [(["-f", "psl"], both), (["-f", "splicesites"], both),
+             (["-f", "introns"], both), (["-f", "map_genes"], both),
+             (["-f", "map_exons"], both), (["-Z"], both),
+             (["-E", "cdna"], [her2]), (["-E", "genomic"], [her2]),
+             (["-P"], [her2]), (["-Q"], [her2])]
+    for opts, inputs in cases:
+        ref = subprocess.run(
+            [oracle, "-D", odb, "-d", "chr17test", *opts, *inputs],
+            capture_output=True, text=True, check=True,
+        ).stdout
+        mine = subprocess.run(
+            [sys.executable, "-m", "gmap_gsnap_tpu.cli.gmap", "-D", odb,
+             "-d", "chr17test", *opts, *inputs],
+            capture_output=True, text=True, env=env, check=True,
+        ).stdout
+        assert mine == ref, opts
