@@ -586,24 +586,32 @@ def rank_hits(out, base: GsnapParams, apply_optimal: bool = True,
               maxout: int | None = None):
     """Dedup + (optional) optimal-score filter + deterministic ranking.
 
+    Index-composition design: all stable sorts act on small int32
+    permutation vectors; data fields move ONCE through a composed
+    permutation via one-hot MXU selection (ops.select.take_cols) —
+    elementwise take_along_axis gathers dominated the profile.
+
     Returns dict of [B, maxout] arrays plus npaths."""
+    from ..ops.select import take_cols
+
     ncand = out["kind"].shape[1]
     maxout = base.maxpaths if maxout is None else maxout
     score = out["score"]
     # dedup identical (kind, left, right, split, strand) candidates:
-    # multi-pass stable sort groups equal tuples adjacently, then
-    # invalidate repeats and scatter scores back
+    # multi-pass stable sort (least-significant key first) groups equal
+    # tuples adjacently; sorts permute only the index vector
     fields = ["kind", "split", "right", "plusp", "left"]
     ordl = jnp.broadcast_to(
         jnp.arange(ncand, dtype=jnp.int32)[None, :], score.shape
     )
-    for k in fields:  # least-significant key first
-        f = jnp.take_along_axis(out[k].astype(jnp.int32), ordl, axis=1) \
-            if out[k].dtype == bool else jnp.take_along_axis(out[k], ordl, axis=1)
+    for k in fields:
+        f = take_cols(out[k], ordl)
+        if f.dtype == jnp.bool_:
+            f = f.astype(jnp.int32)
         o = jnp.argsort(f, axis=1, stable=True)
-        ordl = jnp.take_along_axis(ordl, o, axis=1)
-    sorted_fields = {k: jnp.take_along_axis(out[k], ordl, axis=1) for k in fields}
-    score_s = jnp.take_along_axis(score, ordl, axis=1)
+        ordl = take_cols(ordl, o)
+    sorted_fields = {k: take_cols(out[k], ordl) for k in fields}
+    score_s = take_cols(score, ordl)
     same = jnp.ones_like(score_s, bool)
     for k in fields:
         f = sorted_fields[k].astype(jnp.int32) if sorted_fields[k].dtype == bool else sorted_fields[k]
@@ -611,26 +619,27 @@ def rank_hits(out, base: GsnapParams, apply_optimal: bool = True,
             [jnp.zeros_like(f[:, :1], bool), f[:, 1:] == f[:, :-1]], axis=1
         )
     score_s = jnp.where(same & (score_s < BIG_NMM), BIG_NMM, score_s)
-    # scatter the deduped scores back
+    # scatter the deduped scores back through the inverse permutation
     inv = jnp.argsort(ordl, axis=1, stable=True)
-    score = jnp.take_along_axis(score_s, inv, axis=1)
+    score = take_cols(score_s, inv)
 
     # optimal-score filter (Stage3end_optimal_score, stage3hr.c:3798)
     if apply_optimal:
         best = jnp.min(score, axis=1, keepdims=True)
         score = jnp.where(score > best + base.subopt_levels, BIG_NMM, score)
 
-    # rank: (score asc, left asc, plus first) via stable passes
+    # rank: (score asc, left asc, plus first); compose the three stable
+    # passes into one final permutation
     plusp = out["plusp"]
     ordp = jnp.argsort(jnp.where(plusp, 0, 1).astype(jnp.int32), axis=1, stable=True)
-    tmp = {k: jnp.take_along_axis(out[k], ordp, axis=1) for k in out}
-    score = jnp.take_along_axis(score, ordp, axis=1)
-    ordl2 = jnp.argsort(tmp["left"], axis=1, stable=True)
-    tmp = {k: jnp.take_along_axis(tmp[k], ordl2, axis=1) for k in tmp}
-    score = jnp.take_along_axis(score, ordl2, axis=1)
-    ords = jnp.argsort(score, axis=1, stable=True)[:, :maxout]
-    final = {k: jnp.take_along_axis(tmp[k], ords, axis=1) for k in tmp}
-    final_score = jnp.take_along_axis(score, ords, axis=1)
+    left_p = take_cols(out["left"], ordp)
+    ordl2 = jnp.argsort(left_p, axis=1, stable=True)
+    perm2 = take_cols(ordp, ordl2)
+    score2 = take_cols(score, perm2)
+    ords = jnp.argsort(score2, axis=1, stable=True)[:, :maxout]
+    perm3 = take_cols(perm2, ords)
+    final = {k: take_cols(out[k], perm3) for k in out}
+    final_score = take_cols(score, perm3)
 
     ok = final_score < BIG_NMM
     final["score"] = jnp.where(ok, final_score, BIG_NMM)

@@ -159,27 +159,27 @@ def align_batch_pe(
     best = jnp.min(eff, axis=1, keepdims=True)
     eff = jnp.where(eff > best + base.subopt_levels, BIG, eff)
 
+    from ..ops.select import take_cols
+
     flat = lambda x: jnp.broadcast_to(x, (b, np_, np_)).reshape(b, np_ * np_)
     left5f = flat(l5)
     left3f = flat(l3)
-    # rank: (score, left5, left3) via stable passes
-    o = jnp.argsort(left3f, axis=1, stable=True)
-    pick = lambda x, o: jnp.take_along_axis(x, o, axis=1)
-    left5f, eff2 = pick(left5f, o), pick(eff, o)
-    idx = pick(jnp.broadcast_to(jnp.arange(np_ * np_, dtype=jnp.int32)[None, :],
-                                (b, np_ * np_)), o)
-    o = jnp.argsort(left5f, axis=1, stable=True)
-    eff2, idx = pick(eff2, o), pick(idx, o)
-    o = jnp.argsort(eff2, axis=1, stable=True)[:, : params.maxpairs]
-    eff2, idx = pick(eff2, o), pick(idx, o)
+    # rank: (score, left5, left3); compose the passes into one
+    # permutation applied via MXU selection
+    o1 = jnp.argsort(left3f, axis=1, stable=True)
+    o2 = jnp.argsort(take_cols(left5f, o1), axis=1, stable=True)
+    perm = take_cols(o1, o2)
+    o3 = jnp.argsort(take_cols(eff, perm), axis=1, stable=True)[:, : params.maxpairs]
+    idx = take_cols(perm, o3)
+    eff2 = take_cols(eff, idx)
 
     ok = eff2 < BIG
     i5 = idx // np_
     i3 = idx % np_
-    ptf = jnp.take_along_axis(
-        jnp.broadcast_to(pairtype, (b, np_, np_)).reshape(b, -1), idx, axis=1)
-    insf = jnp.take_along_axis(
-        jnp.broadcast_to(insert, (b, np_, np_)).reshape(b, -1), idx, axis=1)
+    ptf = take_cols(
+        jnp.broadcast_to(pairtype, (b, np_, np_)).reshape(b, -1), idx)
+    insf = take_cols(
+        jnp.broadcast_to(insert, (b, np_, np_)).reshape(b, -1), idx)
 
     return {
         "i5": jnp.where(ok, i5, 0),

@@ -284,17 +284,17 @@ def align_batch(
     all_nmm = jnp.where(all_nmm <= budget[:, None], all_nmm, BIG_NMM)
 
     # rank by (nmm asc, left asc, plus before minus) via stable passes
+    from ..ops.select import take_cols
+
     ord1 = jnp.argsort(
         jnp.where(all_plus, jnp.uint32(0), jnp.uint32(1)), axis=1, stable=True
     )
-    left1 = jnp.take_along_axis(all_left, ord1, axis=1)
-    nmm1 = jnp.take_along_axis(all_nmm, ord1, axis=1)
-    plus1 = jnp.take_along_axis(all_plus, ord1, axis=1)
-
+    left1 = take_cols(all_left, ord1)
     ord2 = jnp.argsort(left1, axis=1, stable=True)
-    left2 = jnp.take_along_axis(left1, ord2, axis=1)
-    nmm2 = jnp.take_along_axis(nmm1, ord2, axis=1)
-    plus2 = jnp.take_along_axis(plus1, ord2, axis=1)
+    perm2 = take_cols(ord1, ord2)
+    left2 = take_cols(all_left, perm2)
+    nmm2 = take_cols(all_nmm, perm2)
+    plus2 = take_cols(all_plus, perm2)
 
     # drop duplicates of the same (left, strand) before the final sort
     key = left2 * 2 + jnp.where(plus2, 0, 1)
@@ -309,9 +309,9 @@ def align_batch(
     nmm2 = jnp.where(nmm2 > best + params.subopt_levels, BIG_NMM, nmm2)
 
     ord3 = jnp.argsort(nmm2, axis=1, stable=True)[:, : params.maxpaths]
-    left = jnp.take_along_axis(left2, ord3, axis=1)
-    nmm = jnp.take_along_axis(nmm2, ord3, axis=1)
-    plusp = jnp.take_along_axis(plus2, ord3, axis=1)
+    left = take_cols(left2, ord3)
+    nmm = take_cols(nmm2, ord3)
+    plusp = take_cols(plus2, ord3)
 
     valid_hit = nmm < BIG_NMM
     npaths = jnp.sum(valid_hit, axis=1).astype(jnp.int32)
