@@ -371,10 +371,12 @@ def _solve_splices(genome, top_d, pref, ii, jj, pvalid, lengths, budget,
             return out.astype(jnp.int32)
 
         def prob_at_sel(span, kind):
+            from ..ops.select import table_lookup
+
             odds = None
             tables = maxent._tables_jnp()
             for name, idx in maxent.splice_idx_span(span, kind, npos):
-                factor = tables[name][pick(idx)]
+                factor = table_lookup(tables[name], pick(idx))
                 odds = factor if odds is None else odds * factor
             return (odds / (1.0 + odds)).astype(jnp.float32)
 

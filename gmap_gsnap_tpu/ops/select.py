@@ -44,3 +44,27 @@ def take_cols_dict(fields: dict, idx: jax.Array, skip=()) -> dict:
     return {
         k: (v if k in skip else take_cols(v, idx)) for k, v in fields.items()
     }
+
+
+def table_lookup(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """table[idx] for a constant f32 table and integer indices of any
+    shape, via MXU one-hot contractions instead of elementwise gathers.
+
+    Small tables use a direct one-hot; large power-of-two tables (e.g.
+    the 16384-entry maxent score tables) factor the index into high/low
+    7-bit halves and do a two-level contraction."""
+    n = table.shape[0]
+    flat = idx.reshape(-1).astype(jnp.int32)
+    if n <= MAX_ONEHOT_WIDTH:
+        oh = jax.nn.one_hot(flat, n, dtype=jnp.float32)
+        out = oh @ table.astype(jnp.float32)
+        return out.reshape(idx.shape)
+    assert n % 128 == 0
+    t2 = table.astype(jnp.float32).reshape(n // 128, 128)
+    hi = flat // 128
+    lo = flat % 128
+    oh_hi = jax.nn.one_hot(hi, n // 128, dtype=jnp.float32)
+    oh_lo = jax.nn.one_hot(lo, 128, dtype=jnp.float32)
+    rows = oh_hi @ t2                      # [N, 128] selected rows
+    out = jnp.sum(rows * oh_lo, axis=-1)   # pick the lane
+    return out.reshape(idx.shape)
