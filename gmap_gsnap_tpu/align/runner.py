@@ -803,6 +803,113 @@ class GsnapRunner:
             flag |= sam.FLAG_PROPER
         return flag
 
+    def native_pe_records(self, rec5: Record, rec3_inv: Record,
+                          rec3_orig: Record, res, row: int) -> str:
+        """GSNAP native paired-end blocks: '>' header for end 1, '<' for
+        end 2, result word concordant/paired/unpaired, and pair_score/
+        insert_length[,pairtype:...] on each hit's first line."""
+        from dataclasses import replace
+
+        from ..io import gsnap_native
+        from . import gsnap_pe
+
+        def chr_lookup(left):
+            chrnum = int(np.searchsorted(self.db.chr_ends, left, side="right"))
+            return self.db.chr_names[chrnum], int(self.db.chr_starts[chrnum])
+
+        npairs = int(res["npairs"][row])
+        e5, e3 = res["end5"], res["end3"]
+        np5, np3 = int(e5["npaths"][row]), int(e3["npaths"][row])
+        out = []
+        qual5 = rec5.quality or ""
+        qual3 = rec3_orig.quality or ""
+
+        if npairs > 0:
+            n = min(npairs, self.params.maxpaths)
+            conc = bool(res["pair_concordant"][row])
+            word = "concordant" if conc else "paired"
+            h5p, h3p = res["end5_pairing"], res["end3_pairing"]
+            pairs = []
+            for k in range(n):
+                d5 = self._end_hit(rec5, h5p, row, int(res["i5"][row, k]))
+                d3 = self._end_hit(rec3_inv, h3p, row, int(res["i3"][row, k]))
+                pairs.append((k, d5, d3))
+            pairs.sort(key=lambda t: (-(t[1].nmatches + t[2].nmatches),
+                                      -(t[1].loglik + t[2].loglik)))
+            mapqs = [40] * n if n == 1 else None
+            if mapqs is None:
+                dets = [type("X", (), {"loglik": d5.loglik + d3.loglik})
+                        for _, d5, d3 in pairs]
+                mapqs, _, _ = self._end_mapqs(dets, qual5 or None)
+
+            ptword = {gsnap_pe.PT_INVERSION: "inversion",
+                      gsnap_pe.PT_SCRAMBLE: "scramble",
+                      gsnap_pe.PT_TOOLONG: "toolong"}
+
+            for endno, (rec, hhs) in enumerate((
+                (rec5, [d5 for _, d5, _ in pairs]),
+                (rec3_orig, [replace(d3, plusp=not d3.plusp)
+                             for _, _, d3 in pairs]),
+            )):
+                qual = qual5 if endno == 0 else qual3
+                mark = ">" if endno == 0 else "<"
+                out.append(f"{mark}{rec.seq.upper()}\t{n} {word}\t{qual}\t{rec.label}")
+                for i, d in enumerate(hhs):
+                    k = pairs[i][0]
+                    suffix = (f"pair_score:{int(res['pscore'][row, k])},"
+                              f"insert_length:{int(res['insert'][row, k])}")
+                    pt = int(res["pairtype"][row, k])
+                    if not conc and pt in ptword:
+                        suffix += f",pairtype:{ptword[pt]}"
+                    hh = self._hosthit_for(d)
+                    chrname, chr_start = chr_lookup(d.left)
+                    segs = gsnap_native.hit_lines(
+                        hh, rec, self._genome_str, self.db.codes, chrname,
+                        chr_start, mapqs[i] if i < len(mapqs) else 0,
+                        pair_suffix=suffix, splice_labels=self._splice_labels)
+                    for j, s in enumerate(segs):
+                        out.append((" " if j == 0 else ",") + s)
+                out.append("")
+            return "\n".join(out) + "\n"
+
+        # unpaired / halfmapping / nomapping
+        for endno, (rec, recd, e, npaths) in enumerate((
+            (rec5, rec5, e5, np5), (rec3_orig, rec3_inv, e3, np3),
+        )):
+            qual = qual5 if endno == 0 else qual3
+            mark = ">" if endno == 0 else "<"
+            out.append(f"{mark}{rec.seq.upper()}\t{npaths} unpaired\t{qual}\t{rec.label}")
+            n = min(npaths, self.params.maxpaths)
+            details = [self._end_hit(recd, e, row, i) for i in range(n)]
+            if endno == 1:
+                details = [replace(d, plusp=not d.plusp) for d in details]
+            details.sort(key=lambda d: (-d.nmatches, -d.loglik))
+            mapqs, _, _ = self._end_mapqs(details, qual or None) if details else ([], 0, 0)
+            for i, d in enumerate(details):
+                hh = self._hosthit_for(d)
+                chrname, chr_start = chr_lookup(d.left)
+                segs = gsnap_native.hit_lines(
+                    hh, rec, self._genome_str, self.db.codes, chrname,
+                    chr_start, mapqs[i] if i < len(mapqs) else 0,
+                    splice_labels=self._splice_labels)
+                for j, s in enumerate(segs):
+                    out.append((" " if j == 0 else ",") + s)
+            out.append("")
+        return "\n".join(out) + "\n"
+
+    def _hosthit_for(self, d: PostHit):
+        from . import rescue
+
+        kind = "sub"
+        if "I" in d.cigar_core:
+            kind = "ins"
+        elif "D" in d.cigar_core:
+            kind = "del"
+        elif "N" in d.cigar_core:
+            kind = "splice"
+        return rescue.HostHit(d, kind, d.nmatches_whole,
+                              np.array(d.mmpos, int), d.loglik)
+
     def sam_pe_records(self, rec5: Record, rec3_inv: Record, rec3_orig: Record,
                        res, row: int) -> str:
         """SAM lines for one read pair (both ends)."""
@@ -992,16 +1099,18 @@ class GsnapRunner:
         return mapqs, absmqs, absmqs[1]
 
     def run_pe(self, records5: list[Record], records3: list[Record], out,
-               batch_size: int = 256, emit_header: bool = True) -> int:
+               batch_size: int = 256, emit_header: bool = True,
+               fmt: str = "sam") -> int:
         """Paired-end driver: read 2 is reverse-complemented at input
         (invert_second_p) so concordant mates share a strand."""
-        if emit_header:
+        if emit_header and fmt == "sam":
             out.write(
                 sam.header(
                     self.db.chr_names,
                     (self.db.chr_ends - self.db.chr_starts).tolist(),
                 )
             )
+        emit = self.sam_pe_records if fmt == "sam" else self.native_pe_records
         total = 0
         for i in range(0, len(records5), batch_size):
             chunk5 = records5[i : i + batch_size]
@@ -1013,9 +1122,7 @@ class GsnapRunner:
             ]
             res = self.align_pairs(chunk5, chunk3_inv)
             for j in range(len(chunk5)):
-                out.write(
-                    self.sam_pe_records(chunk5[j], chunk3_inv[j], chunk3[j], res, j)
-                )
+                out.write(emit(chunk5[j], chunk3_inv[j], chunk3[j], res, j))
                 total += 1
         return total
 

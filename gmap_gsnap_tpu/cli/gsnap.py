@@ -82,7 +82,8 @@ def main(argv=None) -> int:
 
     t0 = time.time()
     if paired:
-        n = r.run_pe(records5, records3, sys.stdout, batch_size=args.batch_size)
+        n = r.run_pe(records5, records3, sys.stdout, batch_size=args.batch_size,
+                     fmt=args.format)
     else:
         n = r.run(records, sys.stdout, batch_size=args.batch_size,
                   fmt=args.format)

@@ -128,3 +128,37 @@ def test_native_known_splicesites_labels(tmp_path):
     ).stdout
     assert ref.splitlines() == mine.splitlines()
     assert "label_2:j.d" in mine
+
+
+@needs_oracle
+def test_native_paired_end_parity(tmp_path):
+    """PE native blocks: '>'/'<' headers, result words, pair_score/
+    insert_length/pairtype annotations — byte parity."""
+    seq = "".join(
+        l.strip() for l in open(FIXTURE) if not l.startswith(">")
+    ).upper()
+    rc = lambda s: s.translate(str.maketrans("ACGT", "TGCA"))[::-1]
+    pairs = []
+    p = 10000
+    pairs.append((seq[p : p + 100], rc(seq[p + 200 : p + 300])))        # concordant
+    pairs.append((rc(seq[p + 200 : p + 300]), seq[p : p + 100]))        # mate first
+    pairs.append((seq[60000:60100], rc(seq[95000:95100])))              # toolong
+    pairs.append((seq[70000:70100], seq[70200:70300]))                  # inversion
+    pairs.append((seq[50000:50100], "ACGT" * 25))                       # halfmapping
+    pairs.append(("TTTTGGGGCCCCAAAA" * 6 + "ACGT", "ACGT" * 25))        # nomapping
+    fq1, fq2 = tmp_path / "p1.fq", tmp_path / "p2.fq"
+    with open(fq1, "w") as f1, open(fq2, "w") as f2:
+        for i, (a, b) in enumerate(pairs):
+            f1.write(f"@p{i}\n{a}\n+\n{'I' * len(a)}\n")
+            f2.write(f"@p{i}\n{b}\n+\n{'I' * len(b)}\n")
+    ref = subprocess.run(
+        [ORACLE_GSNAP, "-D", ORACLE_DB, "-d", "chr17test", str(fq1), str(fq2)],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=str(REPO))
+    mine = subprocess.run(
+        [sys.executable, "-m", "gmap_gsnap_tpu.cli.gsnap", "-D", ORACLE_DB,
+         "-d", "chr17test", "-A", "gsnap", str(fq1), str(fq2)],
+        capture_output=True, text=True, env=env, check=True,
+    ).stdout
+    assert ref.splitlines() == mine.splitlines()
