@@ -30,7 +30,13 @@ from ..io.fasta import Record
 from ..ops import maxent  # noqa: F401  (future: splice stats)
 from ..utils import dna
 from . import gsnap_gapped, gsnap_se
-from .gsnap_gapped import KIND_DEL, KIND_INS, KIND_SPLICE, KIND_SUB
+from .gsnap_gapped import (
+    KIND_DEL,
+    KIND_INS,
+    KIND_SPLICE,
+    KIND_SUB,
+    SHORTSPLICEDIST,
+)
 
 MAX_QUALITY_SCORE = 40
 MAPQ_MAXIMUM_SCORE = 40
@@ -188,6 +194,9 @@ class PostHit:
     parts: tuple = ()  # aligned parts (qstart, qend, genome_start)
     mmpos: tuple = ()  # selection-mismatch query positions (untrimmed)
     nmatches_whole: int = 0  # reference nmatches (whole region incl trims)
+    term_ends: tuple | None = None  # terminal endtypes (aligned order):
+    # True = TERM, False = END, from spanning-seed positions
+    # (stage1hr.c:9078 start/end_endtype vs index1interval)
 
 
 def encode_batch(records: list[Record], lmax: int):
@@ -513,10 +522,23 @@ class GsnapRunner:
         qpos = np.arange(t5, L - t3)
         loglik = float(MISMATCH_LOGPROB[qv[qpos[sel]]].sum())
         nmatches = (L - t5 - t3) - int(sel.sum())
+        # endtypes from spanning-seed querypos (stage1hr.c:9078): END
+        # only if a clean seed lies within index1interval of the end
+        kk, iv = self.db.k, self.db.interval
+        lastpos = L - kk
+        seedpos = list(range(0, max(lastpos, 0) + 1, iv))
+        if lastpos > 0 and lastpos not in seedpos:
+            seedpos.append(lastpos)
+        present = [p for p in seedpos
+                   if not mm_sel[p : p + kk].any()]
+        if present:
+            term_ends = (present[0] >= iv, present[-1] < lastpos - iv)
+        else:
+            term_ends = (True, True)
         return PostHit(left, plusp, t5, t3, nm, nmatches, loglik, md,
                        f"{L - t5 - t3}M", L - t5 - t3, None, 0, 0,
                        ((0, L, left),), tuple(np.flatnonzero(mm_sel)),
-                       nmatches)
+                       nmatches, term_ends=term_ends)
 
     def _gmap_hosthit(self, rec: Record):
         """GMAP rescue: align the read with the GMAP stack; returns a
@@ -525,7 +547,11 @@ class GsnapRunner:
         from . import gmap as gmap_mod
         from . import rescue
 
-        path = gmap_mod.align_cdna(self.db, rec.seq, extend_ends=True)
+        # DNA-Seq mode zeroes shortsplicedist (gsnap.c:1699), so rescue
+        # GMAP cannot bridge introns; deletion-sized gaps still allowed
+        max_il = SHORTSPLICEDIST if self.splicing_on else 30
+        path = gmap_mod.align_cdna(self.db, rec.seq, max_intronlen=max_il,
+                                   extend_ends=True)
         if path is None or not path.exons:
             return None
         L = len(rec.seq)
@@ -533,6 +559,23 @@ class GsnapRunner:
         gstr = self._genome_str
         gmap_mod.chop_path_ends(gstr, qstr, path)
         if not path.exons:
+            return None
+        # stage2 oligo-chain viability (Stage2_compute
+        # proceed_pctcoverage=0.5, stage1hr.c:11257): exact runs >= the
+        # oligoindex size must cover half the read or the rescue fails
+        cov = 0
+        for e in path.exons:
+            run = 0
+            for qp in range(e.qstart, e.qend):
+                if qstr[qp] == gstr[e.gstart + (qp - e.qstart)]:
+                    run += 1
+                else:
+                    if run >= 8:
+                        cov += run
+                    run = 0
+            if run >= 8:
+                cov += run
+        if cov * 2 < L:
             return None
         core, md, nm, has_intron = gmap_out.path_cigar_md(
             path, qstr, gstr, sam_mode="gsnap"
@@ -770,6 +813,9 @@ class GsnapRunner:
                if not isinstance(v, dict)}
         for k in ("end5", "end3", "end5_pairing", "end3_pairing"):
             out[k] = tohost(res[k])
+        # candidate diagonals feed the per-end terminal/GMAP rescue lanes
+        for ek, ck in (("end5", "cands5"), ("end3", "cands3")):
+            out[ek].update(tohost(res[ck]))
         return out
 
     def _end_hit(self, rec: Record, hits, row: int, col: int) -> PostHit:
@@ -803,6 +849,145 @@ class GsnapRunner:
             flag |= sam.FLAG_PROPER
         return flag
 
+    def _host_pairtype(self, d5: PostHit, d3: PostHit, pairmax: int) -> int:
+        """Stage3_determine_pairtype (stage3hr.c:5074) on host hits;
+        mirrors the device grid rules in gsnap_pe.align_batch_pe."""
+        from . import gsnap_pe
+
+        chr5 = int(np.searchsorted(self.db.chr_ends, d5.left, side="right"))
+        chr3 = int(np.searchsorted(self.db.chr_ends, d3.left, side="right"))
+        if chr5 != chr3:
+            return gsnap_pe.PT_UNPAIRED
+        if d5.plusp != d3.plusp:
+            return gsnap_pe.PT_INVERSION
+        l5 = d5.left
+        e5 = d5.left + d5.trim5 + d5.ref_consumed + d5.trim3
+        l3 = d3.left
+        e3 = d3.left + d3.trim5 + d3.ref_consumed + d3.trim3
+        if d5.plusp:
+            if e3 < l5:
+                return gsnap_pe.PT_SCRAMBLE
+            if l3 > e5 + pairmax:
+                return gsnap_pe.PT_TOOLONG
+        else:
+            if l3 > e5:
+                return gsnap_pe.PT_SCRAMBLE
+            if e3 + pairmax < l5:
+                return gsnap_pe.PT_TOOLONG
+        return gsnap_pe.PT_CONCORDANT
+
+    def _pe_rescue(self, rec5: Record, rec3_inv: Record, res, row: int):
+        """Terminal + GMAP lanes feeding the pairing stage when the
+        device grid found no concordant pair (stage1hr.c:13520/14556/
+        15138 GMAP pairsearch/halfmapping/terminal + Stage3pair_new).
+
+        Returns (pairs, concordant_p, final5, final3) where pairs is a
+        ranked list of (hit5, hit3, pairtype, pair_score, insertlen)."""
+        from ..io.gsnap_native import _align_score
+        from . import gsnap_pe
+
+        maxp = self.params.maxpaths
+        e5, e3 = res["end5"], res["end3"]
+        f5 = self._rescued_hits(rec5, e5, row, int(e5["npaths"][row]), maxp)
+        f3 = self._rescued_hits(rec3_inv, e3, row, int(e3["npaths"][row]), maxp)
+        pairmax = gsnap_pe.PAIRMAX_RNA if self.splicing_on else gsnap_pe.PAIRMAX_DNA
+        window = pairmax + SHORTSPLICEDIST
+
+        def gmap_for(rec, anchors, is5):
+            # pairsearch/halfmapping GMAP anchored near the mate's hits
+            # (stage1hr.c:14556/14625); reject short alignments
+            # (Stage3_short_alignment_p, stage3.c:8362) and alignments
+            # outside mate +- (pairmax + shortsplicedist)
+            g = self._gmap_hosthit(rec)
+            if g is None:
+                return None
+            d = g.d
+            L = len(rec.seq)
+            if (L - d.trim3) - d.trim5 < L // 2:
+                return None
+            for a in anchors:
+                pt = (self._host_pairtype(d, a.d, pairmax) if is5
+                      else self._host_pairtype(a.d, d, pairmax))
+                if pt != gsnap_pe.PT_UNPAIRED and abs(d.left - a.d.left) <= window + L:
+                    return g
+            return None
+
+        # GMAP hits never serve as anchors: the reference's pairsearch
+        # iterates hits5/hits3 before any GMAP hit joins those lists
+        # (stage1hr.c:14552, 15133), and its own products go straight
+        # into pair lists
+        anch5 = [h for h in f5 if h.hittype != "gmap"]
+        anch3 = [h for h in f3 if h.hittype != "gmap"]
+        g3 = gmap_for(rec3_inv, anch5, is5=False) if anch5 else None
+        g5 = gmap_for(rec5, anch3, is5=True) if anch3 else None
+
+        def hkey(h):
+            return (h.hittype, h.d.left, h.d.plusp, h.d.trim5, h.d.trim3,
+                    h.d.cigar_core)
+
+        seen = set()
+        pairs = []
+
+        def addpair(h5, h3):
+            k = (hkey(h5), hkey(h3))
+            if k in seen:
+                return
+            pt = self._host_pairtype(h5.d, h3.d, pairmax)
+            if pt == gsnap_pe.PT_UNPAIRED:
+                return
+            seen.add(k)
+            ps = _align_score(h5) + _align_score(h3)
+            ins = reference_pairlength(
+                h5.d, h3.d, len(rec5.seq), len(rec3_inv.seq))
+            term = h5.hittype == "terminal" or h3.hittype == "terminal"
+            pairs.append((h5, h3, pt, ps, ins, term))
+
+        for h5 in f5:
+            for h3 in f3:
+                addpair(h5, h3)
+        # pairsearch GMAP hits pair ONLY with their anchor hits, not
+        # cross-product (stage1hr.c:14556/14625 Stage3pair_new per
+        # anchor); the pair class follows the anchor's hittype
+        if g3 is not None:
+            for h5 in anch5:
+                addpair(h5, g3)
+        if g5 is not None:
+            for h3 in anch3:
+                addpair(g5, h3)
+
+        # Stage3pair_remove_overlaps: pairs at the same genomic
+        # positions collapse to the better one (nmatches, then the
+        # Hittype enum order as in hit_goodness_cmp)
+        from . import rescue
+
+        def prank(p):
+            return (p[0].nmatches + p[1].nmatches,
+                    -(rescue.HITTYPE_ORDER.get(p[0].hittype, 99)
+                      + rescue.HITTYPE_ORDER.get(p[1].hittype, 99)))
+
+        bypos = {}
+        for p in pairs:
+            k = (p[0].d.left, p[0].d.plusp, p[1].d.left, p[1].d.plusp)
+            cur = bypos.get(k)
+            if cur is None or prank(p) > prank(cur):
+                bypos[k] = p
+        pairs = list(bypos.values())
+
+        conc = [p for p in pairs if p[2] == gsnap_pe.PT_CONCORDANT]
+        if conc:
+            # choose_among_paired ladder (stage1hr.c:15223): concordant
+            # non-terminal pairs dominate pairs involving a terminal
+            nonterm = [p for p in conc if not p[5]]
+            chosen = nonterm or conc
+        else:
+            chosen = pairs
+        chosen = [p[:5] for p in chosen]
+        if chosen:
+            best = min(p[3] for p in chosen)
+            chosen = [p for p in chosen if p[3] <= best + self.params.subopt_levels]
+            chosen.sort(key=lambda p: (p[3], p[0].d.left, p[1].d.left))
+        return chosen, bool(conc), f5, f3
+
     def native_pe_records(self, rec5: Record, rec3_inv: Record,
                           rec3_orig: Record, res, row: int) -> str:
         """GSNAP native paired-end blocks: '>' header for end 1, '<' for
@@ -818,11 +1003,17 @@ class GsnapRunner:
             return self.db.chr_names[chrnum], int(self.db.chr_starts[chrnum])
 
         npairs = int(res["npairs"][row])
-        e5, e3 = res["end5"], res["end3"]
-        np5, np3 = int(e5["npaths"][row]), int(e3["npaths"][row])
         out = []
         qual5 = rec5.quality or ""
         qual3 = rec3_orig.quality or ""
+
+        conc_dev = bool(res["pair_concordant"][row])
+        rpairs = rconc = f5 = f3 = None
+        if npairs == 0 or not conc_dev:
+            rpairs, rconc, f5, f3 = self._pe_rescue(rec5, rec3_inv, res, row)
+        if rpairs and (rconc or npairs == 0):
+            return self._native_pe_rescued(
+                rec5, rec3_orig, rpairs, rconc, qual5, qual3, chr_lookup)
 
         if npairs > 0:
             n = min(npairs, self.params.maxpaths)
@@ -872,26 +1063,79 @@ class GsnapRunner:
                 out.append("")
             return "\n".join(out) + "\n"
 
-        # unpaired / halfmapping / nomapping
-        for endno, (rec, recd, e, npaths) in enumerate((
-            (rec5, rec5, e5, np5), (rec3_orig, rec3_inv, e3, np3),
+        # unpaired / halfmapping / nomapping: rescued per-end hit lists
+        for endno, (rec, hits) in enumerate(((rec5, f5), (rec3_orig, f3))):
+            qual = qual5 if endno == 0 else qual3
+            mark = ">" if endno == 0 else "<"
+            n = min(len(hits), self.params.maxpaths)
+            out.append(f"{mark}{rec.seq.upper()}\t{n} unpaired\t{qual}\t{rec.label}")
+            hhs = hits[:n]
+            if endno == 1:
+                hhs = [self._flip_hosthit(h) for h in hhs]
+            mapqs, _, _ = (self._end_mapqs([h.d for h in hhs], qual or None)
+                           if hhs else ([], [], 0))
+            for i, h in enumerate(hhs):
+                chrname, chr_start = chr_lookup(h.d.left)
+                segs = gsnap_native.hit_lines(
+                    h, rec, self._genome_str, self.db.codes, chrname,
+                    chr_start, mapqs[i] if i < len(mapqs) else 0,
+                    splice_labels=self._splice_labels)
+                for j, s in enumerate(segs):
+                    out.append((" " if j == 0 else ",") + s)
+            out.append("")
+        return "\n".join(out) + "\n"
+
+    def _flip_hosthit(self, h):
+        """End-2 hits print in the ORIGINAL read orientation (the input
+        was reverse-complemented by invert_second_p)."""
+        from dataclasses import replace
+
+        from . import rescue
+
+        return rescue.HostHit(replace(h.d, plusp=not h.d.plusp), h.hittype,
+                              h.nmatches, h.mm_positions, h.loglik)
+
+    def _native_pe_rescued(self, rec5: Record, rec3_orig: Record, rpairs,
+                           rconc: bool, qual5: str, qual3: str,
+                           chr_lookup) -> str:
+        """Native PE blocks for host-rescued (terminal/GMAP) pairs."""
+        from ..io import gsnap_native
+        from . import gsnap_pe
+
+        n = min(len(rpairs), self.params.maxpaths)
+        rpairs = rpairs[:n]
+        word = "concordant" if rconc else "paired"
+        order = sorted(range(n), key=lambda k: (
+            -(rpairs[k][0].nmatches + rpairs[k][1].nmatches),
+            -(rpairs[k][0].loglik + rpairs[k][1].loglik)))
+        rpairs = [rpairs[k] for k in order]
+        if n == 1:
+            mapqs = [40]
+        else:
+            dets = [type("X", (), {"loglik": p[0].loglik + p[1].loglik})
+                    for p in rpairs]
+            mapqs, _, _ = self._end_mapqs(dets, qual5 or None)
+        ptword = {gsnap_pe.PT_INVERSION: "inversion",
+                  gsnap_pe.PT_SCRAMBLE: "scramble",
+                  gsnap_pe.PT_TOOLONG: "toolong"}
+        out = []
+        for endno, (rec, hhs) in enumerate((
+            (rec5, [p[0] for p in rpairs]),
+            (rec3_orig, [self._flip_hosthit(p[1]) for p in rpairs]),
         )):
             qual = qual5 if endno == 0 else qual3
             mark = ">" if endno == 0 else "<"
-            out.append(f"{mark}{rec.seq.upper()}\t{npaths} unpaired\t{qual}\t{rec.label}")
-            n = min(npaths, self.params.maxpaths)
-            details = [self._end_hit(recd, e, row, i) for i in range(n)]
-            if endno == 1:
-                details = [replace(d, plusp=not d.plusp) for d in details]
-            details.sort(key=lambda d: (-d.nmatches, -d.loglik))
-            mapqs, _, _ = self._end_mapqs(details, qual or None) if details else ([], 0, 0)
-            for i, d in enumerate(details):
-                hh = self._hosthit_for(d)
-                chrname, chr_start = chr_lookup(d.left)
+            out.append(f"{mark}{rec.seq.upper()}\t{n} {word}\t{qual}\t{rec.label}")
+            for i, h in enumerate(hhs):
+                _, _, pt, ps, ins = rpairs[i]
+                suffix = f"pair_score:{ps},insert_length:{ins}"
+                if not rconc and pt in ptword:
+                    suffix += f",pairtype:{ptword[pt]}"
+                chrname, chr_start = chr_lookup(h.d.left)
                 segs = gsnap_native.hit_lines(
-                    hh, rec, self._genome_str, self.db.codes, chrname,
+                    h, rec, self._genome_str, self.db.codes, chrname,
                     chr_start, mapqs[i] if i < len(mapqs) else 0,
-                    splice_labels=self._splice_labels)
+                    pair_suffix=suffix, splice_labels=self._splice_labels)
                 for j, s in enumerate(segs):
                     out.append((" " if j == 0 else ",") + s)
             out.append("")
@@ -914,23 +1158,32 @@ class GsnapRunner:
                        res, row: int) -> str:
         """SAM lines for one read pair (both ends)."""
         npairs = int(res["npairs"][row])
-        e5, e3 = res["end5"], res["end3"]
-        np5 = int(e5["npaths"][row])
-        np3 = int(e3["npaths"][row])
         qual5 = rec5.quality or None
         qual3i = rec3_inv.quality or None
         out = []
 
-        if npairs > 0:
-            n = min(npairs, self.params.maxpaths)
-            h5p, h3p = res["end5_pairing"], res["end3_pairing"]
-            pairs = []
-            for k in range(n):
-                i5 = int(res["i5"][row, k])
-                i3 = int(res["i3"][row, k])
-                d5 = self._end_hit(rec5, h5p, row, i5)
-                d3 = self._end_hit(rec3_inv, h3p, row, i3)
-                pairs.append((d5, d3))
+        conc_dev = bool(res["pair_concordant"][row])
+        rpairs = rconc = f5 = f3 = None
+        if npairs == 0 or not conc_dev:
+            rpairs, rconc, f5, f3 = self._pe_rescue(rec5, rec3_inv, res, row)
+        use_rescue = bool(rpairs) and (rconc or npairs == 0)
+
+        if use_rescue or npairs > 0:
+            if use_rescue:
+                n = min(len(rpairs), self.params.maxpaths)
+                pairs = [(p[0].d, p[1].d) for p in rpairs[:n]]
+                proper = True
+            else:
+                n = min(npairs, self.params.maxpaths)
+                h5p, h3p = res["end5_pairing"], res["end3_pairing"]
+                pairs = []
+                for k in range(n):
+                    i5 = int(res["i5"][row, k])
+                    i3 = int(res["i3"][row, k])
+                    d5 = self._end_hit(rec5, h5p, row, i5)
+                    d3 = self._end_hit(rec3_inv, h3p, row, i3)
+                    pairs.append((d5, d3))
+                proper = conc_dev or int(res["pairtype"][row, 0]) in (1, 2, 3)
             # rank pairs by summed nmatches desc then loglik desc
             order = sorted(
                 range(n),
@@ -940,9 +1193,6 @@ class GsnapRunner:
                 ),
             )
             pairs = [pairs[k] for k in order]
-            proper = bool(res["pair_concordant"][row]) or int(
-                res["pairtype"][row, 0]
-            ) in (1, 2, 3)
 
             # pair MAPQ (stage3hr.c Stage3pair_eval_and_sort)
             if n == 1:
@@ -1009,22 +1259,19 @@ class GsnapRunner:
                     ))
             return "".join(out)
 
-        # no pairs: halfmapping / unpaired / nomapping
-        for (rec, qual, e, npaths, other_e, other_np, first, inv, minv,
-             rec_orig) in (
-            (rec5, qual5, e5, np5, e3, np3, True, False, True, rec5),
-            (rec3_inv, qual3i, e3, np3, e5, np5, False, True, False, rec3_orig),
+        # no pairs: halfmapping / unpaired / nomapping (rescued lanes)
+        for (rec, qual, fh, other_f, first, inv, minv, rec_orig) in (
+            (rec5, qual5, f5, f3, True, False, True, rec5),
+            (rec3_inv, qual3i, f3, f5, False, True, False, rec3_orig),
         ):
+            npaths = len(fh)
             if npaths > 0:
                 n = min(npaths, self.params.maxpaths)
-                details = [self._end_hit(rec, e, row, i) for i in range(n)]
-                order = sorted(range(n), key=lambda i: (-details[i].nmatches,
-                                                        -details[i].loglik))
-                details = [details[i] for i in order]
+                details = [h.d for h in fh[:n]]
                 mapqs, absmqs, second_absmq = self._end_mapqs(details, qual)
-                mate_mapped = other_np > 0
+                mate_mapped = len(other_f) > 0
                 if mate_mapped:
-                    dm = self._end_hit(rec3_inv if first else rec5, other_e, row, 0)
+                    dm = other_f[0].d
                     mchr, mpos = self._chrpos(dm)
                     mplus = dm.plusp
                 else:
@@ -1057,9 +1304,9 @@ class GsnapRunner:
                     ))
             else:
                 # unmapped end: print the ORIGINAL read, point at the mate
-                mate_mapped = other_np > 0
+                mate_mapped = len(other_f) > 0
                 if mate_mapped:
-                    dm = self._end_hit(rec3_inv if first else rec5, other_e, row, 0)
+                    dm = other_f[0].d
                     mchr, mpos = self._chrpos(dm)
                     mplus = dm.plusp
                 else:

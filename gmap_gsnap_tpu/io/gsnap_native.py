@@ -48,12 +48,17 @@ def hit_lines(h, rec, genome_str: str, codes, chrname: str, chr_start: int,
 
     # aligned-space segments: (qs, qe, g0) plus junction info
     parts = list(d.parts) if d.parts else [(0, L, d.left)]
-    # aligned-space trims -> per-part spans
+    # aligned-space trims -> per-part spans; GMAP parts already exclude
+    # the trimmed ends (exon bounds), device parts span the whole read
+    gmapp = h.hittype == "gmap"
     spans = []
     for k, (qs, qe, g0) in enumerate(parts):
-        lo = qs + (d.trim5 if k == 0 else 0)
-        hi = qe - (d.trim3 if k == len(parts) - 1 else 0)
-        spans.append((lo, hi, g0))
+        if gmapp:
+            spans.append((qs, qe, g0))
+        else:
+            lo = qs + (d.trim5 if k == 0 else 0)
+            hi = qe - (d.trim3 if k == len(parts) - 1 else 0)
+            spans.append((lo, hi, g0))
 
     # junction descriptors between consecutive parts (aligned order)
     juncs = []
@@ -81,11 +86,21 @@ def hit_lines(h, rec, genome_str: str, codes, chrname: str, chr_start: int,
     q_aln = read if d.plusp else _revcomp(read)
     for k, ((lo, hi, g0), (qs, qe, _)) in enumerate(zip(spans, parts)):
         # segment TEXT spans the whole part (trimmed bases still shown);
-        # ranges/labels/sub reflect the trimmed span [lo, hi)
+        # ranges/labels/sub reflect the trimmed span [lo, hi).  GMAP
+        # hits extend the outer parts with pure-lowercase GENOMIC
+        # context over the trimmed regions (Pair_print_gsnap)
         gseq = genome_str[g0 : g0 + (qe - qs)]
         text = _seg_text(gseq, q_aln[qs:qe])
         sub = sum(1 for c in text[lo - qs : hi - qs] if c.islower())
-        seg_infos.append((lo, hi, g0 + (lo - qs), qs, qe, text, sub))
+        ext5 = d.trim5 if (gmapp and k == 0) else 0
+        ext3 = d.trim3 if (gmapp and k == len(parts) - 1) else 0
+        if ext5:
+            text = genome_str[g0 - ext5 : g0].lower() + text
+        if ext3:
+            gend = g0 + (qe - qs)
+            text = text + genome_str[gend : gend + ext3].lower()
+        seg_infos.append((lo, hi, g0 + (lo - qs), qs - ext5, qe + ext3,
+                          text, sub))
 
     # build display rows in ALIGNED order first
     rows = []
@@ -138,9 +153,18 @@ def hit_lines(h, rec, genome_str: str, codes, chrname: str, chr_start: int,
 
         # end labels in read order; outer ends use read-oriented trims
         def outer_label(read_start: bool):
-            val = (d.trim5 if d.plusp == read_start else d.trim3)
-            name = "term" if h.hittype == "terminal" and val > 0 else (
-                "start" if read_start else "end")
+            aligned_start = d.plusp == read_start
+            val = d.trim5 if aligned_start else d.trim3
+            if h.hittype == "terminal":
+                te = getattr(d, "term_ends", None)
+                if te is not None:
+                    is_term = te[0] if aligned_start else te[1]
+                else:
+                    is_term = val > 0
+                name = "term" if is_term else (
+                    "start" if read_start else "end")
+            else:
+                name = "start" if read_start else "end"
             return f"{name}:{val}"
 
         def junc_label(j: int, left_side_of_junction: bool):
@@ -197,7 +221,7 @@ def _align_score(h) -> int:
     if h.hittype == "sub":
         return len(d.mmpos)
     if h.hittype == "terminal":
-        return d.nm
+        return d.nmm_trimmed
     if h.hittype in ("ins", "del"):
         return len(d.mmpos) + 2
     if h.hittype == "splice":

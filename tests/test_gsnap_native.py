@@ -162,3 +162,59 @@ def test_native_paired_end_parity(tmp_path):
         capture_output=True, text=True, env=env, check=True,
     ).stdout
     assert ref.splitlines() == mine.splitlines()
+
+
+@needs_oracle
+def test_native_pe_halfmapping_rescue(tmp_path):
+    """Terminal/GMAP lanes feed the pairing stage: half-alignable mates
+    are rescued to CONCORDANT via method:gmap or terminal hits, with
+    the reference's hitpairs > with_terminal ladder — byte parity."""
+    import re
+
+    seq = "".join(
+        l.strip() for l in open(FIXTURE) if not l.startswith(">")
+    ).upper()
+    rc = lambda s: s.translate(str.maketrans("ACGT", "TGCA"))[::-1]
+    p = 60000
+    g = seq[p : p + 5000]
+    for it in re.finditer("GT", g):
+        s = it.start()
+        e = g.find("AG", s + 80)
+        if 100 < e + 2 - s < 2000:
+            break
+    istart, iend = p + s, p + e + 2
+    r1 = seq[istart - 400 : istart - 300]
+    r2 = seq[istart - 50 : istart] + seq[iend : iend + 50]
+
+    def mut(r, poss):
+        r = list(r)
+        for i in poss:
+            r[i] = "A" if r[i] != "A" else "C"
+        return "".join(r)
+
+    cases = [
+        ("clean", r2),                 # GMAP rescue, both halves clean
+        ("m2a", mut(r2, [63, 88])),    # GMAP picks the clean half
+        ("m4b", mut(r2, [5, 17, 29, 41])),
+        ("both", mut(r2, [5, 17, 29, 41, 63, 88])),  # terminal wins
+    ]
+    fq1, fq2 = tmp_path / "h1.fq", tmp_path / "h2.fq"
+    with open(fq1, "w") as f1, open(fq2, "w") as f2:
+        for nme, rr in cases:
+            f1.write(f"@{nme}\n{r1}\n+\n{'I' * len(r1)}\n")
+            f2.write(f"@{nme}\n{rc(rr)}\n+\n{'I' * len(rr)}\n")
+    for fmt in ("gsnap", "sam"):
+        ref = subprocess.run(
+            [ORACLE_GSNAP, "-D", ORACLE_DB, "-d", "chr17test"]
+            + (["-A", "sam"] if fmt == "sam" else [])
+            + [str(fq1), str(fq2)],
+            capture_output=True, text=True, check=True,
+        ).stdout
+        env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=str(REPO))
+        mine = subprocess.run(
+            [sys.executable, "-m", "gmap_gsnap_tpu.cli.gsnap", "-D", ORACLE_DB,
+             "-d", "chr17test", "-A", fmt, str(fq1), str(fq2)],
+            capture_output=True, text=True, env=env, check=True,
+        ).stdout
+        assert ref.splitlines() == mine.splitlines(), fmt
+    assert "method:gmap" in mine or fmt == "sam"
