@@ -102,12 +102,25 @@ def make_terminals(mm_fn, cand_left, cand_plusp, cand_nmm, L: int,
     return out
 
 
+def _read_trims(h: HostHit) -> tuple[int, int]:
+    """Trims in READ orientation (Substring trim_left/trim_right are
+    query-coordinate trims; minus-strand aligned trims swap)."""
+    if h.d.plusp:
+        return h.d.trim5, h.d.trim3
+    return h.d.trim3, h.d.trim5
+
+
+def _read_mmpos(h: HostHit, L: int) -> np.ndarray:
+    p = np.asarray(h.mm_positions, int)
+    return p if h.d.plusp else (L - 1 - p)
+
+
 def common_region(hits: list[HostHit], L: int, finalp: bool):
-    """Stage3end_optimal_score_aux trim computation."""
+    """Stage3end_optimal_score_aux trim computation (READ coords)."""
     min_tl = min_tr = 10**6
     max_tl_term = max_tr_term = 0
     for h in hits:
-        tl, tr = h.d.trim5, h.d.trim3
+        tl, tr = _read_trims(h)
         if not finalp and h.hittype == "terminal":
             max_tl_term = max(max_tl_term, tl)
             max_tr_term = max(max_tr_term, tr)
@@ -120,15 +133,18 @@ def common_region(hits: list[HostHit], L: int, finalp: bool):
 
 
 def eventrim_score(h: HostHit, tl: int, tr: int, L: int) -> int:
-    """Mismatches of this hit inside [tl, L - tr) + penalties; GMAP hits
-    additionally pay for their own uncovered ends beyond the region."""
-    inregion = int(((h.mm_positions >= tl) & (h.mm_positions < L - tr)).sum())
+    """Mismatches of this hit inside READ region [tl, L - tr) +
+    penalties; GMAP hits additionally pay for their own uncovered ends
+    beyond the region."""
+    mmp = _read_mmpos(h, L)
+    inregion = int(((mmp >= tl) & (mmp < L - tr)).sum())
     score = inregion + h.penalties
+    htl, htr = _read_trims(h)
     if h.hittype == "gmap":
-        if h.d.trim5 > tl:
-            score += h.d.trim5 - tl
-        if h.d.trim3 > tr:
-            score += h.d.trim3 - tr
+        if htl > tl:
+            score += htl - tl
+        if htr > tr:
+            score += htr - tr
     return score
 
 
@@ -197,15 +213,18 @@ def select_final(hits: list[HostHit], L: int, improvement_fn=None,
     hits = remove_overlaps(hits, finalp=False)
     hits = optimal_pass(hits, L, finalp=False, keep_gmap=False, subopt=subopt)
     if improvement_fn is not None:
-        extra = []
+        # good GMAP hits JOIN the pool; the terminals stay and the
+        # final eventrim passes adjudicate (stage1hr.c:12497 List_append
+        # of good_gmap_hits AND terminals)
+        extra = None
         for h in hits:
             if (h.hittype == "terminal"
                     and h.d.trim5 + h.d.trim3 >= GMAP_IMPROVEMENT_TRIM):
                 g = improvement_fn()
                 if g is not None and g.nmatches > h.nmatches:
-                    extra.append(g)
-                    h.keep = False
-        hits = [h for h in hits if h.keep] + extra
+                    extra = g
+        if extra is not None:
+            hits = hits + [extra]
     hits = optimal_pass(hits, L, finalp=True, keep_gmap=True, subopt=subopt)
     hits = remove_overlaps(hits, finalp=True)
     hits = optimal_pass(hits, L, finalp=True, keep_gmap=False, subopt=subopt)
