@@ -1,0 +1,219 @@
+"""Distant / translocation splicing (stage1hr.c step 9).
+
+Re-derives find_spliceends_distant (stage1hr.c:8552) and
+find_splicepairs_distant (stage1hr.c:9429): half-read alignments that
+end at a splice site pair up across arbitrary genomic distance on the
+SAME aligned strand — consistent-order pairs beyond shortsplicedist,
+wrong-order "scramble" pairs at any distance, and (with a multi-
+chromosome genome) cross-chromosome translocations.  Each end must
+clear sufficient_splice_prob_distant (stage1hr.c:6112) and the
+identity/end-matches gates (min_distantsplicing_end_matches=16,
+min_distantsplicing_identity=0.95, gsnap.c); at most MAXCHIMERAPATHS
+pairs are formed, and the first mismatch level that yields pairs ends
+the search (found_score update, stage1hr.c:12300-12315).
+
+Mixed-strand inversion pairs (sections 2/3/6/7 of
+find_splicepairs_distant) are not yet implemented.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+MIN_SPLICE_SUPPORT_DISTANT = 25  # stage1hr.c:6107
+MAXCHIMERAPATHS = 3              # stage1hr.c:119
+MIN_END_MATCHES = 16             # gsnap.c min_distantsplicing_end_matches
+MIN_IDENTITY = 0.95              # gsnap.c min_distantsplicing_identity
+DISTANT_PENALTY = 1              # gsnap.c distantsplicing_penalty
+LOCAL_PENALTY = 0                # gsnap.c localsplicing_penalty
+
+
+def sufficient_prob_distant(support: int, nmm: int, prob: float) -> bool:
+    """sufficient_splice_prob_distant (stage1hr.c:6112)."""
+    support -= 3 * nmm
+    if support < MIN_SPLICE_SUPPORT_DISTANT:
+        return False
+    if support < 30:
+        return prob > 0.95
+    if support < 35:
+        return prob > 0.90
+    if support < 40:
+        return prob > 0.85
+    return prob > 0.70
+
+
+@dataclass(frozen=True)
+class SpliceEnd:
+    split: int     # chimera_pos: query split in ALIGNED coords
+    nmm: int       # mismatches on the supporting side
+    prob: float
+    left: int      # diagonal left (projection of aligned q0)
+    plusp: bool
+    site: int      # genomic splice-site coordinate (= left + split)
+
+
+def find_spliceends(diags, mm_fn, L: int, genome_str: str, codes,
+                    max_mm: int, k_index: int):
+    """Scan candidate diagonals for half-read splice ends.
+
+    Returns a dict keyed (kind, plusp) -> list[SpliceEnd], kind in
+    donor/acceptor (sense) and antidonor/antiacceptor (antisense).
+    Left parts (aligned q0..split) end at donor (GT) or antiacceptor
+    (CT) sites; right parts (split..L) start after acceptor (AG) or
+    antidonor (AC) sites (find_spliceends_distant scan structure)."""
+    from ..ops import maxent
+
+    ends: dict = {}
+    for kind in ("donor", "acceptor", "antidonor", "antiacceptor"):
+        for plusp in (True, False):
+            ends[(kind, plusp)] = []
+
+    glen = len(genome_str)
+    for left, plusp in diags:
+        mm = mm_fn(left, plusp)
+        mmpos = np.flatnonzero(mm)
+
+        # left-part ends: splits in [index1part, bound]; the scan stops
+        # at the (max_mm+1)-th mismatch (stage1hr.c:8633-8641)
+        lbound = L - 1 if len(mmpos) <= max_mm else int(mmpos[max_mm])
+        # right-part ends: splits must lie beyond the (max_mm+1)-th
+        # mismatch counted from the right
+        rbound = 1 if len(mmpos) <= max_mm else int(mmpos[-1 - max_mm]) + 1
+
+        lsites, lkinds, lsplits, lnmm = [], [], [], []
+        for s in range(k_index, min(lbound, L - 1) + 1):
+            g = left + s
+            if g < 20 or g + 20 > glen:
+                continue
+            dn = genome_str[g : g + 2]
+            if dn == "GT":
+                lsites.append(g); lkinds.append("donor")
+                lsplits.append(s); lnmm.append(int((mmpos < s).sum()))
+            elif dn == "CT":
+                lsites.append(g); lkinds.append("antiacceptor")
+                lsplits.append(s); lnmm.append(int((mmpos < s).sum()))
+        rsites, rkinds, rsplits, rnmm = [], [], [], []
+        for s in range(max(rbound, 1), L - k_index + 1):
+            g = left + s
+            if g < 20 or g + 20 > glen:
+                continue
+            dn = genome_str[g - 2 : g]
+            if dn == "AG":
+                rsites.append(g); rkinds.append("acceptor")
+                rsplits.append(s); rnmm.append(int((mmpos >= s).sum()))
+            elif dn == "AC":
+                rsites.append(g); rkinds.append("antidonor")
+                rsplits.append(s); rnmm.append(int((mmpos >= s).sum()))
+
+        for sites, kinds, splits, nmms, leftp in (
+            (lsites, lkinds, lsplits, lnmm, True),
+            (rsites, rkinds, rsplits, rnmm, False),
+        ):
+            if not sites:
+                continue
+            by_kind: dict = {}
+            for i, k in enumerate(kinds):
+                by_kind.setdefault(k, []).append(i)
+            for k, idxs in by_kind.items():
+                pos = np.array([sites[i] for i in idxs])
+                probs = maxent.splice_prob_np(codes, pos, k)
+                for i, p in zip(idxs, probs):
+                    s = splits[i]
+                    support = s if leftp else L - s
+                    if sufficient_prob_distant(support, nmms[i], float(p)):
+                        ends[(k, plusp)].append(SpliceEnd(
+                            s, nmms[i], float(p), left, plusp, sites[i]))
+    return ends
+
+
+@dataclass
+class DistantPair:
+    split: int
+    plusp: bool
+    sensep: bool           # sensedir: SENSE_FORWARD vs SENSE_ANTI
+    left_end: SpliceEnd    # substring covering aligned q0..split
+    right_end: SpliceEnd   # substring covering aligned split..L
+    donor_left: bool       # True when the donor is the LEFT part
+    splice_type: str       # consistent / scramble
+    distance: int
+    shortdistancep: bool
+    penalty: int
+    nmm_total: int
+
+    @property
+    def donor(self) -> SpliceEnd:
+        return self.left_end if self.donor_left else self.right_end
+
+    @property
+    def acceptor(self) -> SpliceEnd:
+        return self.right_end if self.donor_left else self.left_end
+
+
+def _min_endlength(nmm: int) -> int:
+    nonid = 1.0 - MIN_IDENTITY
+    return max(MIN_END_MATCHES, int(round(nmm / nonid)))
+
+
+def find_pairs(ends, L: int, max_mm_total: int, shortsplicedist: int):
+    """Pair splice ends level-by-level; the first mismatch level with
+    pairs sets found_score and ends the search (subopt_levels=0).
+
+    Pairing combos in ALIGNED coordinates (left-scan x right-scan on the
+    same aligned strand); the reference's eight per-strand lists reduce
+    to these because its minus-segment scan swaps the sense of every
+    list (stage1hr.c:12253 argument order).  sensedir: (donor,acceptor)
+    scans are SENSE_FORWARD on plus / SENSE_ANTI on minus (sections
+    1/8); (antiacceptor,antidonor) the reverse (sections 5/4).  The
+    pair's donor substring follows the SCAN kind: donor scan = left
+    part, antidonor scan = right part.  Genomic order: same-strand
+    genomicstart comparisons reduce to aligned order — consistent iff
+    the right part sits at the higher diagonal."""
+    pairs: list[DistantPair] = []
+    count = 0
+    for total in range(0, max_mm_total + 1):
+        level: list[DistantPair] = []
+        for lkind, rkind, donor_left in (
+            ("donor", "acceptor", True),
+            ("antiacceptor", "antidonor", False),
+        ):
+            for plusp in (True, False):
+                sensep = donor_left if plusp else not donor_left
+                for el in ends[(lkind, plusp)]:
+                    for er in ends[(rkind, plusp)]:
+                        if count > MAXCHIMERAPATHS:
+                            break
+                        if el.split != er.split:
+                            continue
+                        if el.nmm + er.nmm != total:
+                            continue
+                        if el.left == er.left:
+                            continue  # really a continuous match
+                        s = el.split
+                        if s < _min_endlength(el.nmm):
+                            continue
+                        if L - s < _min_endlength(er.nmm):
+                            continue
+                        if er.left > el.left:
+                            stype = "consistent"
+                            dist = er.left - el.left
+                            shortp = dist <= shortsplicedist
+                        else:
+                            stype = "scramble"
+                            dist = el.left - er.left
+                            shortp = False
+                        level.append(DistantPair(
+                            s, plusp, sensep, el, er, donor_left,
+                            stype, dist, shortp,
+                            LOCAL_PENALTY if shortp else DISTANT_PENALTY,
+                            total))
+                        count += 1
+        if level:
+            # per-level optimal-score filter: shortdistance (penalty 0)
+            # pairs dominate distant ones at the same mismatch level
+            best = min(p.nmm_total + p.penalty for p in level)
+            pairs.extend(p for p in level
+                         if p.nmm_total + p.penalty == best)
+            break
+    return pairs

@@ -45,6 +45,8 @@ class HostHit:
 
     @property
     def penalties(self) -> int:
+        if self.hittype == "distant":
+            return self.d.distant["penalty"]
         return PENALTY[self.hittype]
 
 
@@ -171,8 +173,8 @@ def optimal_pass(hits: list[HostHit], L: int, finalp: bool,
 
 # Hittype_T enum order (stage3hr.h:21-24): ties in overlap resolution go
 # to the LOWER hittype
-HITTYPE_ORDER = {"sub": 1, "ins": 2, "del": 3, "splice": 6, "gmap": 12,
-                 "terminal": 13}
+HITTYPE_ORDER = {"sub": 1, "ins": 2, "del": 3, "splice": 6, "distant": 6,
+                 "gmap": 12, "terminal": 13}
 
 
 def remove_overlaps(hits: list[HostHit], finalp: bool) -> list[HostHit]:

@@ -197,6 +197,9 @@ class PostHit:
     term_ends: tuple | None = None  # terminal endtypes (aligned order):
     # True = TERM, False = END, from spanning-seed positions
     # (stage1hr.c:9078 start/end_endtype vs index1interval)
+    distant: dict | None = None  # distant-splice info (sense, type,
+    # dist, sites, probs, per-part MD/NM, penalty, dinucl) for
+    # translocation rendering (XT tag / native transloc block)
 
 
 def encode_batch(records: list[Record], lmax: int):
@@ -540,6 +543,95 @@ class GsnapRunner:
                        ((0, L, left),), tuple(np.flatnonzero(mm_sel)),
                        nmatches, term_ends=term_ends)
 
+    def _distant_hits(self, rec: Record, hits, row: int, done: int):
+        """Step 9 distant/translocation splicing (stage1hr.c:12218):
+        runs only when the cascade found nothing and splicing is on."""
+        from . import distant as distant_mod
+        from . import rescue
+
+        L = len(rec.seq)
+        diags = []
+        seen = set()
+        for left, plusp, nmm in zip(hits["cand_left"][row],
+                                    hits["cand_plusp"][row],
+                                    hits["cand_nmm"][row]):
+            if int(nmm) >= 10**6:
+                continue
+            key = (int(left), bool(plusp))
+            if key not in seen:
+                seen.add(key)
+                diags.append(key)
+
+        def mm_fn(left, plusp):
+            q = rec.seq.upper() if plusp else dna.revcomp_str(rec.seq.upper())
+            conv = self._conv_plus if plusp else self._conv_minus
+            return self._mismatch_masks(q, left, conv)
+
+        max_mm = done - distant_mod.DISTANT_PENALTY
+        ends = distant_mod.find_spliceends(
+            diags, lambda lft, pp: mm_fn(lft, pp)[0], L, self._genome_str,
+            self.db.codes, max_mm, self.db.k)
+        pairs = distant_mod.find_pairs(ends, L, max_mm, SHORTSPLICEDIST)
+
+        qual = rec.quality if rec.quality else None
+        g = self._genome_str
+        out = []
+        for p in pairs:
+            el, er = p.left_end, p.right_end
+            s = p.split
+            selL, refL = mm_fn(el.left, p.plusp)
+            selR, refR = mm_fn(er.left, p.plusp)
+            posL = np.flatnonzero(selL)
+            posR = np.flatnonzero(selR)
+            mmpos = np.concatenate([posL[posL < s], posR[posR >= s]])
+            if qual is None:
+                qv = np.full(L, MAX_QUALITY_SCORE, int)
+            else:
+                qq = qual if p.plusp else qual[::-1]
+                qv = np.clip(np.frombuffer(qq.encode(), np.uint8).astype(int)
+                             - QUALITY_ADJ, 0, MAX_QUALITY_SCORE)
+            loglik = float(MISMATCH_LOGPROB[qv[mmpos]].sum()) if len(mmpos) else 0.0
+            parts_md = [(refL[:s], g[el.left : el.left + s]),
+                        (refR[s:], g[er.left + s : er.left + L])]
+            md1, nm1 = sam.md_gapped(parts_md[:1], [])
+            md2, nm2 = sam.md_gapped(parts_md[1:], [])
+            mdm, nmm_md = sam.md_gapped(parts_md, [None])
+            dsite, asite = p.donor.site, p.acceptor.site
+            # XT dinucleotides print in SENSE form; the scan kind sets
+            # the genomic layout (donor GT at [g,g+2) vs antidonor AC
+            # at [g-2,g), acceptor AG at [g-2,g) vs antiacceptor CT)
+            if p.donor_left:
+                ddn = g[dsite : dsite + 2]
+                adn = g[asite - 2 : asite]
+            else:
+                ddn = dna.revcomp_str(g[dsite - 2 : dsite])
+                adn = dna.revcomp_str(g[asite : asite + 2])
+            dinucl = f"{ddn}-{adn}".upper()
+            xs = "+" if p.sensep == p.plusp else "-"
+            info = dict(sense=p.sensep, type=p.splice_type, dist=p.distance,
+                        dsite=dsite, asite=asite, dprob=p.donor.prob,
+                        aprob=p.acceptor.prob, penalty=p.penalty,
+                        shortp=p.shortdistancep, dinucl=dinucl,
+                        md1=md1, nm1=nm1, md2=md2, nm2=nm2,
+                        md_merged=mdm, nm_merged=nmm_md)
+            total = p.nmm_total
+            if p.shortdistancep:
+                # consistent pair within shortsplicedist: an ordinary
+                # local SPLICE hit (one N-cigar record)
+                gap = p.distance
+                cigar = f"{s}M{gap}N{L - s}M"
+                ref_cons = L + gap
+            else:
+                cigar = ""
+                ref_cons = s
+            d = PostHit(el.left, p.plusp, 0, 0, total, L - total, loglik,
+                        mdm, cigar, ref_cons, xs, p.distance, 0,
+                        ((0, s, el.left), (s, L, er.left + s)),
+                        tuple(int(x) for x in mmpos), L - total,
+                        distant=info)
+            out.append(rescue.HostHit(d, "distant", L - total, mmpos, loglik))
+        return out
+
     def _gmap_hosthit(self, rec: Record):
         """GMAP rescue: align the read with the GMAP stack; returns a
         HostHit or None (align_single_hit_with_gmap, stage1hr.c:11009)."""
@@ -638,6 +730,20 @@ class GsnapRunner:
         budget = max((L + self.db.interval - 1) // spansize - 2, 0)
         best = int(hits["score"][row, 0]) if n > 0 else 10**6
         done = min(budget, best)
+
+        # 9. distant splicing: only when the cascade found NOTHING
+        # (stage1hr.c:12207 gating) and distant can beat alternatives
+        from . import distant as distant_mod
+
+        if (n == 0 and self.splicing_on
+                and done > distant_mod.DISTANT_PENALTY):
+            dh = self._distant_hits(rec, hits, row, done)
+            if dh:
+                hhits.extend(dh)
+                found = min(h.d.nmm_trimmed + h.d.distant["penalty"]
+                            for h in dh)
+                done = min(done, found)  # opt_level update, gates stage 10+
+
         gmap_cache = [False, None]
 
         def gmap_once():
@@ -749,6 +855,13 @@ class GsnapRunner:
 
         out = []
         for hi, d in enumerate(details):
+            if d.distant is not None:
+                out.append(self._sam_distant(
+                    rec, d, qual,
+                    mapqs[hi] if hi < len(mapqs) else 0,
+                    absmqs[hi] if hi < len(absmqs) else 0,
+                    second_absmq, n, hi))
+                continue
             chrnum = int(np.searchsorted(self.db.chr_ends, d.left, side="right"))
             chrpos = d.left - int(self.db.chr_starts[chrnum]) + 1
             pos = chrpos + d.trim5
@@ -780,6 +893,59 @@ class GsnapRunner:
                     secondary=hi > 0,
                 )
             )
+        return "".join(out)
+
+    def _sam_distant(self, rec: Record, d: PostHit, qual, mapq: int,
+                     absmq: int, second_absmq: int, nh: int, hi: int) -> str:
+        """Distant-splice SAM: one hard-clipped record per half with the
+        XT junction tag (samprint.c splice halves)."""
+        L = len(rec.seq)
+        (q1, q2, g1), (q3, q4, g2) = d.parts
+        info = d.distant
+        if info["shortp"]:
+            # consistent within shortsplicedist: single N-cigar record
+            chrnum = int(np.searchsorted(self.db.chr_ends, d.left,
+                                         side="right"))
+            pos = d.left - int(self.db.chr_starts[chrnum]) + 1
+            hit = sam.SEHit(
+                chrname=self.db.chr_names[chrnum], chrpos=pos,
+                plusp=d.plusp, cigar=d.cigar_core, md=info["md_merged"],
+                nm=info["nm_merged"], mapq=mapq, absmq=absmq,
+                second_absmq=second_absmq, xs=d.xs,
+            )
+            return sam.se_record(rec.label, rec.seq.upper(), qual, hit,
+                                 nh=nh, hi=hi + 1, secondary=hi > 0)
+        xt = (f"XT:Z:{info['dinucl']},{info['dprob']:.2f},"
+              f"{info['aprob']:.2f}")
+        out = []
+        halves = [
+            (q1, q2, g1, info["md1"], info["nm1"], True),
+            (q3, q4, g2, info["md2"], info["nm2"], False),
+        ]
+        if not d.plusp:
+            halves.reverse()  # records print in READ order
+        for (qs, qe, g0, md, nm, first) in halves:
+            chrnum = int(np.searchsorted(self.db.chr_ends, g0, side="right"))
+            pos = g0 - int(self.db.chr_starts[chrnum]) + 1
+            seg = qe - qs
+            cigar = (f"{qs}H" if qs else "") + f"{seg}M" + (
+                f"{L - qe}H" if qe < L else "")
+            # SEQ carries only the aligned half (hard clips); pass the
+            # READ-orientation slice so minus-strand revcomp applies
+            if d.plusp:
+                sseq = rec.seq.upper()[qs:qe]
+                squal = qual[qs:qe] if qual else None
+            else:
+                sseq = rec.seq.upper()[L - qe : L - qs]
+                squal = qual[L - qe : L - qs] if qual else None
+            hit = sam.SEHit(
+                chrname=self.db.chr_names[chrnum], chrpos=pos,
+                plusp=d.plusp, cigar=cigar, md=md, nm=nm, mapq=mapq,
+                absmq=absmq, second_absmq=second_absmq, xs=d.xs,
+            )
+            out.append(sam.se_record(
+                rec.label, sseq, squal, hit, nh=nh, hi=hi + 1,
+                secondary=hi > 0, extra=[xt]))
         return "".join(out)
 
     # ------------------------------------------------------------ paired-end

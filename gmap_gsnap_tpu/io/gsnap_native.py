@@ -62,16 +62,22 @@ def hit_lines(h, rec, genome_str: str, codes, chrname: str, chr_start: int,
 
     # junction descriptors between consecutive parts (aligned order)
     juncs = []
-    for (qs1, qe1, g1), (qs2, qe2, g2) in zip(parts, parts[1:]):
-        dq = qs2 - qe1                  # query gap (insertion)
-        gend1 = g1 + (qe1 - qs1)        # genome end of part 1
-        gap = g2 - gend1                # genomic gap (deletion / intron)
-        if dq > 0:
-            juncs.append(("ins", dq, gend1, g2))
-        elif "N" in d.cigar_core and h.hittype in ("splice", "gmap") and gap >= 9:
-            juncs.append(("intron", gap, gend1, g2))
-        else:
-            juncs.append(("del", gap, gend1, g2))
+    if h.hittype == "distant" and len(parts) == 2:
+        # distant splice: one junction, distance from the pair (the
+        # genomic gap may be negative for scrambles/translocations)
+        (qs1, qe1, g1), (_, _, g2) = parts
+        juncs.append(("intron", d.distant["dist"], g1 + (qe1 - qs1), g2))
+    else:
+        for (qs1, qe1, g1), (qs2, qe2, g2) in zip(parts, parts[1:]):
+            dq = qs2 - qe1                  # query gap (insertion)
+            gend1 = g1 + (qe1 - qs1)        # genome end of part 1
+            gap = g2 - gend1                # genomic gap (deletion / intron)
+            if dq > 0:
+                juncs.append(("ins", dq, gend1, g2))
+            elif "N" in d.cigar_core and h.hittype in ("splice", "gmap") and gap >= 9:
+                juncs.append(("intron", gap, gend1, g2))
+            else:
+                juncs.append(("del", gap, gend1, g2))
 
     # display rows share the read's column space (width L): deleted
     # bases / splice dinucleotides overprint into the dash region
@@ -133,7 +139,8 @@ def hit_lines(h, rec, genome_str: str, codes, chrname: str, chr_start: int,
 
     # splice annotations
     sense = None
-    if h.hittype in ("splice", "gmap") and any(j[0] == "intron" for j in juncs):
+    if (h.hittype in ("splice", "gmap", "distant")
+            and any(j[0] == "intron" for j in juncs)):
         sense = "sense" if (d.xs == "+") == d.plusp else "antisense"
 
     out = []
@@ -173,9 +180,18 @@ def hit_lines(h, rec, genome_str: str, codes, chrname: str, chr_start: int,
                 return f"ins:{n}"
             if kind == "del":
                 return f"del:{n}"
+            # intron boundary labels carry the ROLE of that side, set
+            # by the genomic sense strand (xs '+' = GT..AG on plus =
+            # donor on the aligned-left boundary); the maxent model
+            # kind already follows xs inside _model_prob
+            donor_left = d.xs == "+"
             if left_side_of_junction:
-                return f"donor:{_fmt_prob(_donor_prob(codes, gend1, d))}"
-            return f"acceptor:{_fmt_prob(_acceptor_prob(codes, g2, d))}"
+                name = "donor" if donor_left else "acceptor"
+                prob = _donor_prob(codes, gend1, d)
+            else:
+                name = "acceptor" if donor_left else "donor"
+                prob = _acceptor_prob(codes, g2, d)
+            return f"{name}:{_fmt_prob(prob)}"
 
         lab_lo = outer_label(d.plusp) if k == 0 else junc_label(k - 1, False)
         lab_hi = (outer_label(not d.plusp) if k == nsegs - 1
@@ -197,8 +213,10 @@ def hit_lines(h, rec, genome_str: str, codes, chrname: str, chr_start: int,
             if k < len(juncs) and juncs[k][0] == "intron":
                 dists.append(("2" if d.plusp else "1", juncs[k][1],
                               juncs[k][2]))      # donor coord
+            stype = (d.distant["type"] if h.hittype == "distant"
+                     else "consistent")
             for which, dist, sitepos in dists:
-                fields += f",dir:{sense},splice_type:consistent,splice_dist_{which}:{dist}"
+                fields += f",dir:{sense},splice_type:{stype},splice_dist_{which}:{dist}"
                 if splice_labels and sitepos in splice_labels:
                     fields += f",label_{which}:{splice_labels[sitepos]}"
 
@@ -226,6 +244,8 @@ def _align_score(h) -> int:
         return len(d.mmpos) + 2
     if h.hittype == "splice":
         return len(d.mmpos)
+    if h.hittype == "distant":
+        return len(d.mmpos) + d.distant["penalty"]
     # gmap: mismatches + indel/intron penalties (stage3hr.c:3179)
     njunc_indel = max(0, d.cigar_core.count("D") + d.cigar_core.count("I"))
     return len(d.mmpos) + 2 * njunc_indel
@@ -260,7 +280,12 @@ def read_block(rec, final_hits, genome_str, codes, chr_lookup, mapqs,
     qual = rec.quality if rec.quality else ""
     if not final_hits:
         return f">{rec.seq.upper()}\t0\t{qual}\t{rec.label}\n\n"
-    header = f">{rec.seq.upper()}\t{len(final_hits)}\t{qual}\t{rec.label}"
+    # UNPAIRED_TRANSLOC result marking (outbuffer.c:1031)
+    transloc = " (transloc)" if any(
+        h.hittype == "distant" and not h.d.distant["shortp"]
+        for h in final_hits) else ""
+    header = (f">{rec.seq.upper()}\t{len(final_hits)}{transloc}"
+              f"\t{qual}\t{rec.label}")
     lines = [header]
     for i, h in enumerate(final_hits):
         chrname, chr_start = chr_lookup(h.d.left)

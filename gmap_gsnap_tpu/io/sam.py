@@ -209,6 +209,7 @@ def se_record(
     nh: int = 1,
     hi: int = 1,
     secondary: bool = False,
+    extra: list[str] | None = None,
 ) -> str:
     if hit is None:
         fields = [
@@ -247,4 +248,6 @@ def se_record(
     ]
     if hit.xs:
         fields.append(f"XS:A:{hit.xs}")
+    if extra:
+        fields.extend(extra)
     return "\t".join(fields) + "\n"

@@ -218,3 +218,42 @@ def test_native_pe_halfmapping_rescue(tmp_path):
         ).stdout
         assert ref.splitlines() == mine.splitlines(), fmt
     assert "method:gmap" in mine or fmt == "sam"
+
+
+@needs_oracle
+def test_distant_splicing_translocations(tmp_path):
+    """Step 9 distant splicing: scramble/translocation pairs (native
+    '(transloc)' blocks + SAM hard-clipped halves with XT tags),
+    antisense and minus-strand variants, and the shortdistance fallback
+    near the genome edge — byte parity in both formats."""
+    seq = "".join(
+        l.strip() for l in open(FIXTURE) if not l.startswith(">")
+    ).upper()
+    rc = lambda s: s.translate(str.maketrans("ACGT", "TGCA"))[::-1]
+    don, acc = 199374, 229           # high-prob donor/acceptor (maxent)
+    aas, ads = 199937, 92            # high-prob antiacceptor/antidonor
+    r_scr = seq[don - 50 : don] + seq[acc : acc + 50]
+    r_long = seq[50 : 94] + seq[198434 : 198490]
+    r_anti = seq[aas - 50 : aas] + seq[ads : ads + 50]
+    reads = [("scr", r_scr), ("long", r_long), ("anti", r_anti),
+             ("scrM", rc(r_scr))]
+    fq = tmp_path / "d.fq"
+    with open(fq, "w") as f:
+        for n, r in reads:
+            f.write(f"@{n}\n{r}\n+\n{'I' * len(r)}\n")
+    ref, mine = _run(["-N1"], fq)
+    assert ref.splitlines() == mine.splitlines()
+    assert "(transloc)" in mine and "splice_type:scramble" in mine
+    ref = subprocess.run(
+        [ORACLE_GSNAP, "-D", ORACLE_DB, "-d", "chr17test", "-N1",
+         "-A", "sam", str(fq)],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=str(REPO))
+    mine = subprocess.run(
+        [sys.executable, "-m", "gmap_gsnap_tpu.cli.gsnap", "-D", ORACLE_DB,
+         "-d", "chr17test", "-N1", "-A", "sam", str(fq)],
+        capture_output=True, text=True, env=env, check=True,
+    ).stdout
+    assert ref.splitlines() == mine.splitlines()
+    assert "XT:Z:GT-AG" in mine
