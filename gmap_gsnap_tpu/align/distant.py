@@ -156,7 +156,8 @@ def _min_endlength(nmm: int) -> int:
     return max(MIN_END_MATCHES, int(round(nmm / nonid)))
 
 
-def find_pairs(ends, L: int, max_mm_total: int, shortsplicedist: int):
+def find_pairs(ends, L: int, max_mm_total: int, shortsplicedist: int,
+               chrnum_of=None):
     """Pair splice ends level-by-level; the first mismatch level with
     pairs sets found_score and ends the search (subopt_levels=0).
 
@@ -195,7 +196,11 @@ def find_pairs(ends, L: int, max_mm_total: int, shortsplicedist: int):
                             continue
                         if L - s < _min_endlength(er.nmm):
                             continue
-                        if er.left > el.left:
+                        if (chrnum_of is not None
+                                and chrnum_of(el.left) != chrnum_of(er.left)):
+                            # cross-chromosome translocation: distance 0
+                            stype, dist, shortp = "translocation", 0, False
+                        elif er.left > el.left:
                             stype = "consistent"
                             dist = er.left - el.left
                             shortp = dist <= shortsplicedist

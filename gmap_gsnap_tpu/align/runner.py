@@ -571,7 +571,10 @@ class GsnapRunner:
         ends = distant_mod.find_spliceends(
             diags, lambda lft, pp: mm_fn(lft, pp)[0], L, self._genome_str,
             self.db.codes, max_mm, self.db.k)
-        pairs = distant_mod.find_pairs(ends, L, max_mm, SHORTSPLICEDIST)
+        pairs = distant_mod.find_pairs(
+            ends, L, max_mm, SHORTSPLICEDIST,
+            chrnum_of=lambda left: int(np.searchsorted(
+                self.db.chr_ends, left, side="right")))
 
         qual = rec.quality if rec.quality else None
         g = self._genome_str

