@@ -19,6 +19,8 @@ def main(argv=None) -> int:
                    choices=["paths", "gff3_gene", "summary", "samse", "psl",
                             "splicesites", "introns", "map_genes", "map_exons"])
     p.add_argument("-A", action="store_true", help="alignment output")
+    p.add_argument("-S", dest="summary_only", action="store_true",
+                   help="summary output + exon table (no alignment rows)")
     p.add_argument("-Z", "--compress", action="store_true",
                    help="compressed output format")
     p.add_argument("-E", "--exons", default=None, choices=["cdna", "genomic"],
@@ -126,17 +128,19 @@ def main(argv=None) -> int:
                         rec.header, [path], chrname, chrlength, qstr, gstr, dbmode
                     )
                 )
-                if args.A:
+                if args.A or args.summary_only:
                     from ..io import gmap_align_fmt as afmt
 
                     cname = chrname if dbmode else None
+                    codes = db.codes if dbmode else None
                     sys.stdout.write("Alignments:\n")
                     sys.stdout.write("  Alignment for path 1:\n\n")
-                    sys.stdout.write(afmt.exon_table(path, chr_start, cname))
+                    sys.stdout.write(afmt.exon_table(path, chr_start, cname,
+                                                     codes=codes))
                     sys.stdout.write("\n")
-                    sys.stdout.write(
-                        afmt.alignment_body(path, qstr, gstr, chr_start, cname)
-                    )
+                    if args.A:
+                        sys.stdout.write(afmt.alignment_body(
+                            path, qstr, gstr, chr_start, cname))
     return 0
 
 

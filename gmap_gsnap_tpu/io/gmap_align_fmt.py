@@ -14,28 +14,75 @@ _BAR = {"canonical": ">", "gcag": ")", "atac": "]", "noncanonical": "="}
 _BAR_REV = {"canonical": "<", "gcag": "(", "atac": "[", "noncanonical": "="}
 
 
-def exon_table(path: Path, chr_start: int, chrname: str | None) -> str:
+_ARROW_FWD = {"canonical": "->", "gcag": "-)", "atac": "-]",
+              "noncanonical": "=="}
+_ARROW_REV = {"canonical": "<-", "gcag": "(-", "atac": "[-",
+              "noncanonical": "=="}
+
+
+def exon_table(path: Path, chr_start: int, chrname: str | None,
+               codes=None) -> str:
+    """Pair_print_exonsummary (pair.c:1524): per-exon summary lines
+    with percent identity, direction arrows, intron lengths, and (with
+    a genome) donor/acceptor site probabilities.  chrname mode prints
+    the signed chromosome once (Chrnum_to_string_signed); user-segment
+    mode (-g) prints bare offsets."""
     out = []
     L = path.querylength
     exons = path.exons if path.watsonp else list(reversed(path.exons))
-    pre = f"{chrname}:" if chrname else ""
+    itypes = list(getattr(path, "intron_types", ()) or ())
+    if not path.watsonp:
+        itypes = list(reversed(itypes))
+    sign = "+" if path.watsonp else "-"
+    # display direction: Path.cdna_direction is plus-text relative
+    fwd = (path.cdna_direction >= 0) == path.watsonp
     for i, e in enumerate(exons):
         ln = e.qend - e.qstart
-        pct = round(100.0 * e.matches / max(1, ln))
+        pct = int(100.0 * e.matches / max(1, ln))  # floor, pair.c:1594
         if path.watsonp:
             g1, g2 = e.gstart - chr_start + 1, e.gend - chr_start
             q1, q2 = e.qstart + 1, e.qend
         else:
             g1, g2 = e.gend - chr_start, e.gstart - chr_start + 1
             q1, q2 = L - e.qend + 1, L - e.qstart
-        line = f"    {pre}{g1}-{pre}{g2}  ({q1}-{q2})   {pct}%"
+        if chrname:
+            line = f"    {sign}{chrname}:{g1}-{g2}  ({q1}-{q2})   {pct}%"
+        else:
+            line = f"    {g1}-{g2}  ({q1}-{q2})   {pct}%"
         if i < len(exons) - 1:
             nxt = exons[i + 1]
             gap = (nxt.gstart - e.gend) if path.watsonp else (e.gstart - nxt.gend)
-            arrow = "->" if path.watsonp else "<-"
+            it = itypes[i] if i < len(itypes) else "noncanonical"
+            arrow = (_ARROW_FWD if fwd else _ARROW_REV)[it]
             line += f" {arrow}   ...{gap}..."
+            if codes is not None:
+                line += "  {:.3f}, {:.3f}".format(
+                    *_junction_probs(path, e, nxt, codes))
         out.append(line)
     return "".join(l + "\n" for l in out)
+
+
+def _junction_probs(path: Path, e, nxt, codes):
+    """Splice-site probabilities at the two boundaries of a DISPLAYED
+    junction, in display order (pair.c:1621-1631 donor/acceptor_score
+    calls; kinds follow cdna_direction and strand)."""
+    import numpy as np
+
+    from ..ops import maxent
+
+    # intron boundaries in plus coords; site kinds follow the plus-text
+    # direction, display order follows the strand
+    if path.watsonp:
+        istart, iend = e.gend, nxt.gstart
+    else:
+        istart, iend = nxt.gend, e.gstart
+    if path.cdna_direction >= 0:
+        k_start, k_end = "donor", "acceptor"
+    else:
+        k_start, k_end = "antiacceptor", "antidonor"
+    p_start = float(maxent.splice_prob_np(codes, np.array([istart]), k_start)[0])
+    p_end = float(maxent.splice_prob_np(codes, np.array([iend]), k_end)[0])
+    return (p_start, p_end) if path.watsonp else (p_end, p_start)
 
 
 def _columns(path: Path, qstr: str, gstr: str):
@@ -110,8 +157,14 @@ def exons_output(path: Path, header: str, qstr: str, gstr: str,
                  genomic: bool) -> str:
     """gmap -E cdna|genomic (Pair_print_exons, pair.c): per-exon
     sequence dumps; genomic mode annotates the translation phase."""
-    aa = tr.translate_forward(qstr)
-    frame, starti, endi, length, _ = tr.find_bounds_forward(aa)
+    from .gmap_out import _translation_bounds
+
+    tb = _translation_bounds(path, qstr, gstr)
+    t0 = tb[0] if tb else 0
+    length = tb[2] if tb else 0
+    # translation display direction: descending when the cDNA sense
+    # opposes the displayed strand
+    desc = (path.cdna_direction >= 0) != path.watsonp
     out = [f">{header}", "<path 1>"]
     exons = path.exons if path.watsonp else list(reversed(path.exons))
     L = path.querylength
@@ -123,10 +176,21 @@ def exons_output(path: Path, header: str, qstr: str, gstr: str,
             qs = L - e.qend
             seq = (dna.revcomp_str(gstr[e.gstart : e.gend]) if genomic
                    else dna.revcomp_str(qstr[e.qstart : e.qend]))
-        if not genomic and i == 0:
+        # phase omitted outside the translation: the cDNA phase
+        # (aaphase_e) is undefined anywhere outside the ORF, the
+        # genomic phase (aaphase_g) only beyond its 3' end
+        a0, b0 = (tb[0], tb[1]) if tb else (0, -1)
+        if desc:
+            beyond_end = qs < b0
+            outside = qs > a0 or beyond_end
+        else:
+            beyond_end = qs > b0
+            outside = qs < a0 or beyond_end
+        omit = (outside if not genomic else beyond_end) or not length
+        if omit:
             out.append(f"<exon {i+1}>")
         else:
-            phase = (qs - frame) % 3 if length else 0
+            phase = ((t0 - qs) if desc else (qs - t0)) % 3
             out.append(f"<exon {i+1}, phase {phase}>")
         out.append(_wrap50(seq).rstrip("\n"))
         out.append("</exon>")
@@ -149,7 +213,8 @@ def protein_output(path: Path, header: str, qstr: str, gstr: str,
     if length == 0:
         return f">{header}\n"
     prot = "".join(aa[i] for i in range(starti, endi + 1, 3))
-    prot = prot.rstrip("*")  # trailing stop codon is not printed
+    # neither the trailing stop codon nor a partial-codon blank prints
+    prot = prot.rstrip(" *")
     return f">{header}\n" + _wrap50(prot)
 
 

@@ -30,19 +30,34 @@ def _translation_bounds(path: Path, qstr: str, gstr: str):
         cols.append(seg)
         qpos_of_col.extend(range(e.qstart, e.qend))
     genome_cols = "".join(cols)
-    if not path.watsonp:
-        # query aligned to minus strand: columns are revcomp of plus text
-        genome_cols = dna.revcomp_str(genome_cols)
-        qpos_of_col = qpos_of_col  # caller passes exons in query order already
-    aa = tr.translate_forward(genome_cols)
+    # translate along the cDNA SENSE: plus-text direction >= 0 reads the
+    # ascending columns, < 0 their reverse complement
+    # (Translation_via_genomic forward/backward)
+    n = len(genome_cols)
+    if path.cdna_direction >= 0:
+        aa_text = genome_cols
+    else:
+        aa_text = dna.revcomp_str(genome_cols)
+    aa = tr.translate_forward(aa_text)
     frame, starti, endi, length, endstopp = tr.find_bounds_forward(aa)
     if length == 0:
         return None
-    leftpos = qpos_of_col[starti]
-    rightpos = min(qpos_of_col[endi] + 2, path.querylength - 1)
-    if endstopp and aa[endi] == "*":
+    stop = endstopp and aa[endi] == "*"
+    if stop:
         length -= 1
-    return leftpos, rightpos, length
+    # ORF end = last base of the last complete codon (stop included)
+    e2 = min(starti + 3 * (length + (1 if stop else 0)) - 1, n - 1)
+    if path.cdna_direction >= 0:
+        col_s, col_e = starti, e2
+    else:
+        col_s, col_e = n - 1 - starti, n - 1 - e2
+    L = path.querylength
+
+    def readpos(col):
+        qp = qpos_of_col[col]
+        return qp if path.watsonp else L - 1 - qp
+
+    return readpos(col_s), readpos(col_e), length
 
 
 def path_cigar_md(path: Path, qstr: str, gstr: str, sam_mode: str = "gmap"):
@@ -304,23 +319,28 @@ def path_summary(
     gs, ge = path.gstart + 1, path.gend
     if not path.watsonp:
         gs, ge = ge, gs
-    span = abs(path.gend - path.gstart)
+    # genomiclength prints signed: minus-strand displays descend
+    span = ge - gs + (1 if path.watsonp else -1)
     chrpfx = f"{chrname}:" if dbmode else ""
     out.append(
         f"  Path {pathnum}: query {path.qstart + 1}..{path.qend} "
         f"({path.qend - path.qstart} bp) => genome {chrpfx}"
         f"{_commafmt(gs)}..{_commafmt(ge)} ({span} bp)\n"
     )
-    sense = "sense" if path.cdna_direction > 0 else (
-        "antisense" if path.cdna_direction < 0 else "indeterminate")
+    # Path.cdna_direction is plus-text relative (GT..AG on plus = +1);
+    # the cDNA's own sense flips on the minus strand
+    ddir = path.cdna_direction if path.watsonp else -path.cdna_direction
+    sense = "sense" if ddir > 0 else (
+        "antisense" if ddir < 0 else "indeterminate")
     out.append(f"    cDNA direction: {sense}\n")
     strand = "+" if path.watsonp else "-"
     out.append(
         f"    Genomic pos: {chrpfx}{_commafmt(gs)}..{_commafmt(ge)} ({strand} strand)\n"
     )
     if dbmode:
+        alo, ahi = min(gs, ge), max(gs, ge)
         out.append(
-            f"    Accessions: {chrpfx}{_commafmt(gs)}..{_commafmt(ge)} "
+            f"    Accessions: {chrpfx}{_commafmt(alo)}..{_commafmt(ahi)} "
             f"(out of {chrlength} bp)\n"
         )
     out.append(f"    Number of exons: {len(path.exons)}\n")

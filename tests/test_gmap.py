@@ -191,3 +191,44 @@ def test_gmap_formats_oracle_parity(ref_tests):
             capture_output=True, text=True, env=env, check=True,
         ).stdout
         assert mine == ref, opts
+
+
+def test_summary_and_minus_strand_formats(ref_tests, tmp_path):
+    """gmap -S (summary + exon table with probs), and minus-strand
+    -S/-P/-Q/-E: antisense display direction, signed genomic span,
+    backward translation coordinates, phase omission rules."""
+    import os
+    import pathlib
+    import subprocess
+    import sys
+
+    oracle = "/tmp/refbuild/src/gmap"
+    odb = "/tmp/refbuild/trytest/gdb"
+    if not os.path.exists(oracle):
+        pytest.skip("reference oracle binaries not built")
+
+    her2 = str(ref_tests / "ss.her2")
+    lines = open(her2).read().split("\n")
+    seq = "".join(l for l in lines[1:] if l)
+    rc = seq[:1200].translate(str.maketrans("ACGTacgt", "TGCAtgca"))[::-1]
+    fam = tmp_path / "her2m.fa"
+    with open(fam, "w") as f:
+        f.write(">her2m test minus\n")
+        for i in range(0, len(rc), 60):
+            f.write(rc[i : i + 60] + "\n")
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=str(repo))
+    cases = [(["-S"], her2), (["-S"], str(fam)), (["-P"], str(fam)),
+             (["-Q"], str(fam)), (["-E", "cdna"], str(fam)),
+             (["-E", "genomic"], str(fam))]
+    for opts, inp in cases:
+        ref = subprocess.run(
+            [oracle, "-D", odb, "-d", "chr17test", *opts, inp],
+            capture_output=True, text=True, check=True,
+        ).stdout
+        mine = subprocess.run(
+            [sys.executable, "-m", "gmap_gsnap_tpu.cli.gmap", "-D", odb,
+             "-d", "chr17test", *opts, inp],
+            capture_output=True, text=True, env=env, check=True,
+        ).stdout
+        assert ref.splitlines() == mine.splitlines(), (opts, inp)
