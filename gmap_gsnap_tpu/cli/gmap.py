@@ -16,8 +16,10 @@ def main(argv=None) -> int:
     p.add_argument("-d", "--db")
     p.add_argument("-g", "--gseg", help="user-supplied genomic segment FASTA")
     p.add_argument("-f", "--format", default="paths",
-                   choices=["paths", "gff3_gene", "summary", "samse", "psl",
-                            "splicesites", "introns", "map_genes", "map_exons"])
+                   choices=["paths", "gff3_gene", "gff3_match_cdna",
+                            "gff3_match_est", "summary", "samse", "psl",
+                            "splicesites", "introns", "map_genes",
+                            "map_exons", "coords"])
     p.add_argument("-A", action="store_true", help="alignment output")
     p.add_argument("-S", dest="summary_only", action="store_true",
                    help="summary output + exon table (no alignment rows)")
@@ -115,6 +117,13 @@ def main(argv=None) -> int:
                 sys.stdout.write(gmap_out.map_output(
                     path, rec.label, rec.header, chrname,
                     args.format == "map_exons"))
+            elif args.format in ("gff3_match_cdna", "gff3_match_est"):
+                sys.stdout.write(gmap_out.gff3_match(
+                    path, 1, rec.label, chrname, db.dbname, qstr, gstr,
+                    est=args.format == "gff3_match_est"))
+            elif args.format == "coords":
+                sys.stdout.write(gmap_out.coords_output(
+                    path, rec.header, qstr, gstr, chrname, chr_start))
             elif args.format == "gff3_gene":
                 sys.stdout.write(
                     gmap_out.gff3_gene(

@@ -451,3 +451,282 @@ def gff3_gene(
                 f"Target={accession} {tq1} {tq2} {qstrand}\n"
             )
     return "".join(out)
+
+
+def _junction_runs(path: Path, qstr: str, gstr: str):
+    """Classify aligned-order junctions like path_cigar_md: returns a
+    list (len = nexons-1) of run lists, e.g. [("I", 5)], [("N", 6678)],
+    [("D", 5)] (a junction can carry both an I and a D run)."""
+    from ..align.gmap import intron_score
+
+    runs = []
+    prev = None
+    for e in path.exons:
+        if prev is not None:
+            j = []
+            dq = e.qstart - prev.qend
+            dg = e.gstart - prev.gend
+            if dq > 0:
+                j.append(("I", dq))
+            intronp = False
+            if dg >= MIN_INTRONLENGTH:
+                gl = gstr[prev.gend : prev.gend + 2]
+                gr = gstr[e.gstart - 2 : e.gstart]
+                _, itype = intron_score(gl, gr, path.cdna_direction, 1, True)
+                intronp = itype != "noncanonical" or dg > 50
+            if intronp:
+                j.append(("N", dg))
+            elif dg > 0:
+                j.append(("D", dg))
+            runs.append(j)
+        prev = e
+    return runs
+
+
+def gff3_match(path: Path, pathnum: int, accession: str, chrname: str,
+               dbname: str, qstr: str, gstr: str, est: bool) -> str:
+    """gff3_match_cdna / gff3_match_est (Pair_print_gff3 cDNA_match /
+    EST_match): match regions with CIGAR-style Gap attributes.
+
+    cDNA_match: one line per intron-delimited region in READ order,
+    indels inside a region folded into the Gap.  EST_match: a single
+    line spanning the whole path with N runs, genomic-ascending Gap,
+    query strand in Target, Coverage/Identity attributes."""
+    out = []
+    gid = f"{accession}.path{pathnum}"
+    L = path.querylength
+    runs = _junction_runs(path, qstr, gstr)
+
+    def pct(matches, mismatches, extra):
+        den = matches + mismatches + extra
+        return int(100.0 * matches / max(1, den))
+
+    if est:
+        gap = []
+        extra = 0
+        for i, e in enumerate(path.exons):
+            if i > 0:
+                for kind, n in runs[i - 1]:
+                    gap.append(f"{kind}{n}")
+                    if kind != "N":
+                        extra += n
+            gap.append(f"M{e.qend - e.qstart}")
+        # merge adjacent M runs (pure-I junctions leave two M entries)
+        merged = []
+        for r in gap:
+            if merged and r[0] == "M" and merged[-1][0] == "M":
+                merged[-1] = f"M{int(merged[-1][1:]) + int(r[1:])}"
+            else:
+                merged.append(r)
+        glo = path.exons[0].gstart + 1
+        ghi = path.exons[-1].gend
+        tstrand = "+" if path.watsonp else "-"
+        sc = pct(path.matches, path.mismatches, extra)
+        # strand column carries the cDNA direction sign (plus-text
+        # convention); intron-less paths are indeterminate ('?')
+        if not any(r[0] == "N" for r in merged):
+            gstrand = "?"
+        else:
+            gstrand = ("+" if path.cdna_direction > 0
+                       else "-" if path.cdna_direction < 0 else "?")
+        den = max(1, path.matches + path.mismatches + extra)
+        identity = 100.0 * path.matches / den
+        out.append(
+            f"{chrname}\t{dbname}\tEST_match\t{glo}\t{ghi}\t{sc}\t{gstrand}\t.\t"
+            f"ID={gid};Name={accession};Target={accession} 1 {L} {tstrand};"
+            f"Gap={' '.join(merged)};Coverage={path.coverage():.1f};"
+            f"Identity={identity:.1f}\n")
+        return "".join(out)
+
+    # cDNA_match: display (read) order, split at N junctions
+    exons = list(path.exons)
+    druns = list(runs)
+    if not path.watsonp:
+        exons = list(reversed(exons))
+        druns = list(reversed(druns))
+    strand = "+" if path.watsonp else "-"
+    region = []  # list of (exon, following_runs)
+    regions = []
+    for i, e in enumerate(exons):
+        region.append(e)
+        j = druns[i] if i < len(druns) else [("N", 0)]
+        if i == len(exons) - 1 or any(k == "N" for k, _ in j):
+            regions.append((region, ))
+            region = []
+    for (res,) in regions:
+        gap = []
+        matches = mism = extra = 0
+        for i, e in enumerate(res):
+            if i > 0:
+                # junction runs between res[i-1] and res[i] in read order
+                idx = exons.index(res[i - 1])
+                j = druns[idx]
+                for kind, n in (j if path.watsonp else reversed(j)):
+                    gap.append(f"{kind}{n}")
+                    extra += n
+            gap.append(f"M{e.qend - e.qstart}")
+            matches += e.matches
+            mism += e.mismatches
+        merged = []
+        for r in gap:
+            if merged and r[0] == "M" and merged[-1][0] == "M":
+                merged[-1] = f"M{int(merged[-1][1:]) + int(r[1:])}"
+            else:
+                merged.append(r)
+        glo = min(e.gstart for e in res) + 1
+        ghi = max(e.gend for e in res)
+        if path.watsonp:
+            q1 = res[0].qstart + 1
+            q2 = res[-1].qend
+        else:
+            q1 = L - res[0].qend + 1
+            q2 = L - res[-1].qstart
+        sc = pct(matches, mism, extra)
+        out.append(
+            f"{chrname}\t{dbname}\tcDNA_match\t{glo}\t{ghi}\t{sc}\t{strand}\t.\t"
+            f"ID={gid};Name={accession};Target={accession} {q1} {q2};"
+            f"Gap={' '.join(merged)}\n")
+    return "".join(out)
+
+
+def coords_output(path: Path, header: str, qstr: str, gstr: str,
+                  chrname: str, chr_start: int) -> str:
+    """gmap -f coords (Pair_print_coordinates, pair.c:1055): one row
+    per aligned pair in READ order.  Translation bookkeeping follows
+    the reference's dual phases: aapos and the genome-side letter
+    (aaphase_g) advance with GENOME bases, the query-side letter
+    (aaphase_e) with QUERY bases, so indels desynchronize the frames.
+    Insertion rows freeze the genome position, deletion rows print a
+    blank cDNA char at the frozen query position."""
+    out = [f">{header}\n"]
+    L = path.querylength
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
+
+    # column stream in ALIGNED order: (kind, qp, gp)
+    cols = []
+    prev = None
+    for e in path.exons:
+        if prev is not None:
+            for k in range(prev.qend, e.qstart):        # insertion
+                cols.append(("I", k, e.gstart))
+            if 0 < e.gstart - prev.gend < MIN_INTRONLENGTH:
+                for g in range(prev.gend, e.gstart):    # deletion
+                    cols.append(("D", e.qstart, g))
+        for k in range(e.qend - e.qstart):
+            cols.append(("M", e.qstart + k, e.gstart + k))
+        prev = e
+
+    # sense order (translation direction over the plus text)
+    fwd = path.cdna_direction >= 0
+    sense_cols = cols if fwd else list(reversed(cols))
+    qseq_parts = []
+    gseq_parts = []
+    iq_of = [None] * len(sense_cols)
+    ig_of = [None] * len(sense_cols)
+    for i, (kind, qp, gp) in enumerate(sense_cols):
+        qc = qstr[qp] if fwd else comp.get(qstr[qp], "N")
+        gc = gstr[gp] if fwd else comp.get(gstr[gp], "N")
+        if kind != "D":
+            iq_of[i] = len(qseq_parts)
+            qseq_parts.append(qc)
+        if kind != "I":
+            ig_of[i] = len(gseq_parts)
+            gseq_parts.append(gc)
+    qseq_s = "".join(qseq_parts)
+    gseq_s = "".join(gseq_parts)
+
+    tb = _translation_bounds(path, qstr, gstr)
+    s_q = s_g = None
+    ncod = 0
+    if tb is not None:
+        a0, b0, naa = tb
+        span = abs(b0 - a0) + 1
+        ncod = naa + (1 if span > 3 * naa else 0)  # stop codon included
+        for i, (kind, qp, gp) in enumerate(sense_cols):
+            if kind == "D":
+                continue
+            rp = qp if path.watsonp else L - 1 - qp
+            if rp == a0:
+                s_q = iq_of[i]
+                s_g = ig_of[i]
+                break
+    have_orf = s_q is not None and s_g is not None
+
+    def aa_of(seq, i):
+        c = seq[i : i + 3]
+        if len(c) < 3:
+            return "X"
+        return tr.get_codon(c[0], c[1], c[2])
+
+    # query-side letters (aa_e): assigned codon-by-codon from each
+    # genomic codon start while frames stay in sync; an out-of-frame
+    # indel assigns one stretched run of codons, then stops aa_e
+    # assignment for the rest of the alignment (translation.c
+    # mark_cdna_forward irregular branches)
+    qletter_cols = set()
+    if have_orf:
+        gstarts = [i for i, (kind, qp, gp) in enumerate(sense_cols)
+                   if kind == "M" and ig_of[i] is not None
+                   and 0 <= ig_of[i] - s_g < 3 * ncod
+                   and (ig_of[i] - s_g) % 3 == 0]
+        qcols = [i for i, (kind, _, _) in enumerate(sense_cols)
+                 if kind != "D"]
+        qindex = {i: n for n, i in enumerate(qcols)}
+        sync = True
+        for a, b in zip(gstarts, gstarts[1:] + [None]):
+            if not sync:
+                break
+            qa = qindex[a]
+            count = (qindex[b] - qa) if b is not None else 3
+            if count == 3:
+                qletter_cols.add(a)
+            elif count % 3 == 0:
+                for off in range(0, count, 3):
+                    qletter_cols.add(qcols[qa + off])
+            else:
+                for off in range(0, ((count + 2) // 3) * 3, 3):
+                    if qa + off < len(qcols):
+                        qletter_cols.add(qcols[qa + off])
+                sync = False
+
+    # annotate each SENSE column with (f1num, f1letter, f4letter)
+    ann = {}
+    prev_g = -1
+    for i, (kind, qp, gp) in enumerate(sense_cols):
+        ig = ig_of[i] if ig_of[i] is not None else prev_g
+        if ig_of[i] is not None:
+            prev_g = ig
+        f1num, f1letter, f4 = 0, "", ""
+        if have_orf:
+            off_g = (ig - s_g) if kind != "I" else (prev_g - s_g)
+            if off_g < 0:
+                f1num = 0
+            elif off_g >= 3 * ncod:
+                f1num = ncod
+            else:
+                f1num = off_g // 3 + 1
+                if i in qletter_cols or (
+                    kind == "I" and i in qletter_cols):
+                    f1letter = aa_of(qseq_s, iq_of[i])
+                if kind != "I" and off_g % 3 == 0:
+                    f4 = aa_of(gseq_s, ig)
+        ann[(kind, qp, gp)] = (f1num, f1letter, f4)
+
+    # emit in DISPLAY (read) order
+    sign = "+" if path.watsonp else "-"
+    disp = cols if path.watsonp else list(reversed(cols))
+    for kind, qp, gp in disp:
+        f1num, f1letter, f4 = ann[(kind, qp, gp)]
+        if path.watsonp:
+            qdisp = qstr[qp] if kind != "D" else " "
+            gdisp = gstr[gp] if kind != "I" else " "
+        else:
+            qdisp = comp.get(qstr[qp], "N") if kind != "D" else " "
+            gdisp = comp.get(gstr[gp], "N") if kind != "I" else " "
+        rp = (qp + 1) if path.watsonp else (L - qp)
+        glocal = gp - chr_start + 1
+        gabs = gp + 1
+        f1 = f"{f1num} {f1letter}" if f1letter else str(f1num)
+        out.append(f"{f1}\t{rp} {qdisp}\t{sign}{chrname}:{glocal} "
+                   f"{gabs} {gdisp}\t{f4}\n")
+    return "".join(out)

@@ -232,3 +232,47 @@ def test_summary_and_minus_strand_formats(ref_tests, tmp_path):
             capture_output=True, text=True, env=env, check=True,
         ).stdout
         assert ref.splitlines() == mine.splitlines(), (opts, inp)
+
+
+def test_gff3_match_and_coords_formats(ref_tests, tmp_path):
+    """gff3_match_cdna / gff3_match_est / coords byte parity on plus,
+    minus, and indel-bearing queries (Gap attributes, '?' strand for
+    intron-less paths, dual-phase coords rows around indels)."""
+    import os
+    import pathlib
+    import subprocess
+    import sys
+
+    oracle = "/tmp/refbuild/src/gmap"
+    odb = "/tmp/refbuild/trytest/gdb"
+    if not os.path.exists(oracle):
+        pytest.skip("reference oracle binaries not built")
+
+    her2 = str(ref_tests / "ss.her2")
+    lines = open(her2).read().split("\n")
+    hseq = "".join(l for l in lines[1:] if l)
+    rcq = hseq[:1200].translate(str.maketrans("ACGTacgt", "TGCAtgca"))[::-1]
+    seq = "".join(
+        l.strip() for l in open(ref_tests / "ss.chr17test")
+        if not l.startswith(">")
+    ).upper()
+    qfa = tmp_path / "q.fa"
+    with open(qfa, "w") as f:
+        f.write(">her2m test minus\n" + rcq + "\n")
+        f.write(">del5\n" + seq[130000:130400] + seq[130405:130800] + "\n")
+        f.write(">ins5\n" + seq[140000:140300] + "ACGTA"
+                + seq[140300:140600] + "\n")
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=str(repo))
+    for fmt in ("gff3_match_cdna", "gff3_match_est", "coords"):
+        for inp in (her2, str(qfa)):
+            ref = subprocess.run(
+                [oracle, "-D", odb, "-d", "chr17test", "-f", fmt, inp],
+                capture_output=True, text=True, check=True,
+            ).stdout
+            mine = subprocess.run(
+                [sys.executable, "-m", "gmap_gsnap_tpu.cli.gmap", "-D", odb,
+                 "-d", "chr17test", "-f", fmt, inp],
+                capture_output=True, text=True, env=env, check=True,
+            ).stdout
+            assert ref.splitlines() == mine.splitlines(), (fmt, inp)
