@@ -99,7 +99,8 @@ def main(argv=None) -> int:
 
             if args.compress:
                 sys.stdout.write(gmap_out.compressed_output(
-                    path, rec.label, 1, 1, chrname, chr_start))
+                    path, rec.label, 1, 1, chrname, chr_start,
+                    qstr=qstr, gstr=gstr))
             elif args.exons:
                 sys.stdout.write(afmt.exons_output(
                     path, rec.header, qstr, gstr, args.exons == "genomic"))

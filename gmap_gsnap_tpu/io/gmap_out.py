@@ -261,47 +261,172 @@ _INTRON_CHAR_REV = {"canonical": "<", "gcag": "(", "atac": "[", "noncanonical": 
 
 
 def compressed_output(path: Path, label: str, pathnum: int, npaths: int,
-                      chrname: str, chr_start: int) -> str:
-    """gmap -Z compressed format (Pair_print_compressed, pair.c)."""
+                      chrname: str, chr_start: int, qstr: str = "",
+                      gstr: str = "") -> str:
+    """gmap -Z compressed format (Pair_print_compressed, pair.c:6203).
+
+    Exon blocks are intron-delimited; mismatches ({run}x{base}),
+    insertions ({run}^{base}) and deletions ({run}v) break the match
+    runlength into tokens, identical consecutive tokens collapse as
+    token!count, and each block ends {run}{intron_char} or {run}*.
+    Non-GT-AG introns append their dinucleotides; the header identity
+    counts indels in the denominator (Stage3_fracidentity)."""
     L = path.querylength
     cov = path.coverage()
-    pct = path.identity()
     g1 = path.gstart - chr_start + 1
     g2 = path.gend - chr_start
-    # transcript sense: aligned-space direction is relative to the
-    # (possibly revcomped) aligned query
-    sense = "sense" if (path.cdna_direction > 0) == path.watsonp else "antisense"
-    if path.watsonp:
-        strand = "+"
-        hdr = (f">{label} {chrname} {pathnum}/{npaths} {L} {len(path.exons)} "
-               f"{cov:.1f} {pct:.1f} {path.qstart+1}..{path.qend} {g1}..{g2} "
-               f"{chrname}:{g1}..{g2} + dir:{sense}")
-    else:
-        strand = "-"
-        hdr = (f">{label} {chrname} {pathnum}/{npaths} {L} {len(path.exons)} "
-               f"{cov:.1f} {pct:.1f} {L-path.qend+1}..{L-path.qstart} "
-               f"{g2}..{g1} {chrname}:{g2}..{g1} - dir:{sense}")
-    out = [hdr]
+    fwd_disp = (path.cdna_direction >= 0) == path.watsonp
+    has_intron = False
+
     exons = path.exons if path.watsonp else list(reversed(path.exons))
-    itypes = path.intron_types if path.watsonp else list(reversed(path.intron_types))
-    for i, e in enumerate(exons):
-        ln = e.qend - e.qstart
-        epct = round(100.0 * e.matches / max(1, ln))
+    itypes = list(path.intron_types or ())
+    if not path.watsonp:
+        itypes = list(reversed(itypes))
+
+    # classify display junctions
+    juncs = []
+    for i in range(len(exons) - 1):
+        e, nxt = exons[i], exons[i + 1]
         if path.watsonp:
-            ga, gb = e.gstart - chr_start + 1, e.gend - chr_start
-            qa, qb = e.qstart + 1, e.qend
+            dq = nxt.qstart - e.qend
+            dg = nxt.gstart - e.gend
+            istart, iend = e.gend, nxt.gstart
         else:
-            ga, gb = e.gend - chr_start, e.gstart - chr_start + 1
-            qa, qb = L - e.qend + 1, L - e.qstart
-        if i < len(exons) - 1:
-            table = _INTRON_CHAR if path.watsonp else _INTRON_CHAR_REV
-            it = (itypes[i] if i < len(itypes) else "noncanonical")
+            dq = e.qstart - nxt.qend
+            dg = e.gstart - nxt.gend
+            istart, iend = nxt.gend, e.gstart
+        it = itypes[i] if i < len(itypes) else "noncanonical"
+        intronp = dg >= MIN_INTRONLENGTH and (it != "noncanonical" or dg > 50)
+        juncs.append((dq, dg, intronp, it, istart, iend))
+    if any(j[2] for j in juncs):
+        has_intron = True
+
+    # header identity counts indel bases in the denominator
+    # (Stage3_fracidentity)
+    nindel = sum(j[0] + (0 if j[2] else j[1]) for j in juncs)
+    den = path.matches + path.mismatches + nindel
+    pct = 100.0 * path.matches / max(1, den)
+
+    sense = ("sense" if path.cdna_direction > 0 else "antisense"
+             ) if has_intron and path.cdna_direction else "indet"
+    if not path.watsonp and sense != "indet":
+        sense = "antisense" if sense == "sense" else "sense"
+    if path.watsonp:
+        hdr = (f">{label} {chrname} {pathnum}/{npaths} {L} ")
+        qh = f"{path.qstart+1}..{path.qend}"
+        gh = f"{g1}..{g2}"
+        strand = "+"
+    else:
+        hdr = (f">{label} {chrname} {pathnum}/{npaths} {L} ")
+        qh = f"{L-path.qend+1}..{L-path.qstart}"
+        gh = f"{g2}..{g1}"
+        strand = "-"
+
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
+
+    def qdisp(qp):
+        c = qstr[qp] if qstr else "N"
+        return c if path.watsonp else comp.get(c, "N")
+
+    # regions split at intron junctions
+    regions = []
+    cur = [0]
+    for i, j in enumerate(juncs):
+        if j[2]:
+            regions.append(cur)
+            cur = []
+        cur.append(i + 1)
+    regions.append(cur)
+
+    nexons_hdr = len(regions)
+    hdr += (f"{nexons_hdr} {cov:.1f} {pct:.1f} {qh} {gh} "
+            f"{chrname}:{gh} {strand} dir:{sense}")
+    out = [hdr]
+
+    table = _INTRON_CHAR if fwd_disp else _INTRON_CHAR_REV
+    for rno, idxs in enumerate(regions):
+        tokens = []
+        run = 0
+        num = rden = 0
+        for k, i in enumerate(idxs):
+            e = exons[i]
+            if k > 0:
+                dq, dg, _, _, _, _ = juncs[idxs[k - 1]]
+                # indel junction inside the region, display order
+                ins_span = (range(exons[i].qstart - dq, exons[i].qstart)
+                            if path.watsonp else
+                            range(exons[i].qend, exons[i].qend + dq))
+                if path.watsonp:
+                    for qp in ins_span:
+                        tokens.append(f"{run}^{qdisp(qp)}")
+                        run = 0
+                    for _ in range(dg):
+                        tokens.append(f"{run}v")
+                        run = 0
+                else:
+                    for qp in reversed(list(ins_span)):
+                        tokens.append(f"{run}^{qdisp(qp)}")
+                        run = 0
+                    for _ in range(dg):
+                        tokens.append(f"{run}v")
+                        run = 0
+            # exon columns in display order
+            cols = range(e.qstart, e.qend)
+            if not path.watsonp:
+                cols = reversed(list(cols))
+            for qp in cols:
+                g = e.gstart + (qp - e.qstart)
+                qc = qstr[qp] if qstr else "N"
+                gc = gstr[g] if gstr else "N"
+                rden += 1
+                if qc == gc or qc == "N":
+                    num += 1
+                    run += 1
+                else:
+                    tokens.append(f"{run}x{qdisp(qp)}")
+                    run = 0
+        # region coordinates
+        res = [exons[i] for i in idxs]
+        if path.watsonp:
+            ga = res[0].gstart - chr_start + 1
+            gb = res[-1].gend - chr_start
+            qa = res[0].qstart + 1
+            qb = res[-1].qend
+        else:
+            ga = res[0].gend - chr_start
+            gb = res[-1].gstart - chr_start + 1
+            qa = L - res[0].qend + 1
+            qb = L - res[-1].qstart
+        epct = int(100.0 * num / max(1, rden))
+        last_intron = ""
+        if rno < len(regions) - 1:
+            dq, dg, _, it, istart, iend = juncs[idxs[-1]]
             ch = table.get(it, "=")
-            nxt = exons[i + 1]
-            intron = (nxt.gstart - e.gend) if path.watsonp else (e.gstart - nxt.gend)
-            out.append(f"\t{ga} {gb} {qa} {qb} {epct}\t{ln}{ch}\t{ln}\t{intron}")
+            tokens.append(f"{run}{ch}")
+            last_intron = f"\t{dg}"
+            if it != "canonical":
+                dd = (gstr[istart : istart + 2] if gstr else "NN").upper()
+                aa = (gstr[iend - 2 : iend] if gstr else "NN").upper()
+                if not fwd_disp:
+                    dd, aa = (dna.revcomp_str(aa), dna.revcomp_str(dd))
+                if not (dd == "GT" and aa == "AG"):
+                    last_intron += f"\t{dd}-{aa}"
         else:
-            out.append(f"\t{ga} {gb} {qa} {qb} {epct}\t{ln}*\t{ln}")
+            tokens.append(f"{run}*")
+        # collapse identical consecutive tokens
+        parts = []
+        lastt, count = None, 0
+        for t in tokens:
+            if t == lastt:
+                count += 1
+            else:
+                if lastt is not None:
+                    parts.append(lastt + (f"!{count}" if count > 1 else ""))
+                lastt, count = t, 1
+        if lastt is not None:
+            parts.append(lastt + (f"!{count}" if count > 1 else ""))
+        out.append(f"\t{ga} {gb} {qa} {qb} {epct}\t"
+                   + " ".join(parts) + f"\t{qb - qa + 1}" + last_intron)
     return "".join(l + "\n" for l in out)
 
 

@@ -264,15 +264,16 @@ def test_gff3_match_and_coords_formats(ref_tests, tmp_path):
                 + seq[140300:140600] + "\n")
     repo = pathlib.Path(__file__).resolve().parent.parent
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=str(repo))
-    for fmt in ("gff3_match_cdna", "gff3_match_est", "coords"):
+    for opts in (["-f", "gff3_match_cdna"], ["-f", "gff3_match_est"],
+                 ["-f", "coords"], ["-Z"]):
         for inp in (her2, str(qfa)):
             ref = subprocess.run(
-                [oracle, "-D", odb, "-d", "chr17test", "-f", fmt, inp],
+                [oracle, "-D", odb, "-d", "chr17test", *opts, inp],
                 capture_output=True, text=True, check=True,
             ).stdout
             mine = subprocess.run(
                 [sys.executable, "-m", "gmap_gsnap_tpu.cli.gmap", "-D", odb,
-                 "-d", "chr17test", "-f", fmt, inp],
+                 "-d", "chr17test", *opts, inp],
                 capture_output=True, text=True, env=env, check=True,
             ).stdout
-            assert ref.splitlines() == mine.splitlines(), (fmt, inp)
+            assert ref.splitlines() == mine.splitlines(), (opts, inp)
