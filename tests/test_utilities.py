@@ -125,3 +125,28 @@ def test_uniqscan_parity():
         ).stdout
         ours = _ours("uniqscan", "", "-D", ORACLE_DB, "-d", "chr17test", s)
         assert ours == ref
+
+
+@needs_oracle
+def test_get_genome_snp_modes():
+    """get-genome -v/-f SNP modes and the revcomp header quirk: byte
+    parity against the reference binary on a window containing a SNP
+    (built by our snpindex) and a clean window, forward and revcomp."""
+    oracle = "/tmp/refbuild/src/get-genome"
+    if not os.path.exists(oracle):
+        pytest.skip("reference get-genome not built")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=str(REPO))
+    for q in ("chr17test:15030..15100", "chr17test:15100..15030",
+              "chr17test:1000..1080"):
+        for opts in ([], ["-v", "snps"], ["-v", "snps", "-f", "1"],
+                     ["-v", "snps", "-f", "2"]):
+            ref = subprocess.run(
+                [oracle, "-D", ORACLE_DB, "-d", "chr17test", *opts, q],
+                capture_output=True, text=True, check=True,
+            ).stdout
+            mine = subprocess.run(
+                [sys.executable, "-m", "gmap_gsnap_tpu.cli.get_genome",
+                 "-D", ORACLE_DB, "-d", "chr17test", *opts, q],
+                capture_output=True, text=True, env=env, check=True,
+            ).stdout
+            assert ref == mine, (opts, q)
