@@ -61,16 +61,27 @@ def trim_term(mm: np.ndarray, side: str) -> int:
 
 
 def make_terminals(mm_fn, cand_left, cand_plusp, cand_nmm, L: int,
-                   max_mm: int, max_terminal_length: int, used=()):
-    """Build one-sided terminal candidates from unfiltered diagonals.
+                   max_mm: int, max_terminal_length: int, used=(),
+                   k: int = 12, interval: int = 3):
+    """Build terminal candidates from unfiltered diagonals
+    (find_terminals, stage1hr.c:9012).
 
-    mm_fn(left, plusp) -> selection mismatch vector bool[L].
-    used: diagonals consumed by indel/splice solvers — their segments
-    are marked usedp in the reference and skipped by find_terminals
-    (stage1hr.c:9054).
+    Two branches like the reference: segments whose SEED span exceeds
+    index1part create a terminal outright (trimming only TERM-typed
+    ends); short-seed segments need a clean-enough prefix/suffix.  The
+    acceptance gates are Substring_new's: trimmed length strictly over
+    min(L/3, 40) and the goodness test matches - 3*mismatches >= 0 —
+    there is NO done-level cap on trimmed mismatches.
+
+    used: diagonals consumed by sub/indel/splice hits — marked usedp in
+    the reference and skipped.
     Returns list of (left, plusp, trim5, trim3, nmm_trim, positions)."""
     minlength = min(L // 3, TERMINAL_MINLENGTH)
     mtl = min(max_terminal_length, L // 2)
+    lastpos = L - k
+    seedpos = list(range(0, max(lastpos, 0) + 1, interval))
+    if lastpos > 0 and lastpos not in seedpos:
+        seedpos.append(lastpos)
     out = []
     seen = set(used)
     for left, plusp, nmm_full in zip(cand_left, cand_plusp, cand_nmm):
@@ -83,21 +94,29 @@ def make_terminals(mm_fn, cand_left, cand_plusp, cand_nmm, L: int,
         pos = np.flatnonzero(mm)
         npos = len(pos)
         variants = []
-        # left-anchored (END/TERM): clean-enough prefix
-        if npos <= max_mm or pos[max_mm] > mtl:
-            t3 = trim_term(mm, "right")
-            variants.append((0, t3))
-        # right-anchored (TERM/END): clean-enough suffix
-        if npos <= max_mm or pos[npos - 1 - max_mm] < L - mtl:
-            t5 = trim_term(mm, "left")
-            variants.append((t5, 0))
+        present = [p for p in seedpos if not mm[p : p + k].any()]
+        if present and present[-1] - present[0] > k:
+            # long seed span: liberal terminal, trim TERM-typed ends
+            start_term = present[0] >= interval
+            end_term = present[-1] < lastpos - interval
+            t5 = trim_term(mm, "left") if start_term else 0
+            t3 = trim_term(mm, "right") if end_term else 0
+            variants.append((t5, t3))
+        else:
+            # short seed span: need a clean-enough end run
+            if npos <= max_mm or pos[max_mm] > mtl:
+                variants.append((0, trim_term(mm, "right")))
+            if npos <= max_mm or pos[npos - 1 - max_mm] < L - mtl:
+                variants.append((trim_term(mm, "left"), 0))
         for t5, t3 in variants:
-            span = slice(t5, L - t3)
-            nmm_trim = int(mm[span].sum())
-            if L - t5 - t3 <= minlength:
+            span = L - t5 - t3
+            nmm_trim = int(mm[t5 : L - t3].sum())
+            if span <= minlength:
                 continue
+            if (span - nmm_trim) - 3 * nmm_trim < 0:
+                continue  # Substring_new general goodness test
             if nmm_trim > max_mm:
-                continue
+                continue  # Stage3end_new_terminal recompute gate
             if t5 == 0 and t3 == 0 and nmm_full <= max_mm:
                 continue  # indistinguishable from a sub hit
             out.append((left, plusp, t5, t3, nmm_trim, pos))
@@ -151,8 +170,11 @@ def eventrim_score(h: HostHit, tl: int, tr: int, L: int) -> int:
 
 
 def optimal_pass(hits: list[HostHit], L: int, finalp: bool,
-                 keep_gmap: bool, subopt: int = 0) -> list[HostHit]:
-    if len(hits) <= 1:
+                 keep_gmap: bool, subopt: int = 0,
+                 cutoff: int | None = None) -> list[HostHit]:
+    if len(hits) <= 1 and cutoff is None:
+        return hits
+    if not hits:
         return hits
     tl, tr = common_region(hits, L, finalp)
     scores = {id(h): eventrim_score(h, tl, tr, L) for h in hits}
@@ -166,6 +188,9 @@ def optimal_pass(hits: list[HostHit], L: int, finalp: bool,
             out.append(h)
         elif keep_gmap and h.hittype == "gmap":
             out.append(h)
+        elif cutoff is not None and scores[id(h)] > cutoff:
+            # Stage3end_optimal_score cutoff_level elimination
+            pass
         elif scores[id(h)] <= minscore:
             out.append(h)
     return out
@@ -207,8 +232,13 @@ def remove_overlaps(hits: list[HostHit], finalp: bool) -> list[HostHit]:
 
 
 def select_final(hits: list[HostHit], L: int, improvement_fn=None,
-                 subopt: int = 0) -> list[HostHit]:
-    """The reference's post-cascade selection ladder (align_end tail)."""
+                 subopt: int = 0, cutoff: int | None = None) -> list[HostHit]:
+    """The reference's post-cascade selection ladder (align_end tail).
+
+    cutoff: the per-read cutoff_level (user_maxlevel); final passes
+    eliminate hits whose eventrim score exceeds it (Stage3end_
+    optimal_score).  Pass None for paired-end PRE-pairing selection,
+    where per-end cutoffs do not apply."""
     if not hits:
         return hits
     hits = optimal_pass(hits, L, finalp=False, keep_gmap=True, subopt=subopt)
@@ -217,18 +247,52 @@ def select_final(hits: list[HostHit], L: int, improvement_fn=None,
     if improvement_fn is not None:
         # good GMAP hits JOIN the pool; the terminals stay and the
         # final eventrim passes adjudicate (stage1hr.c:12497 List_append
-        # of good_gmap_hits AND terminals)
+        # of good_gmap_hits AND terminals).  improvement_fn receives
+        # the anchor hit so the caller can window the GMAP alignment
+        # around it (align_singleend_with_gmap genomic bounds).
         extra = None
         for h in hits:
             if (h.hittype == "terminal"
                     and h.d.trim5 + h.d.trim3 >= GMAP_IMPROVEMENT_TRIM):
-                g = improvement_fn()
+                g = improvement_fn(h)
                 if g is not None and g.nmatches > h.nmatches:
                     extra = g
         if extra is not None:
             hits = hits + [extra]
-    hits = optimal_pass(hits, L, finalp=True, keep_gmap=True, subopt=subopt)
+    hits = optimal_pass(hits, L, finalp=True, keep_gmap=True, subopt=subopt,
+                        cutoff=cutoff)
     hits = remove_overlaps(hits, finalp=True)
-    hits = optimal_pass(hits, L, finalp=True, keep_gmap=False, subopt=subopt)
+    hits = optimal_pass(hits, L, finalp=True, keep_gmap=False, subopt=subopt,
+                        cutoff=cutoff)
     hits.sort(key=lambda h: (-h.d.nmatches, -h.loglik))
     return hits
+
+
+import math as _math
+
+_L99 = _math.log(0.99)
+_L01 = _math.log(0.01)
+_L75 = _math.log(0.75)
+_L25 = _math.log(0.25)
+
+
+def bad_stretch_p(events) -> bool:
+    """Stage3_bad_stretch_p (stage3.c): 2-state Viterbi over aligned
+    columns; True when the GOOD state's best path would come through
+    BAD (a stretch of closely spaced mismatches/indels)."""
+    vg, vb = _L99, _L01
+    for mm in events:
+        if mm:
+            if vg + _L01 + _L99 > vb + _L01 + _L01:
+                ng = vg + _L01 + _L99
+            else:
+                return True
+            nb = max(vg + _L75 + _L01, vb + _L75 + _L99)
+        else:
+            if vg + _L99 + _L99 > vb + _L99 + _L01:
+                ng = vg + _L99 + _L99
+            else:
+                return True
+            nb = max(vg + _L25 + _L01, vb + _L25 + _L99)
+        vg, vb = ng, nb
+    return False

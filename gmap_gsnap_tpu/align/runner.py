@@ -681,6 +681,27 @@ class GsnapRunner:
                 gc = gstr[e.gstart + (qp - e.qstart)]
                 if qstr[qp] != gc and qstr[qp] != "N":
                     mmpos.append(qp)
+
+        # Stage3end_bad_stretch_p: reject GMAP hits whose aligned
+        # columns contain a Viterbi-detected bad stretch or too many
+        # indel breaks (stage3hr.c:882)
+        nindelbreaks = 0
+        events = []
+        prev = None
+        for e in path.exons:
+            if prev is not None:
+                dq = e.qstart - prev.qend
+                dg = e.gstart - prev.gend
+                intronp = dg >= 9 and (dq == 0)
+                if dq > 0 or (0 < dg < 9):
+                    nindelbreaks += 1
+                    events.extend([True] * (dq + (dg if dg < 9 else 0)))
+            for qp in range(e.qstart, e.qend):
+                gc = gstr[e.gstart + (qp - e.qstart)]
+                events.append(qstr[qp] != gc and qstr[qp] != "N")
+            prev = e
+        if nindelbreaks > 3 or rescue.bad_stretch_p(events):
+            return None
         qual = rec.quality if rec.quality else None
         if qual is None:
             qv = np.full(L, MAX_QUALITY_SCORE, int)
@@ -713,7 +734,7 @@ class GsnapRunner:
         return rescue.HostHit(d, "gmap", nmatches, np.array(mmpos, int), loglik)
 
     def _rescued_hits(self, rec: Record, hits, row: int, npaths: int,
-                      maxpaths: int):
+                      maxpaths: int, final_cutoff: bool = True):
         """Device hits + terminal lane + GMAP rescue -> final ordered
         HostHit list (align_end tail, stage1hr.c:12400-12530)."""
         from . import rescue
@@ -761,8 +782,10 @@ class GsnapRunner:
                 conv = self._conv_plus if plusp else self._conv_minus
                 return self._mismatch_masks(q, left, conv)[0]
 
-            # indel/splice diagonals are usedp in the reference and do
-            # not seed terminals (stage1hr.c solve_middle_* / solve_*splice)
+            # indel/splice solvers mark their diagonals usedp on the
+            # segment arrays that find_terminals reuses (spanning-set
+            # subs never touch segments), so only indel/splice
+            # diagonals are excluded from terminal seeding
             used = set()
             for i in range(n):
                 if int(hits["kind"][row, i]) != 0:
@@ -774,24 +797,48 @@ class GsnapRunner:
                 np.asarray(hits["cand_plusp"][row]),
                 np.asarray(hits["cand_nmm"][row]), L, done,
                 spansize + self.db.interval - 1, used=used,
+                k=self.db.k, interval=self.db.interval,
             )
             term_hits = []
             for left, plusp, t5, t3, nmm_trim, pos in terms:
                 d = self._terminal_hit(rec, left, plusp, t5, t3)
+                # HostHit.nmatches carries the WHOLE-region matches of
+                # the anchor diagonal: the GMAP acceptance compares
+                # against it, so main-diagonal anchors (high whole
+                # nmatches) reject a same-locus GMAP while junk anchors
+                # accept it; display still uses the trimmed d.nmatches
                 term_hits.append(rescue.HostHit(
-                    d, "terminal", d.nmatches, pos, d.loglik))
+                    d, "terminal", L - len(pos), pos, d.loglik))
             hhits.extend(term_hits)
             if term_hits and len(term_hits) <= rescue.MAX_GMAP_TERMINAL:
                 g = gmap_once()
+                # GMAP is anchored near each terminal (align_single_hit
+                # _with_gmap windows of hit +- (shortsplicedist +
+                # querylength)); a global alignment outside every
+                # anchor window would not have been found
+                win = (SHORTSPLICEDIST if self.splicing_on else 0) + 2 * L
                 if g is not None and any(
-                    g.nmatches > t.nmatches for t in term_hits
+                    g.nmatches > t.nmatches
+                    and abs(int(g.d.left) - int(t.d.left)) <= win
+                    for t in term_hits
                 ):
                     hhits.append(g)
 
         if not hhits:
             return []
+
+        win = (SHORTSPLICEDIST if self.splicing_on else 0) + 2 * L
+
+        def gmap_for_anchor(anchor):
+            g = gmap_once()
+            if g is None:
+                return None
+            if abs(int(g.d.left) - int(anchor.d.left)) > win:
+                return None  # outside the anchor's genomic window
+            return g
+
         return rescue.select_final(
-            hhits, L, improvement_fn=gmap_once,
+            hhits, L, improvement_fn=gmap_for_anchor,
             subopt=self.params.subopt_levels,
         )[:maxpaths]
 
@@ -1057,8 +1104,10 @@ class GsnapRunner:
 
         maxp = self.params.maxpaths
         e5, e3 = res["end5"], res["end3"]
-        f5 = self._rescued_hits(rec5, e5, row, int(e5["npaths"][row]), maxp)
-        f3 = self._rescued_hits(rec3_inv, e3, row, int(e3["npaths"][row]), maxp)
+        f5 = self._rescued_hits(rec5, e5, row, int(e5["npaths"][row]), maxp,
+                                final_cutoff=False)
+        f3 = self._rescued_hits(rec3_inv, e3, row, int(e3["npaths"][row]),
+                                maxp, final_cutoff=False)
         pairmax = gsnap_pe.PAIRMAX_RNA if self.splicing_on else gsnap_pe.PAIRMAX_DNA
         window = pairmax + SHORTSPLICEDIST
 
@@ -1130,7 +1179,8 @@ class GsnapRunner:
         from . import rescue
 
         def prank(p):
-            return (p[0].nmatches + p[1].nmatches,
+            # posttrim nmatches (hit_goodness_cmp), then Hittype order
+            return (p[0].d.nmatches + p[1].d.nmatches,
                     -(rescue.HITTYPE_ORDER.get(p[0].hittype, 99)
                       + rescue.HITTYPE_ORDER.get(p[1].hittype, 99)))
 

@@ -204,7 +204,9 @@ def hit_lines(h, rec, genome_str: str, codes, chrname: str, chr_start: int,
         # for subs, trimmed for terminals); multi-segment hits print
         # per-segment matches
         if nsegs == 1:
-            nmatches_seg = h.nmatches
+            # terminals display TRIMMED matches (h.nmatches carries the
+            # whole-region count for gmap-acceptance comparisons)
+            nmatches_seg = d.nmatches if h.hittype == "terminal" else h.nmatches
         else:
             nmatches_seg = (hi - lo) - sub
         fields = f"{first_lab}..{second_lab},matches:{nmatches_seg},sub:{sub}"

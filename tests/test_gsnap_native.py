@@ -298,3 +298,49 @@ def test_distant_cross_chromosome_translocation(tmp_path):
         ).stdout
         assert ref.splitlines() == mine.splitlines(), fmt
     assert "splice_type:translocation" not in ref or True
+
+
+@needs_oracle
+def test_end_trims_terminals_and_rescue_ladder(tmp_path):
+    """End-trimmed substitutions (soft-clipped mismatchy ends),
+    terminal endtype gates (seed-span branch, trimmed-mismatch cap),
+    and the windowed anchor-based GMAP acceptance — byte parity on
+    probe reads covering trim shapes and over-budget mismatch counts."""
+    seq = "".join(
+        l.strip() for l in open(FIXTURE) if not l.startswith(">")
+    ).upper()
+
+    def mut(r, poss):
+        r = list(r)
+        for i in poss:
+            r[i] = "A" if r[i] != "A" else "C"
+        return "".join(r)
+
+    base100 = seq[80000:80100]
+    base50 = seq[90000:90050]
+    reads = [
+        ("t97", mut(base100, [97])),            # tail trim 3
+        ("t30_97", mut(base100, [30, 97])),     # kept mm + tail trim
+        ("t31_34_97", mut(base100, [31, 34, 97])),
+        ("t96", mut(base100, [96])),            # no trim (ties to end)
+        ("l2", mut(base100, [2])),              # head trim 3
+        ("h3mm", mut(base50, [4, 5, 19])),      # over budget: terminal
+        ("h3mid", mut(base50, [11, 25, 40])),   # over budget: nomapping?
+    ]
+    fq = tmp_path / "t.fq"
+    with open(fq, "w") as f:
+        for n, r in reads:
+            f.write(f"@{n}\n{r}\n+\n{'I' * len(r)}\n")
+    for fmt in ("sam", "gsnap"):
+        ref = subprocess.run(
+            [ORACLE_GSNAP, "-D", ORACLE_DB, "-d", "chr17test"]
+            + (["-A", "sam"] if fmt == "sam" else []) + [str(fq)],
+            capture_output=True, text=True, check=True,
+        ).stdout
+        env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=str(REPO))
+        mine = subprocess.run(
+            [sys.executable, "-m", "gmap_gsnap_tpu.cli.gsnap", "-D", ORACLE_DB,
+             "-d", "chr17test", "-A", fmt, str(fq)],
+            capture_output=True, text=True, env=env, check=True,
+        ).stdout
+        assert ref.splitlines() == mine.splitlines(), fmt
