@@ -296,3 +296,157 @@ def bad_stretch_p(events) -> bool:
             nb = max(vg + _L25 + _L01, vb + _L25 + _L99)
         vg, vb = ng, nb
     return False
+
+
+# --------------------------------------------------- end indels (stage 6)
+# solve_end_indel_low/high + compute_end_indels_left/right
+# (stage1hr.c:5692/5848/5259/4819), gsnap.c defaults
+MIN_INDEL_END_MATCHES = 4
+MAX_END_INSERTIONS = 3
+MAX_END_DELETIONS = 6
+INDEL_PENALTY_END = 2
+
+
+def compute_end_indels_left(long_desc, shift_of, breakpoint: int, L: int,
+                            max_mm_short: int):
+    """compute_end_indels_left (stage1hr.c:5259, non-OLD branch).
+
+    long_desc: DESCENDING mismatch positions of the full read at the
+    main diagonal.  shift_of(delta) -> ASCENDING mismatch positions at
+    diagonal left+delta.  Insertions are tried first with sep
+    descending and ties overridden (<=), so deletions and smaller seps
+    win ties (genomic-low preference).  Returns (indel_pos, indels,
+    nmm_longcont, nmm_shift) or None."""
+    min_end = MIN_INDEL_END_MATCHES
+    max_ins = MAX_END_INSERTIONS
+    max_del = MAX_END_DELETIONS
+    if max_ins > breakpoint - min_end:
+        max_ins = breakpoint - min_end
+    best = [None, 250]  # (result, best_sum)
+    n_long = len(long_desc)
+    longx = list(long_desc) + [-1]
+
+    def walk(sep, indels, ipc_off):
+        shift = list(shift_of(indels))[: max_mm_short + 1]
+        n_shift = len(shift)
+        if n_shift == 0:
+            return
+        shiftx = shift + [L]
+        deln = indels < 0
+        shifti = n_shift - 1
+        conti = 0
+        while conti < n_long and longx[conti] > shiftx[shifti]:
+            conti += 1
+        ipc = longx[conti] + ipc_off
+        ips = shiftx[shifti]
+
+        def try_cand(ip, s, nshift):
+            if s <= best[1] and ip >= min_end and (not deln or ip >= sep):
+                nm = ip - nshift
+                if nm - 3 * nshift - 4 >= 0:
+                    best[0] = (ip, indels, conti, nshift)
+                    best[1] = s
+
+        while conti < n_long and shifti >= 0:
+            if ipc > ips:
+                try_cand(ipc, conti + shifti + 1, shifti + 1)
+                conti += 1
+                ipc = longx[conti] + ipc_off
+            elif ips > ipc:
+                try_cand(ips, conti + shifti, shifti)
+                shifti -= 1
+                ips = shiftx[shifti]
+            else:
+                try_cand(ips, conti + shifti, shifti)
+                conti += 1
+                shifti -= 1
+                ipc = longx[conti] + ipc_off
+                ips = shiftx[shifti]
+        if shifti < 0:
+            s = conti
+            if (s <= best[1] and ipc >= min_end
+                    and (not deln or ipc >= sep) and ipc >= 4):
+                best[0] = (ipc, indels, conti, 0)
+                best[1] = s
+
+    if max_ins > 0:
+        for sep in range(max_ins, 0, -1):
+            walk(sep, +sep, -sep + 1)
+    if max_del > 0:
+        for sep in range(max_del, 0, -1):
+            walk(sep, -sep, +1)
+    return best[0]
+
+
+def compute_end_indels_right(long_asc, shift_of, breakpoint: int, L: int,
+                             max_mm_short: int):
+    """compute_end_indels_right (stage1hr.c:4819, non-OLD branch).
+
+    long_asc: ASCENDING mismatch positions at the main diagonal.
+    shift_of(delta) -> DESCENDING mismatch positions at left+delta.
+    Deletions first with sep ascending and strict (<) comparisons, so
+    the FIRST best wins (genomic-low preference on the high side)."""
+    min_end = MIN_INDEL_END_MATCHES
+    max_ins = MAX_END_INSERTIONS
+    max_del = MAX_END_DELETIONS
+    length1 = L - breakpoint
+    if max_del > length1 - min_end:
+        max_del = length1 - min_end
+    if max_ins > length1 - min_end:
+        max_ins = length1 - min_end
+    best = [None, 250]
+    n_long = len(long_asc)
+    longx = list(long_asc) + [L]
+
+    def walk(sep, indels, ips_off, end_sub, sep_gate):
+        shift = list(shift_of(indels))[: max_mm_short + 1]
+        n_shift = len(shift)
+        if n_shift == 0:
+            return
+        shiftx = shift + [-1]
+        shifti = n_shift - 1
+        conti = 0
+        while conti < n_long and longx[conti] < shiftx[shifti]:
+            conti += 1
+        ipc = longx[conti]
+        ips = shiftx[shifti] + ips_off
+
+        def try_cand(ip, s, nshift):
+            if s < best[1]:
+                endlength = L - ip - end_sub
+                if endlength >= min_end and (not sep_gate or endlength >= sep):
+                    nm = endlength - nshift
+                    if nm - 3 * nshift - 4 >= 0:
+                        best[0] = (ip, indels, conti, nshift)
+                        best[1] = s
+
+        while conti < n_long and shifti >= 0:
+            if ipc < ips:
+                try_cand(ipc, conti + shifti + 1, shifti + 1)
+                conti += 1
+                ipc = longx[conti]
+            elif ips < ipc:
+                try_cand(ips, conti + shifti, shifti)
+                shifti -= 1
+                ips = shiftx[shifti] + ips_off
+            else:
+                try_cand(ips, conti + shifti, shifti)
+                conti += 1
+                shifti -= 1
+                ipc = longx[conti]
+                ips = shiftx[shifti] + ips_off
+        if shifti < 0:
+            s = conti
+            if s < best[1]:
+                endlength = L - ipc - end_sub
+                if (endlength >= min_end
+                        and (not sep_gate or endlength >= sep)
+                        and endlength >= 4):
+                    best[0] = (ipc, indels, conti, 0)
+                    best[1] = s
+
+    for sep in range(1, max_del + 1):
+        walk(sep, -sep, +1, 0, True)
+    for sep in range(1, max_ins + 1):
+        walk(sep, +sep, -sep + 1, sep, False)
+    return best[0]

@@ -543,6 +543,100 @@ class GsnapRunner:
                        ((0, L, left),), tuple(np.flatnonzero(mm_sel)),
                        nmatches, term_ends=term_ends)
 
+    def _end_indel_hits(self, rec: Record, hits, row: int, done: int):
+        """Stage 6 end indels (find_end_indels, stage1hr.c:6001):
+        indels near the read ends on candidate diagonals, solved with
+        the exact compute_end_indels_left/right merges."""
+        from . import rescue
+
+        L = len(rec.seq)
+        max_mm = done - rescue.INDEL_PENALTY_END
+        if max_mm < 0:
+            return []
+        k, iv = self.db.k, self.db.interval
+        firstbound = iv + (iv - 1) + k          # find_12mer_bounds
+        lastbound = (L - k) - iv - 1
+        out = []
+        seen = set()
+        for left, plusp, nmm_full in zip(hits["cand_left"][row],
+                                         hits["cand_plusp"][row],
+                                         hits["cand_nmm"][row]):
+            left = int(left)
+            plusp = bool(plusp)
+            if int(nmm_full) >= 10**6 or (left, plusp) in seen:
+                continue
+            seen.add((left, plusp))
+
+            def mask(lft):
+                q = (rec.seq.upper() if plusp
+                     else dna.revcomp_str(rec.seq.upper()))
+                conv = self._conv_plus if plusp else self._conv_minus
+                return self._mismatch_masks(q, lft, conv)[0]
+
+            asc = list(np.flatnonzero(mask(left)))
+            if not asc:
+                continue
+            desc = asc[::-1]
+
+            # LOW end (solve_end_indel_low): need a mismatch at or
+            # below firstbound
+            long_desc = desc[: max_mm + 1]
+            i = 0
+            while i < len(long_desc) and long_desc[i] > firstbound:
+                i += 1
+            if i < len(long_desc):
+                breakpoint = long_desc[i] + 1
+                r = rescue.compute_end_indels_left(
+                    long_desc,
+                    lambda d: list(np.flatnonzero(mask(left + d))),
+                    breakpoint, L, max_mm - i + 1)
+                if r is not None:
+                    pos, indels, nmm_lc, nmm_sh = r
+                    score = nmm_lc + nmm_sh + rescue.INDEL_PENALTY_END
+                    if indels > 0:
+                        d = self._hit_details(
+                            rec, KIND_INS, left + indels, left, pos,
+                            indels, False, plusp)
+                        h = rescue.HostHit(d, "ins", d.nmatches_whole,
+                                           np.array(d.mmpos, int), d.loglik)
+                    else:
+                        d = self._hit_details(
+                            rec, KIND_DEL, left + indels, left, pos,
+                            -indels, False, plusp)
+                        h = rescue.HostHit(d, "del", d.nmatches_whole,
+                                           np.array(d.mmpos, int), d.loglik)
+                    out.append((h, score, (left, plusp)))
+
+            # HIGH end (solve_end_indel_high): need a mismatch at or
+            # above lastbound
+            long_asc = asc[: max_mm + 1]
+            i = 0
+            while i < len(long_asc) and long_asc[i] < lastbound:
+                i += 1
+            if i < len(long_asc):
+                breakpoint = long_asc[i] - 1
+                r = rescue.compute_end_indels_right(
+                    long_asc,
+                    lambda d: list(np.flatnonzero(mask(left - d))[::-1]),
+                    breakpoint, L, max_mm - i + 1)
+                if r is not None:
+                    pos, indels, nmm_lc, nmm_sh = r
+                    score = nmm_lc + nmm_sh + rescue.INDEL_PENALTY_END
+                    if indels > 0:
+                        d = self._hit_details(
+                            rec, KIND_INS, left, left - indels, pos,
+                            indels, False, plusp)
+                        h = rescue.HostHit(d, "ins", d.nmatches_whole,
+                                           np.array(d.mmpos, int), d.loglik)
+                    else:
+                        d = self._hit_details(
+                            rec, KIND_DEL, left, left - indels, pos,
+                            -indels, False, plusp)
+                        h = rescue.HostHit(d, "del", d.nmatches_whole,
+                                           np.array(d.mmpos, int), d.loglik)
+                    out.append((h, score, (left, plusp)))
+        return out
+
     def _distant_hits(self, rec: Record, hits, row: int, done: int):
         """Step 9 distant/translocation splicing (stage1hr.c:12218):
         runs only when the cascade found nothing and splicing is on."""
@@ -755,11 +849,23 @@ class GsnapRunner:
         best = int(hits["score"][row, 0]) if n > 0 else 10**6
         done = min(budget, best)
 
+        # 6. end indels (host lane; the device covers middle indels)
+        end_used = set()
+        end_found = False
+        if done >= rescue.INDEL_PENALTY_END:
+            for h, score, anchor in self._end_indel_hits(rec, hits, row, done):
+                if score > done:
+                    continue
+                hhits.append(h)
+                end_used.add(anchor)
+                end_found = True
+                done = min(done, score + self.params.subopt_levels)
+
         # 9. distant splicing: only when the cascade found NOTHING
         # (stage1hr.c:12207 gating) and distant can beat alternatives
         from . import distant as distant_mod
 
-        if (n == 0 and self.splicing_on
+        if (n == 0 and not end_found and self.splicing_on
                 and done > distant_mod.DISTANT_PENALTY):
             dh = self._distant_hits(rec, hits, row, done)
             if dh:
@@ -786,7 +892,7 @@ class GsnapRunner:
             # segment arrays that find_terminals reuses (spanning-set
             # subs never touch segments), so only indel/splice
             # diagonals are excluded from terminal seeding
-            used = set()
+            used = set(end_used)
             for i in range(n):
                 if int(hits["kind"][row, i]) != 0:
                     pp = bool(hits["plusp"][row, i])

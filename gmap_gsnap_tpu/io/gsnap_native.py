@@ -112,10 +112,12 @@ def hit_lines(h, rec, genome_str: str, codes, chrname: str, chr_start: int,
     rows = []
     for k, (lo, hi, gstart, qs, qe, text, sub) in enumerate(seg_infos):
         row = "-" * qs + text
-        # junction decoration after this segment
+        # junction decoration after this segment; deleted genome bases
+        # print after the READ-order-first segment, which for minus
+        # hits is the FOLLOWING aligned segment (handled below)
         if k < len(juncs):
             kind, n, gend1, g2 = juncs[k]
-            if kind == "del":
+            if kind == "del" and d.plusp:
                 # deleted genome bases extend the row; trailing dashes
                 # count L - qe, except single-base deletions which the
                 # reference prints one dash short (observed quirk)
@@ -127,11 +129,17 @@ def hit_lines(h, rec, genome_str: str, codes, chrname: str, chr_start: int,
                 row += "-" * (L - qe)
         elif len(row) < width:
             row = row + "-" * (width - len(row))
-        # junction decoration before this segment (acceptor dinucl)
+        # junction decoration before this segment (acceptor dinucl /
+        # minus-strand deletion overprint)
         if k > 0:
             kindp, n, gend1, g2 = juncs[k - 1]
             if kindp == "intron" and qs >= 2:
                 row = row[: qs - 2] + genome_str[g2 - 2 : g2].lower() + row[qs:]
+            elif kindp == "del" and not d.plusp:
+                # deleted genome bases INSERT before the segment text
+                # (the display row grows by n)
+                row = (row[:qs] + genome_str[gend1 : g2].lower()
+                       + row[qs:])
         rows.append(row)
 
     # read-order: minus hits print segments reversed with flipped coords

@@ -344,3 +344,45 @@ def test_end_trims_terminals_and_rescue_ladder(tmp_path):
             capture_output=True, text=True, env=env, check=True,
         ).stdout
         assert ref.splitlines() == mine.splitlines(), fmt
+
+
+@needs_oracle
+def test_end_indels_and_minus_indel_display(tmp_path):
+    """Stage-6 end indels (solve_end_indel_low/high with the exact
+    compute_end_indels merges) and minus-strand native indel display
+    (deleted bases print after the read-order-first segment) — byte
+    parity in SAM and native formats, both ends and strands."""
+    seq = "".join(
+        l.strip() for l in open(FIXTURE) if not l.startswith(">")
+    ).upper()
+    rc = lambda s: s.translate(str.maketrans("ACGT", "TGCA"))[::-1]
+    b = seq[100000:100100]
+    cases = {
+        "ins_low": b[:6] + "CA" + b[6:98],
+        "del_low": seq[100000:100008] + seq[100013:100105],
+        "ins_high": b[:92] + "GTT" + b[92:97],
+        "del_high": seq[100000:100090] + seq[100094:100104],
+        "ins_lowM": rc(b[:6] + "CA" + b[6:98]),
+        "del_highM": rc(seq[100000:100090] + seq[100094:100104]),
+        "del1M": rc(seq[110000:110050] + seq[110051:110100]),
+        "del3M": rc(seq[112000:112050] + seq[112053:112100]),
+        "ins2M": rc(seq[114000:114050] + "GA" + seq[114050:114098]),
+    }
+    fq = tmp_path / "e.fq"
+    with open(fq, "w") as f:
+        for n, r in cases.items():
+            f.write(f"@{n}\n{r}\n+\n{'I' * len(r)}\n")
+    for fmt in ("sam", "gsnap"):
+        ref = subprocess.run(
+            [ORACLE_GSNAP, "-D", ORACLE_DB, "-d", "chr17test"]
+            + (["-A", "sam"] if fmt == "sam" else []) + [str(fq)],
+            capture_output=True, text=True, check=True,
+        ).stdout
+        env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=str(REPO))
+        mine = subprocess.run(
+            [sys.executable, "-m", "gmap_gsnap_tpu.cli.gsnap", "-D", ORACLE_DB,
+             "-d", "chr17test", "-A", fmt, str(fq)],
+            capture_output=True, text=True, env=env, check=True,
+        ).stdout
+        assert ref.splitlines() == mine.splitlines(), fmt
+    assert "2I" in ref or "I" in ref
