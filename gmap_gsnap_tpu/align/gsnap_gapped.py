@@ -445,11 +445,19 @@ def _strand_hits(genome, index, queries, codes, nflags, lengths, conv, alt,
     diag = _seed_diagonals(index, oligos, valid, base)
     top_d, votes = _top_diagonals(diag, base.ncand)
 
-    # substitution-only hits (full-span verify)
-    nmm_raw = gsnap_se._verify(genome, queries, top_d, lengths, conv, alt)
-    nmm_sub = jnp.where(nmm_raw <= budget[:, None], nmm_raw, BIG_NMM)
-
     mm, pref = _prefix_mm(genome, queries, top_d, lengths, conv, alt)
+
+    # substitution-only hits: the full-span verify count is the final
+    # prefix total (positions past each read's length are masked in the
+    # mismatch matrix, so the static last slice is exact) — shares
+    # _prefix_mm's genome fetch instead of a second span gather.
+    # Invalid diagonals become all-mismatch rows there; map them back to
+    # BIG_NMM to keep _verify's contract for the host rescue lanes.
+    dok = (top_d != INVALID_DIAG) & (
+        top_d + lengths.astype(jnp.uint32)[:, None] <= jnp.uint32(genome.length)
+    )
+    nmm_raw = jnp.where(dok, pref[:, :, -1], BIG_NMM)
+    nmm_sub = jnp.where(nmm_raw <= budget[:, None], nmm_raw, BIG_NMM)
 
     ii, jj, pv = _select_pairs(
         top_d,
