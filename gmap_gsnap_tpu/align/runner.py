@@ -279,9 +279,7 @@ class GsnapRunner:
             # alt flags in the file mark SNP positions, not Ns — use the
             # ref N flags for matching
             alt16, _ = genome_ops.pack16(alt_codes, db.flags)
-            import numpy as _np
-
-            alt16 = _np.concatenate([alt16, _np.full(2, 0xFFFFFFFF, _np.uint32)])
+            alt16 = genome_ops._pad_rows(alt16, 0xFFFFFFFF)
             import jax.numpy as _jnp
 
             self.alt = (_jnp.asarray(alt16), self.genome.flag16)

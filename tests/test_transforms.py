@@ -68,7 +68,7 @@ def test_snp_alt_genome_and_tolerance(ref_tests):
     # a read carrying the alt allele verifies with 0 both-diff mismatches
     genome = genome_ops.GenomeArrays.from_codes(g.codes, g.flags, g.chr_ends)
     alt16, _ = genome_ops.pack16(alt, g.flags)
-    alt16 = np.concatenate([alt16, np.full(2, 0xFFFFFFFF, np.uint32)])
+    alt16 = genome_ops._pad_rows(alt16, 0xFFFFFFFF)
     L = 100
     read = alt[4950 : 4950 + L][None, :]
     q = mm_ops.pack_queries(read.astype(np.uint8), np.zeros((1, L), bool),
