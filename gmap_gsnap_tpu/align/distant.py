@@ -221,4 +221,9 @@ def find_pairs(ends, L: int, max_mm_total: int, shortsplicedist: int,
             pairs.extend(p for p in level
                          if p.nmm_total + p.penalty == best)
             break
+    if count > MAXCHIMERAPATHS:
+        # too many candidate translocations: the reference discards ALL
+        # distant pairs (stage1hr.c:10035-10038 stage3list_gc on
+        # nsplicepairs > MAXCHIMERAPATHS) rather than keeping a subset
+        return []
     return pairs

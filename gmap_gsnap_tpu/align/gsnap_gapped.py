@@ -232,10 +232,14 @@ def _solve_indels(top_d, mm, pref, ii, jj, pvalid, lengths, budget, lmax: int):
     hi = jnp.where(is_del[:, :, None], L[:, :, None], L[:, :, None] - n)
     inb = (s >= MIN_INDEL_END_MATCHES) & (s <= hi - MIN_INDEL_END_MATCHES)
 
-    key = jnp.where(cand & inb, total * 512 + s, BIG_SCORE)
+    # pack (mismatch_sum, split) into one sortable key; radix derived
+    # from lmax so reads longer than a fixed constant can't corrupt
+    # the split position (next power of two >= lmax + 2)
+    radix = 1 << (lmax + 1).bit_length()
+    key = jnp.where(cand & inb, total * radix + s, BIG_SCORE)
     bestkey = jnp.min(key, axis=2)
-    split = bestkey % 512
-    best_sum = bestkey // 512
+    split = bestkey % radix
+    best_sum = bestkey // radix
 
     valid = (
         pvalid

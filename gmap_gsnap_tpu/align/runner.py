@@ -826,7 +826,7 @@ class GsnapRunner:
         return rescue.HostHit(d, "gmap", nmatches, np.array(mmpos, int), loglik)
 
     def _rescued_hits(self, rec: Record, hits, row: int, npaths: int,
-                      maxpaths: int, final_cutoff: bool = True):
+                      maxpaths: int):
         """Device hits + terminal lane + GMAP rescue -> final ordered
         HostHit list (align_end tail, stage1hr.c:12400-12530)."""
         from . import rescue
@@ -1208,10 +1208,9 @@ class GsnapRunner:
 
         maxp = self.params.maxpaths
         e5, e3 = res["end5"], res["end3"]
-        f5 = self._rescued_hits(rec5, e5, row, int(e5["npaths"][row]), maxp,
-                                final_cutoff=False)
+        f5 = self._rescued_hits(rec5, e5, row, int(e5["npaths"][row]), maxp)
         f3 = self._rescued_hits(rec3_inv, e3, row, int(e3["npaths"][row]),
-                                maxp, final_cutoff=False)
+                                maxp)
         pairmax = gsnap_pe.PAIRMAX_RNA if self.splicing_on else gsnap_pe.PAIRMAX_DNA
         window = pairmax + SHORTSPLICEDIST
 

@@ -24,11 +24,9 @@ def main(argv=None) -> int:
     p.add_argument("sequence")
     args = p.parse_args(argv)
 
-    import jax.numpy as jnp
-
-    from ..align import gsnap_gapped
+    from ..align import runner as runner_mod
     from ..db.datadir import GenomeDB
-    from ..utils import dna, jaxenv
+    from ..utils import jaxenv
 
     jaxenv.enable_compilation_cache()
     db = GenomeDB.open(
@@ -42,24 +40,24 @@ def main(argv=None) -> int:
         return 0
 
     lengths = np.arange(minlen, full + 1, dtype=np.int32)
-    b = len(lengths)
-    codes = np.zeros((b, full), np.uint8)
-    nflags = np.zeros((b, full), bool)
-    for i, sublen in enumerate(lengths):
+    records = []
+    for sublen in lengths:
         sub = seq[full - sublen :] if args.from_right else seq[:sublen]
-        c, f = dna.encode(sub)
-        codes[i, : sublen] = c
-        nflags[i, : sublen] = f
+        records.append(
+            runner_mod.Record(f"prefix{sublen}", f"prefix{sublen}", sub))
 
-    res = gsnap_gapped.align_batch_gapped(
-        db.device_genome, db.device_index,
-        jnp.asarray(codes), jnp.asarray(nflags), jnp.asarray(lengths),
-        gsnap_gapped.GappedParams(),
-    )
-    npaths = np.asarray(res["npaths"])
+    # all prefixes align in ONE device batch, then each row runs the
+    # full rescue ladder (end indels / terminals / distant / GMAP) so
+    # npaths matches the complete single-read engine the reference's
+    # uniqueness_scan invokes (uniqscan.c:378-452)
+    runner = runner_mod.GsnapRunner(db, lmax=full)
+    hits = runner.align_records(records)
     for i, sublen in enumerate(lengths):
-        print(f"{sublen}: {npaths[i]}")
-        if npaths[i] <= 1:
+        final = runner._rescued_hits(
+            records[i], hits, i, int(hits["npaths"][i]), maxpaths=100)
+        npaths = len(final)
+        print(f"{sublen}: {npaths}")
+        if npaths <= 1:
             break
     return 0
 
