@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..db.datadir import GenomeDB
@@ -227,6 +228,25 @@ def _chain_segments(segs, k: int = 12, max_intronlen: int = 1_000_000,
 
 # --------------------------------------------------------------- gap bridging
 
+def _match_vec(gstr_a: np.ndarray, qstr_a: np.ndarray, qs: int, qe: int,
+               diag: int) -> np.ndarray:
+    """bool[qe-qs]: query position q in [qs, qe) matches genome at
+    diag+q (out-of-genome positions are mismatches)."""
+    n = qe - qs
+    if n <= 0:
+        return np.zeros(0, bool)
+    gs, ge = diag + qs, diag + qe
+    G = len(gstr_a)
+    eq = np.zeros(n, bool)
+    glo, ghi = max(gs, 0), min(ge, G)
+    if glo < ghi:
+        off = glo - gs
+        eq[off : off + (ghi - glo)] = (
+            qstr_a[qs + off : qs + off + (ghi - glo)] == gstr_a[glo:ghi]
+        )
+    return eq
+
+
 def _bridge_intron(gstr, qstr, qL_end, qR_start, diagL, diagR,
                    cdna_direction, finalp=True):
     """Choose the splice point between two exon segments.
@@ -236,9 +256,10 @@ def _bridge_intron(gstr, qstr, qL_end, qR_start, diagL, diagR,
     Scans candidate split points r (query coordinate where the intron
     sits) over a peeled window, scoring exact matches on both sides +
     intron dinucleotide bonus, like bridge_intron_gap
-    (dynprog.c:3291-3600, use_probabilities_p false).
+    (dynprog.c:3291-3600, use_probabilities_p false); the split scan is
+    vectorized into prefix/suffix sums over the window.
 
-    Returns (r, score, introntype, left_prob, right_prob).
+    Returns (r, score, introntype).
     """
     peel = 11  # maxpeelback (gsnap.c:96, gmap.c default 11)
     lo = max(0, min(qL_end, qR_start) - peel)
@@ -246,30 +267,72 @@ def _bridge_intron(gstr, qstr, qL_end, qR_start, diagL, diagR,
     canonical_reward = (
         FINAL_CANONICAL_INTRON_HIGHQ if finalp else CANONICAL_INTRON_HIGHQ
     )
+    gstr_a = _as_bytes(gstr)
+    qstr_a = _as_bytes(qstr)
+    n = hi - lo
+    eqL = _match_vec(gstr_a, qstr_a, lo, hi, diagL)
+    eqR = _match_vec(gstr_a, qstr_a, lo, hi, diagR)
+    sL = np.where(eqL, FULLMATCH, MISMATCH_HIGHQ).astype(np.int64)
+    sR = np.where(eqR, FULLMATCH, MISMATCH_HIGHQ).astype(np.int64)
+    # scoreL(r) = sum sL[lo:r]; scoreR(r) = sum sR[r:hi]
+    prefL = np.concatenate([[0], np.cumsum(sL)])           # [n+1]
+    sufR = np.concatenate([np.cumsum(sR[::-1])[::-1], [0]])
 
-    best = None
-    for r in range(lo, hi + 1):
-        # left side: query [lo, r) on diagL; right side: query [r, hi) on diagR
-        scoreL = 0
-        for q in range(lo, r):
-            g = diagL + q
-            scoreL += FULLMATCH if (0 <= g < len(gstr) and qstr[q] == gstr[g]) else MISMATCH_HIGHQ
-        scoreR = 0
-        for q in range(r, hi):
-            g = diagR + q
-            scoreR += FULLMATCH if (0 <= g < len(gstr) and qstr[q] == gstr[g]) else MISMATCH_HIGHQ
-        gl = diagL + r       # first intron base (donor side)
-        gr = diagR + r - 1   # last intron base (acceptor side)
-        left_dinucl = gstr[gl : gl + 2]
-        right_dinucl = gstr[gr - 1 : gr + 1]
-        scoreI, introntype = intron_score(
-            left_dinucl, right_dinucl, cdna_direction, canonical_reward, finalp
-        )
-        total = scoreL + scoreI + scoreR
-        if best is None or total > best[1]:
-            best = (r, total, introntype)
-    r, _, introntype = best
-    return r, best[1], introntype
+    # intron bonus per split point r (r in lo..hi inclusive)
+    rr = np.arange(lo, hi + 1)
+    gl = diagL + rr                   # first intron base (donor side)
+    gr = diagR + rr - 1               # last intron base (acceptor side)
+    ld = _dinucl_at(gstr_a, gl)       # (gstr[gl], gstr[gl+1])
+    rd = _dinucl_at(gstr_a, gr - 1)
+    scoreI, itypes = _intron_score_vec(ld, rd, cdna_direction,
+                                       canonical_reward, finalp)
+    total = prefL + scoreI + sufR
+    best = int(np.argmax(total))      # first max, like the scan's '>'
+    return lo + best, int(total[best]), itypes[best]
+
+
+_ITYPE_NAMES = np.array(["noncanonical", "canonical", "gcag", "atac"])
+
+
+def _as_bytes(s) -> np.ndarray:
+    if isinstance(s, np.ndarray):
+        return s
+    return np.frombuffer(s.encode("latin-1"), np.uint8)
+
+
+def _dinucl_at(gstr_a: np.ndarray, pos: np.ndarray):
+    """(first, second) byte arrays at genome positions pos, pos+1 (0
+    outside the genome)."""
+    G = len(gstr_a)
+    p0 = np.clip(pos, 0, G - 1)
+    p1 = np.clip(pos + 1, 0, G - 1)
+    a = np.where((pos >= 0) & (pos < G), gstr_a[p0], 0)
+    b = np.where((pos + 1 >= 0) & (pos + 1 < G), gstr_a[p1], 0)
+    return a, b
+
+
+def _intron_score_vec(ld, rd, cdna_direction, canonical_reward, finalp):
+    """Vectorized intron_score over candidate split points: ld/rd are
+    (byte, byte) tuples for the left/right dinucleotides."""
+    la, lb = ld
+    ra, rb = rd
+    G, T, A, C = ord("G"), ord("T"), ord("A"), ord("C")
+    score = np.zeros(len(la), np.int64)
+    kind = np.zeros(len(la), np.int64)  # index into _ITYPE_NAMES
+    gcag = FINAL_GCAG_INTRON if finalp else GCAG_INTRON
+    atac = FINAL_ATAC_INTRON if finalp else ATAC_INTRON
+    for direction in ([cdna_direction] if cdna_direction else [+1, -1]):
+        if direction > 0:
+            combos = [((G, T, A, G), canonical_reward, 1),
+                      ((G, C, A, G), gcag, 2), ((A, T, A, C), atac, 3)]
+        else:
+            combos = [((C, T, A, C), canonical_reward, 1),
+                      ((C, T, G, C), gcag, 2), ((G, T, A, T), atac, 3)]
+        for (x1, x2, y1, y2), sc, ki in combos:
+            m = (la == x1) & (lb == x2) & (ra == y1) & (rb == y2) & (kind == 0)
+            score[m] = sc
+            kind[m] = ki
+    return score, _ITYPE_NAMES[kind]
 
 
 def _solve_indel_junction(gstr, qstr, qL_end, qR_start, diagL, diagR):
@@ -282,31 +345,26 @@ def _solve_indel_junction(gstr, qstr, qL_end, qR_start, diagL, diagR):
     nins = max(0, diagL - diagR)
     lo = max(0, min(qL_end, qR_start) - peel)
     hi = min(len(qstr) - nins, max(qL_end, qR_start) + peel)
-    best = None
-    for r in range(lo, hi + 1):
-        score = 0
-        for q in range(lo, r):
-            g = diagL + q
-            score += FULLMATCH if (0 <= g < len(gstr) and qstr[q] == gstr[g]) else MISMATCH_HIGHQ
-        for q in range(r + nins, hi + nins):
-            g = diagR + q
-            score += FULLMATCH if (0 <= g < len(gstr) and qstr[q] == gstr[g]) else MISMATCH_HIGHQ
-        if best is None or score > best[1]:
-            best = (r, score)
-    return best[0]
+    if hi < lo:
+        return lo
+    gstr_a = _as_bytes(gstr)
+    qstr_a = _as_bytes(qstr)
+    eqL = _match_vec(gstr_a, qstr_a, lo, hi, diagL)
+    eqR = _match_vec(gstr_a, qstr_a, lo + nins, hi + nins, diagR)
+    sL = np.where(eqL, FULLMATCH, MISMATCH_HIGHQ).astype(np.int64)
+    sR = np.where(eqR, FULLMATCH, MISMATCH_HIGHQ).astype(np.int64)
+    prefL = np.concatenate([[0], np.cumsum(sL)])
+    sufR = np.concatenate([np.cumsum(sR[::-1])[::-1], [0]])
+    total = prefL + sufR
+    return lo + int(np.argmax(total))
 
 
 # ------------------------------------------------------------------- pipeline
 
 def _count_matches(gstr, qstr, qs, qe, diag):
-    m = mm = 0
-    for q in range(qs, qe):
-        g = diag + q
-        if 0 <= g < len(gstr) and qstr[q] == gstr[g]:
-            m += 1
-        else:
-            mm += 1
-    return m, mm
+    eq = _match_vec(_as_bytes(gstr), _as_bytes(qstr), qs, qe, diag)
+    m = int(eq.sum())
+    return m, (qe - qs) - m
 
 
 def _extend_end(gstr, qstr, qpos, diag, direction, trim_mismatch_score=-3,
@@ -316,21 +374,33 @@ def _extend_end(gstr, qstr, qpos, diag, direction, trim_mismatch_score=-3,
     ties_extend=False keeps the SHORTER extension on score ties (the
     dynprog end BEST_LOCAL behavior)."""
     L = len(qstr)
-    best_score = 0
-    best_q = qpos
-    score = 0
-    q = qpos
-    while (q < L) if direction > 0 else (q >= 0):
-        g = diag + q
-        if 0 <= g < len(gstr) and qstr[q] == gstr[g]:
-            score += 1
-        else:
-            score += trim_mismatch_score
-        if score > best_score or (ties_extend and score == best_score):
-            best_score = score
-            best_q = q + (1 if direction > 0 else 0)
-        q += direction
-    return best_q
+    gstr_a = _as_bytes(gstr)
+    qstr_a = _as_bytes(qstr)
+    if direction > 0:
+        if qpos >= L:
+            return qpos
+        eq = _match_vec(gstr_a, qstr_a, qpos, L, diag)
+    else:
+        if qpos < 0:
+            return qpos
+        eq = _match_vec(gstr_a, qstr_a, 0, qpos + 1, diag)[::-1]
+    contrib = np.where(eq, 1, trim_mismatch_score).astype(np.int64)
+    score = np.cumsum(contrib)
+    if len(score) == 0:
+        return qpos
+    # ties_extend: '>=' updates -> LAST maximum; else '>' -> FIRST, and
+    # only strictly positive improvements move the endpoint
+    if ties_extend:
+        best = len(score) - 1 - int(np.argmax(score[::-1]))
+        take = score[best] >= 0
+    else:
+        best = int(np.argmax(score))
+        take = score[best] > 0
+    if not take:
+        return qpos
+    if direction > 0:
+        return qpos + best + 1
+    return qpos - best
 
 
 def align_cdna(db: GenomeDB, query: str, max_intronlen: int = 1_000_000,
@@ -340,25 +410,88 @@ def align_cdna(db: GenomeDB, query: str, max_intronlen: int = 1_000_000,
     extend_ends: extend the outer exons to the query bounds without
     trimming (the QUERYEND_NOGAPS end policy used when GSNAP invokes
     GMAP for rescue, stage1hr.c align_single_hit_with_gmap)."""
-    genome_str = db.genome_str
-    paths = []
-    for watsonp in (True, False):
-        qstr = query.upper() if watsonp else dna.revcomp_str(query.upper())
-        qcodes, qflags = dna.encode(qstr)
-        qpos, gpos = _kmer_hits(db, qcodes, qflags)
-        segs = _segments_from_hits(qpos, gpos, db.k)
-        chain = _chain_segments(segs, db.k, max_intronlen)
-        if not chain:
-            continue
-        path = _build_path(genome_str, qstr, chain, watsonp, db)
-        if path is not None:
-            if extend_ends:
-                _extend_path_to_ends(genome_str, qstr, path)
-            paths.append(path)
-    if not paths:
-        return None
-    paths.sort(key=lambda p: -(p.matches - 3 * p.mismatches))
+    paths = align_cdna_batch(db, [query], max_intronlen=max_intronlen,
+                             extend_ends=extend_ends)
     return paths[0]
+
+
+def _bucket(n: int, lo: int = 256) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+def align_cdna_batch(db: GenomeDB, queries: list[str],
+                     max_intronlen: int = 1_000_000,
+                     extend_ends: bool = False) -> "list[Path | None]":
+    """Batched cDNA alignment: seeding, segment extraction and chaining
+    for BOTH strands of EVERY query run as one device call
+    (gmap_engine.seed_segments_device); host work is O(segments) per
+    query.  Returns one best Path (or None) per query."""
+    from . import gmap_engine
+
+    genome_str = db.genome_str
+    B = len(queries)
+    qstrs = []
+    for query in queries:
+        qu = query.upper()
+        qstrs.append(qu)
+        qstrs.append(dna.revcomp_str(qu))
+
+    k = db.k
+    maxq = max((len(q) - k + 1 for q in qstrs), default=0)
+    if maxq <= 0:
+        return [None] * B
+    Q = _bucket(maxq)
+    rows = len(qstrs)
+    oligos = np.zeros((rows, Q), np.int64)
+    valid = np.zeros((rows, Q), bool)
+    codes_list = []
+    for i, qs in enumerate(qstrs):
+        qcodes, qflags = dna.encode(qs)
+        codes_list.append((qcodes, qflags))
+        n = len(qcodes) - k + 1
+        if n <= 0:
+            continue
+        oligos[i, :n] = dna.pack_kmers(qcodes, k)
+        bad = np.convolve(qflags.astype(int), np.ones(k, int), "valid") > 0
+        valid[i, :n] = ~bad
+
+    index = db.device_index
+    oligos_d = jnp.asarray(oligos.astype(np.int32))
+    valid_d = jnp.asarray(valid)
+    H = 8 * Q
+    while True:
+        segs = gmap_engine.seed_segments_device(
+            index.offsets, index.positions, oligos_d, valid_d,
+            k=k, H=H, S=192, threshold=100)
+        nhits = int(np.asarray(segs["nhits"]).max())
+        if nhits <= H:
+            break
+        H *= 4  # overflow rescue: re-run at a larger hit budget
+    chains = gmap_engine.chains_from_device(segs, rows, Q, k, max_intronlen)
+
+    out: list[Path | None] = []
+    for b in range(B):
+        paths = []
+        for strand in (0, 1):
+            row = 2 * b + strand
+            chain = chains[row]
+            if not chain:
+                continue
+            qstr = qstrs[row]
+            path = _build_path(genome_str, qstr, chain, strand == 0, db)
+            if path is not None:
+                if extend_ends:
+                    _extend_path_to_ends(genome_str, qstr, path)
+                paths.append(path)
+        if not paths:
+            out.append(None)
+            continue
+        paths.sort(key=lambda p: -(p.matches - 3 * p.mismatches))
+        out.append(paths[0])
+    return out
 
 
 def chop_path_ends(gstr: str, qstr: str, path: Path) -> None:
@@ -367,13 +500,14 @@ def chop_path_ends(gstr: str, qstr: str, path: Path) -> None:
     below the interior rate."""
     from .changepoint import chop_ends
 
+    gstr_a = _as_bytes(gstr)
+    qstr_a = _as_bytes(qstr)
     cols = []  # (exon_index, qpos, match)
     for ei, e in enumerate(path.exons):
         diag = e.gstart - e.qstart
-        for q in range(e.qstart, e.qend):
-            g = diag + q
-            m = 1 if (0 <= g < len(gstr) and qstr[q] == gstr[g]) else 0
-            cols.append((ei, q, m))
+        eq = _match_vec(gstr_a, qstr_a, e.qstart, e.qend, diag)
+        cols.extend(zip([ei] * (e.qend - e.qstart),
+                        range(e.qstart, e.qend), eq.astype(int)))
     if not cols:
         return
     chop_l, chop_r = chop_ends([c[2] for c in cols])

@@ -1,0 +1,185 @@
+"""Batched device GMAP stages: seeding, segment extraction, chaining,
+and junction solving.
+
+TPU re-design of the reference GMAP stack's compute path:
+
+  * stage1/stage2 seeding (stage1.c:3448 Stage1_compute,
+    oligoindex_hr.c:12358 Oligoindex_hr_tally + stage2.c:2921
+    align_compute_scores): instead of per-region 8-mer tallies and
+    per-querypos sparse DP, every query k-mer of a BATCH of queries is
+    looked up in the global positional index with two device gathers,
+    hits are sorted into diagonal segments with one device sort (the
+    heap-merge equivalent), and segments are chained with an
+    intron-aware sparse DP swept by one lax.scan — O(S^2) vector work
+    per query instead of Python loops;
+  * stage3 junction refinement (stage3.c:5633 traverse_genome_gap,
+    :5381 traverse_single_gap): ALL junctions of all chained paths are
+    solved in ONE batched call to the banded affine DP kernels
+    (ops/dynprog.py), replacing the reference's per-junction
+    Dynprog_genome_gap/Dynprog_single_gap calls.
+
+The host keeps only O(S) assembly work per query (chain backtracking,
+Path construction).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import dynprog as dp
+
+MIN_SEGLEN = 15
+MAX_INSERTLEN = 30
+MIN_INTRONLENGTH = 9
+PEEL = 11                  # maxpeelback (gsnap.c:96)
+EXTRAMATERIAL_PAIRED = 8   # gsnap.c:99
+EXTRABAND_PAIRED = 7       # gsnap.c:106
+EXTRABAND_SINGLE = 3       # gsnap.c:104
+
+
+# ------------------------------------------------------------- seed + segment
+
+@functools.partial(jax.jit, static_argnames=("k", "H", "S", "threshold"))
+def seed_segments_device(offsets, positions, oligos, valid,
+                         k: int, H: int, S: int, threshold: int):
+    """Device seeding + diagonal segment extraction.
+
+    oligos int32[B, Q]: packed k-mers per query position; valid bool.
+    The hit set (union of the index position runs of all kept oligos)
+    is enumerated COMPACTLY into H slots via an exclusive prefix sum
+    over per-oligo counts + one searchsorted (no [Q, cap] expansion):
+    slot t belongs to query position qidx = searchsorted(cum, t) at
+    run offset t - cumbase[qidx].  Hits emerge already qpos-ordered,
+    so one stable sort by diagonal yields (diag, qpos) order.
+
+    Returns per-row segment arrays [B, S] (qstart, qend, diag, valid)
+    ordered by (qstart, diag), diag biased by +Q, plus nhits int32[B]
+    (total hits; > H means slots overflowed and the caller should
+    re-run at a larger H bucket — the overflow rescue lane).
+    """
+    B, Q = oligos.shape
+    o = jnp.clip(oligos, 0, offsets.shape[0] - 2)
+    s = offsets[o].astype(jnp.int32)
+    e = offsets[o + 1].astype(jnp.int32)
+    cnt = e - s
+    keep = valid & (cnt > 0) & (cnt <= threshold)
+    cnt = jnp.where(keep, cnt, 0)
+
+    cum = jnp.cumsum(cnt, axis=1)                        # inclusive [B, Q]
+    nhits = cum[:, -1]
+    cumbase = cum - cnt                                  # exclusive
+    t = jnp.arange(H, dtype=jnp.int32)
+
+    qidx = jax.vmap(
+        lambda cu: jnp.searchsorted(cu, t, side="right"))(cum)
+    qidx = jnp.minimum(qidx, Q - 1)
+    ok = t[None, :] < jnp.minimum(nhits, H)[:, None]     # [B, H]
+    off = t[None, :] - jnp.take_along_axis(cumbase, qidx, axis=1)
+    pidx = jnp.take_along_axis(s, qidx, axis=1) + off
+    pidx = jnp.clip(pidx, 0, positions.shape[0] - 1)
+    pos = positions[pidx].astype(jnp.uint32)             # [B, H] gather
+
+    qq0 = qidx.astype(jnp.uint32)
+    diag_f = pos - qq0 + jnp.uint32(Q)                   # biased diagonal
+    diag_f = jnp.where(ok, diag_f, jnp.uint32(0xFFFFFFFF))
+
+    # hits are qpos-ascending by construction; one stable sort by diag
+    # gives (diag, qpos) order with invalid slots at the end
+    order = jnp.argsort(diag_f, axis=1, stable=True)
+    dg = jnp.take_along_axis(diag_f, order, axis=1)
+    qq = jnp.take_along_axis(qq0, order, axis=1).astype(jnp.int32)
+    oks = jnp.take_along_axis(ok, order, axis=1)
+
+    prev_d = jnp.concatenate([dg[:, :1] ^ 1, dg[:, :-1]], axis=1)
+    prev_q = jnp.concatenate([qq[:, :1], qq[:, :-1]], axis=1)
+    newseg = oks & ((dg != prev_d) | (qq - prev_q > 2 * k))
+
+    hidx = jnp.arange(H, dtype=jnp.int32)[None, :]
+    start_key = jnp.where(newseg, hidx, H)
+    starts = jnp.sort(start_key, axis=1)[:, :S]          # [B, S] start idx
+    seg_valid = starts < H
+    # segment end = next segment start - 1 (or last valid hit)
+    nstarts = jnp.concatenate(
+        [starts[:, 1:], jnp.full((B, 1), H, jnp.int32)], axis=1)
+    # hits beyond the last ok hit are not ok; find per-row last ok index
+    last_ok = jnp.sum(oks.astype(jnp.int32), axis=1) - 1   # sorted: ok first?
+    # NOTE: invalid hits have diag 0xFFFFFFFF and sort to the END, so
+    # ok hits occupy a prefix of the sorted order.
+    ends = jnp.minimum(nstarts - 1, last_ok[:, None])
+
+    sc = jnp.clip(starts, 0, H - 1)
+    ec = jnp.clip(ends, 0, H - 1)
+    seg_qstart = jnp.take_along_axis(qq, sc, axis=1)
+    seg_qend = jnp.take_along_axis(qq, ec, axis=1) + k
+    seg_diag = jnp.take_along_axis(dg, sc, axis=1)
+    seg_len = seg_qend - seg_qstart
+    seg_valid = seg_valid & (seg_len >= MIN_SEGLEN)
+
+    # order segments by (qstart, diag) for the chain DP
+    qkey = jnp.where(seg_valid, seg_qstart, jnp.int32(2**30))
+    o1 = jnp.argsort(seg_diag, axis=1, stable=True)
+    q1 = jnp.take_along_axis(qkey, o1, axis=1)
+    o2 = jnp.argsort(q1, axis=1, stable=True)
+    so = jnp.take_along_axis(o1, o2, axis=1)
+    seg_qstart = jnp.take_along_axis(seg_qstart, so, axis=1)
+    seg_qend = jnp.take_along_axis(seg_qend, so, axis=1)
+    seg_diag = jnp.take_along_axis(seg_diag, so, axis=1)
+    seg_valid = jnp.take_along_axis(seg_valid, so, axis=1)
+    seg_len = jnp.take_along_axis(seg_len, so, axis=1)
+
+    return dict(qstart=seg_qstart, qend=seg_qend, diag=seg_diag,
+                valid=seg_valid, nhits=nhits)
+
+
+def chains_from_device(segs, B: int, Q: int, k: int,
+                       max_intronlen: int = 1_000_000):
+    """Host chain DP + backtrack over the device-extracted segments.
+
+    The DP is the stage2-style sparse chaining of gmap.py
+    _chain_segments (gain = covered query length, intron-aware
+    transition penalties, strict-'>' first-wins ties); with <= S=192
+    segments per row it is vectorized-numpy work measured in
+    microseconds, far below the device-roundtrip cost of a 192-step
+    sequential scan.  Returns per-row chains
+    [(qstart, qend, gstart, diag)] ordered by query position."""
+    qstart = np.asarray(segs["qstart"]).astype(np.int64)
+    qend = np.asarray(segs["qend"]).astype(np.int64)
+    diag = np.asarray(segs["diag"]).astype(np.int64) - Q  # unbias
+    valid = np.asarray(segs["valid"])
+    S = qstart.shape[1]
+    NEG = -(2**60)
+    chains = []
+    for b in range(B):
+        nv = int(valid[b].sum())
+        if nv == 0:
+            chains.append([])
+            continue
+        qs, qe, d = qstart[b, :nv], qend[b, :nv], diag[b, :nv]
+        seglen = qe - qs
+        score = seglen.astype(np.int64).copy()
+        prev = np.full(nv, -1, np.int64)
+        for i in range(1, nv):
+            qgap = qs[i] - qe[:i]
+            gd = d[i] - d[:i]
+            ok = (gd <= max_intronlen) & (-gd <= MAX_INSERTLEN) & (qgap >= -k)
+            gain = seglen[i] + np.minimum(qgap, 0)
+            pen = np.maximum(qgap, 0) + np.where(
+                gd > 0, np.where(gd >= MIN_INTRONLENGTH, 25, 12),
+                np.where(gd < 0, 12, 0))
+            cand = np.where(ok, score[:i] + gain - pen, NEG)
+            j = int(np.argmax(cand))
+            if cand[j] > score[i]:
+                score[i] = cand[j]
+                prev[i] = j
+        i = int(np.argmax(score))
+        chain = []
+        while i >= 0:
+            chain.append((int(qs[i]), int(qe[i]),
+                          int(d[i] + qs[i]), int(d[i])))
+            i = int(prev[i])
+        chains.append(chain[::-1])
+    return chains

@@ -542,8 +542,11 @@ def _strand_hits(genome, index, queries, codes, nflags, lengths, conv, alt,
         "split": split, "nindels": nindels, "sense": sense,
         "prob_d": prob_d, "prob_a": prob_a,
     }, {
-        # unfiltered diagonal candidates (terminal/rescue lanes)
+        # unfiltered diagonal candidates (terminal/rescue lanes); the
+        # selection mismatch matrix rides along so host lanes consume
+        # the device verify output instead of re-deriving masks
         "cand_left": top_d, "cand_votes": votes, "cand_nmm": nmm_raw,
+        "cand_mm": mm,
     }
 
 

@@ -94,7 +94,11 @@ def make_terminals(mm_fn, cand_left, cand_plusp, cand_nmm, L: int,
         pos = np.flatnonzero(mm)
         npos = len(pos)
         variants = []
-        present = [p for p in seedpos if not mm[p : p + k].any()]
+        # clean k-window test for all seed positions at once
+        cs = np.concatenate([[0], np.cumsum(mm.astype(np.int32))])
+        sp = np.asarray(seedpos)
+        clean = cs[np.minimum(sp + k, len(mm))] - cs[sp] == 0
+        present = sp[clean].tolist()
         if present and present[-1] - present[0] > k:
             # long seed span: liberal terminal, trim TERM-typed ends
             start_term = present[0] >= interval

@@ -19,6 +19,7 @@ Post-processing replicates, per hit:
 
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass
 
@@ -249,9 +250,16 @@ class GsnapRunner:
         self.genome = db.device_genome
         # decoded genome string for MD computation
         self._genome_str = db.genome_str
+        self._genome_bytes = np.frombuffer(
+            self._genome_str.encode("latin-1"), np.uint8)
         self.index_minus = None
         self.alt = None
         self._alt_str = None
+        self._alt_bytes = None
+        self._gmap_cache: dict = {}
+        self._gmap_collect = None
+        self._gmap_rows: set = set()
+        self._gmap_row = -1
         mode = self.params.mode
         if snpsdb is not None:
             # SNP-tolerant: snp-substituted index + alt genome
@@ -284,6 +292,8 @@ class GsnapRunner:
 
             self.alt = (_jnp.asarray(alt16), self.genome.flag16)
             self._alt_str = dna.decode(alt_codes, db.flags)
+            self._alt_bytes = np.frombuffer(
+                self._alt_str.encode("latin-1"), np.uint8)
             self._conv_plus = self._conv_minus = None
             self._init_mesh()
             return
@@ -370,32 +380,40 @@ class GsnapRunner:
         return {k: np.asarray(v)[:b] for k, v in res.items()}
 
     # ------------------------------------------------------------------ host
+    @staticmethod
+    @functools.lru_cache(maxsize=8)
+    def _conv_lut(conv) -> np.ndarray:
+        """uint8[256] byte-translation table for a cmet/atoi conversion."""
+        lut = np.arange(256, dtype=np.uint8)
+        if conv is not None:
+            a, b = {"ct": "CT", "ga": "GA", "ag": "AG", "tc": "TC"}[conv]
+            lut[ord(a)] = ord(b)
+        return lut
+
+    _ACGT_SET = np.zeros(256, bool)
+    for _c in b"ACGT":
+        _ACGT_SET[_c] = True
+    del _c
+
     def _mismatch_masks(self, q: str, g0: int, conv) -> tuple[np.ndarray, np.ndarray]:
         """(selection mask, ref-relative mask) for query part ``q``
         aligned at genome position g0.  Selection honors cmet/atoi
-        conversion and SNP tolerance; MD/NM stay ref-relative."""
+        conversion and SNP tolerance; MD/NM stay ref-relative.
+        Vectorized over byte arrays — no per-character Python."""
         n = len(q)
-        gseq = self._genome_str[g0 : g0 + n]
-        if conv is not None:
-            a, b = {"ct": "CT", "ga": "GA", "ag": "AG", "tc": "TC"}[conv]
-            qc_ = q.replace(a, b)
-            gc_ = gseq.replace(a, b)
-        else:
-            qc_, gc_ = q, gseq
-        mm = np.zeros(n, bool)
-        for i, (qc, gc) in enumerate(zip(qc_, gc_)):
-            if qc == "N":
-                continue
-            if gc not in "ACGT" or qc != gc:
-                mm[i] = True
+        qb = np.frombuffer(q.encode("latin-1"), np.uint8)
+        gb = self._genome_bytes[g0 : g0 + n]
+        if len(gb) < n:  # past end of genome: mismatch
+            gb = np.concatenate([gb, np.zeros(n - len(gb), np.uint8)])
+        lut = self._conv_lut(conv)
+        qn = qb == ord("N")
+        mm = ~qn & (~self._ACGT_SET[gb] | (lut[qb] != lut[gb]))
         mm_ref = mm
-        if self._alt_str is not None:
-            aseq = self._alt_str[g0 : g0 + n]
-            mm_sel = mm.copy()
-            for i in np.flatnonzero(mm):
-                if q[i] == aseq[i]:
-                    mm_sel[i] = False
-            mm = mm_sel
+        if self._alt_bytes is not None:
+            ab = self._alt_bytes[g0 : g0 + n]
+            if len(ab) < n:
+                ab = np.concatenate([ab, np.zeros(n - len(ab), np.uint8)])
+            mm = mm & (qb != ab)
         return mm, mm_ref
 
     def _hit_details(self, rec: Record, kind: int, left: int, right: int,
@@ -654,14 +672,11 @@ class GsnapRunner:
                 seen.add(key)
                 diags.append(key)
 
-        def mm_fn(left, plusp):
-            q = rec.seq.upper() if plusp else dna.revcomp_str(rec.seq.upper())
-            conv = self._conv_plus if plusp else self._conv_minus
-            return self._mismatch_masks(q, left, conv)
+        mm_sel = self._cand_mm_fn(rec, hits, row, L)
 
         max_mm = done - distant_mod.DISTANT_PENALTY
         ends = distant_mod.find_spliceends(
-            diags, lambda lft, pp: mm_fn(lft, pp)[0], L, self._genome_str,
+            diags, mm_sel, L, self._genome_str,
             self.db.codes, max_mm, self.db.k)
         pairs = distant_mod.find_pairs(
             ends, L, max_mm, SHORTSPLICEDIST,
@@ -674,6 +689,13 @@ class GsnapRunner:
         for p in pairs:
             el, er = p.left_end, p.right_end
             s = p.split
+
+            def mm_fn(left, plusp):
+                q = (rec.seq.upper() if plusp
+                     else dna.revcomp_str(rec.seq.upper()))
+                conv = self._conv_plus if plusp else self._conv_minus
+                return self._mismatch_masks(q, left, conv)
+
             selL, refL = mm_fn(el.left, p.plusp)
             selR, refR = mm_fn(er.left, p.plusp)
             posL = np.flatnonzero(selL)
@@ -727,18 +749,83 @@ class GsnapRunner:
             out.append(rescue.HostHit(d, "distant", L - total, mmpos, loglik))
         return out
 
+    def _cand_mm_fn(self, rec: Record, hits, row: int, L: int):
+        """Selection-mismatch-mask lookup for candidate diagonals.
+
+        Serves the matrices the DEVICE verify stage already computed
+        (cand_mm rides along with cand_left/cand_plusp) so host rescue
+        lanes stop re-deriving masks per candidate; any diagonal not in
+        the candidate set falls back to the vectorized host mask."""
+        cache = {}
+        cand_mm = hits.get("cand_mm")
+        if cand_mm is not None:
+            cl = hits["cand_left"][row]
+            cp = hits["cand_plusp"][row]
+            for i in range(len(cl)):
+                cache.setdefault(
+                    (int(cl[i]), bool(cp[i])), cand_mm[row, i, :L])
+
+        def mm_fn(left, plusp):
+            v = cache.get((left, plusp))
+            if v is not None:
+                return v
+            q = rec.seq.upper() if plusp else dna.revcomp_str(rec.seq.upper())
+            conv = self._conv_plus if plusp else self._conv_minus
+            return self._mismatch_masks(q, left, conv)[0]
+
+        return mm_fn
+
     def _gmap_hosthit(self, rec: Record):
         """GMAP rescue: align the read with the GMAP stack; returns a
-        HostHit or None (align_single_hit_with_gmap, stage1hr.c:11009)."""
+        HostHit or None (align_single_hit_with_gmap, stage1hr.c:11009).
+
+        Results are cached by sequence; when ``self._gmap_collect`` is a
+        list (batch prefetch pass 1), the request is recorded and None
+        returned — the caller re-runs after prefetch_gmap() fills the
+        cache with ONE batched device call for the whole chunk."""
+        from . import gmap as gmap_mod
+
+        key = rec.seq
+        if key in self._gmap_cache:
+            return self._gmap_cache[key]
+        if self._gmap_collect is not None:
+            self._gmap_collect.append(rec)
+            self._gmap_rows.add(self._gmap_row)
+            return None
+        max_il = SHORTSPLICEDIST if self.splicing_on else 30
+        path = gmap_mod.align_cdna(self.db, rec.seq, max_intronlen=max_il,
+                                   extend_ends=True)
+        hit = self._gmap_path_to_hit(rec, path)
+        self._gmap_cache[key] = hit
+        return hit
+
+    def prefetch_gmap(self, recs: list[Record]) -> None:
+        """Batch-resolve GMAP rescue for many reads in one device call."""
+        from . import gmap as gmap_mod
+
+        todo = []
+        seen = set()
+        for r in recs:
+            if r.seq not in self._gmap_cache and r.seq not in seen:
+                seen.add(r.seq)
+                todo.append(r)
+        if not todo:
+            return
+        max_il = SHORTSPLICEDIST if self.splicing_on else 30
+        paths = gmap_mod.align_cdna_batch(
+            self.db, [r.seq for r in todo], max_intronlen=max_il,
+            extend_ends=True)
+        for r, path in zip(todo, paths):
+            self._gmap_cache[r.seq] = self._gmap_path_to_hit(r, path)
+
+    def _gmap_path_to_hit(self, rec: Record, path):
+        """Convert a GMAP Path into a rescue HostHit, applying the
+        reference acceptance gates (end chop, stage2 coverage, bad
+        stretch); vectorized over exon match masks."""
         from ..io import gmap_out
         from . import gmap as gmap_mod
         from . import rescue
 
-        # DNA-Seq mode zeroes shortsplicedist (gsnap.c:1699), so rescue
-        # GMAP cannot bridge introns; deletion-sized gaps still allowed
-        max_il = SHORTSPLICEDIST if self.splicing_on else 30
-        path = gmap_mod.align_cdna(self.db, rec.seq, max_intronlen=max_il,
-                                   extend_ends=True)
         if path is None or not path.exons:
             return None
         L = len(rec.seq)
@@ -747,21 +834,25 @@ class GsnapRunner:
         gmap_mod.chop_path_ends(gstr, qstr, path)
         if not path.exons:
             return None
+        qb = np.frombuffer(qstr.encode("latin-1"), np.uint8)
+        gb = self._genome_bytes
+
+        def exon_eq(e):
+            return gmap_mod._match_vec(gb, qb, e.qstart, e.qend,
+                                       e.gstart - e.qstart)
+
         # stage2 oligo-chain viability (Stage2_compute
         # proceed_pctcoverage=0.5, stage1hr.c:11257): exact runs >= the
         # oligoindex size must cover half the read or the rescue fails
         cov = 0
         for e in path.exons:
-            run = 0
-            for qp in range(e.qstart, e.qend):
-                if qstr[qp] == gstr[e.gstart + (qp - e.qstart)]:
-                    run += 1
-                else:
-                    if run >= 8:
-                        cov += run
-                    run = 0
-            if run >= 8:
-                cov += run
+            eq = exon_eq(e)
+            # run lengths of consecutive matches
+            d = np.diff(np.concatenate([[0], eq.astype(np.int8), [0]]))
+            starts = np.flatnonzero(d == 1)
+            ends = np.flatnonzero(d == -1)
+            runs = ends - starts
+            cov += int(runs[runs >= 8].sum())
         if cov * 2 < L:
             return None
         core, md, nm, has_intron = gmap_out.path_cigar_md(
@@ -769,10 +860,10 @@ class GsnapRunner:
         )
         mmpos = []
         for e in path.exons:
-            for qp in range(e.qstart, e.qend):
-                gc = gstr[e.gstart + (qp - e.qstart)]
-                if qstr[qp] != gc and qstr[qp] != "N":
-                    mmpos.append(qp)
+            eq = exon_eq(e)
+            qn = qb[e.qstart : e.qend] == ord("N")
+            mmpos.extend((np.flatnonzero(~eq & ~qn) + e.qstart).tolist())
+        mmpos.sort()
 
         # Stage3end_bad_stretch_p: reject GMAP hits whose aligned
         # columns contain a Viterbi-detected bad stretch or too many
@@ -784,15 +875,16 @@ class GsnapRunner:
             if prev is not None:
                 dq = e.qstart - prev.qend
                 dg = e.gstart - prev.gend
-                intronp = dg >= 9 and (dq == 0)
                 if dq > 0 or (0 < dg < 9):
                     nindelbreaks += 1
-                    events.extend([True] * (dq + (dg if dg < 9 else 0)))
-            for qp in range(e.qstart, e.qend):
-                gc = gstr[e.gstart + (qp - e.qstart)]
-                events.append(qstr[qp] != gc and qstr[qp] != "N")
+                    events.append(
+                        np.ones(dq + (dg if dg < 9 else 0), bool))
+            eq = exon_eq(e)
+            qn = qb[e.qstart : e.qend] == ord("N")
+            events.append(~eq & ~qn)
             prev = e
-        if nindelbreaks > 3 or rescue.bad_stretch_p(events):
+        events = np.concatenate(events) if events else np.zeros(0, bool)
+        if nindelbreaks > 3 or rescue.bad_stretch_p(events.tolist()):
             return None
         qual = rec.quality if rec.quality else None
         if qual is None:
@@ -881,10 +973,7 @@ class GsnapRunner:
             return gmap_cache[1]
 
         if done >= rescue.TERMINAL_THRESHOLD:
-            def mm_fn(left, plusp):
-                q = rec.seq.upper() if plusp else dna.revcomp_str(rec.seq.upper())
-                conv = self._conv_plus if plusp else self._conv_minus
-                return self._mismatch_masks(q, left, conv)[0]
+            mm_fn = self._cand_mm_fn(rec, hits, row, L)
 
             # indel/splice solvers mark their diagonals usedp on the
             # segment arrays that find_terminals reuses (spanning-set
@@ -1690,9 +1779,26 @@ class GsnapRunner:
                 for r in chunk3
             ]
             res = self.align_pairs(chunk5, chunk3_inv)
+            # pass 1 collects GMAP-rescue requests; one batched device
+            # call resolves them; affected pairs re-emit (pass 2)
+            self._gmap_collect = []
+            self._gmap_rows = set()
+            texts = []
             for j in range(len(chunk5)):
-                out.write(emit(chunk5[j], chunk3_inv[j], chunk3[j], res, j))
-                total += 1
+                self._gmap_row = j
+                texts.append(emit(chunk5[j], chunk3_inv[j], chunk3[j], res, j))
+            pending = self._gmap_collect
+            rows = self._gmap_rows
+            self._gmap_collect = None
+            if pending:
+                self.prefetch_gmap(pending)
+                for j in sorted(rows):
+                    texts[j] = emit(chunk5[j], chunk3_inv[j], chunk3[j],
+                                    res, j)
+            for t in texts:
+                out.write(t)
+            total += len(chunk5)
+            self._gmap_cache.clear()
         return total
 
     # ------------------------------------------------------------------ main
@@ -1710,9 +1816,27 @@ class GsnapRunner:
         for i in range(0, len(records), batch_size):
             chunk = records[i : i + batch_size]
             res = self.align_records(chunk)
+            # pass 1: GMAP-rescue requests are collected, not solved
+            self._gmap_collect = []
+            self._gmap_rows = set()
+            texts = []
             for j, rec in enumerate(chunk):
-                out.write(
-                    emit(rec, res, j, int(res["npaths"][j]), self.params.maxpaths)
-                )
-                total += 1
+                self._gmap_row = j
+                texts.append(emit(rec, res, j, int(res["npaths"][j]),
+                                  self.params.maxpaths))
+            pending = self._gmap_collect
+            rows = self._gmap_rows
+            self._gmap_collect = None
+            if pending:
+                # one batched device call resolves every rescue, then
+                # only the affected reads re-emit (pass 2)
+                self.prefetch_gmap(pending)
+                for j in sorted(rows):
+                    texts[j] = emit(chunk[j], res, j,
+                                    int(res["npaths"][j]),
+                                    self.params.maxpaths)
+            for t in texts:
+                out.write(t)
+            total += len(chunk)
+            self._gmap_cache.clear()
         return total
