@@ -1,14 +1,24 @@
-"""Benchmark: GSNAP-style single-end 100bp alignment throughput (reads/s).
+"""Benchmark: end-to-end GSNAP paired-end throughput (FASTQ -> SAM),
+plus device-only SE and batched GMAP cDNA rates.
 
-Workload: 8192 reads of 100 bp sampled from the chr17test fixture with
-0-3 random mutations, half reverse-complemented — the same workload used
-to measure the reference gsnap binary on this host's CPU:
+Primary metric (BASELINE.md: "GSNAP reads/s/chip (100 bp PE)"):
+GsnapRunner.run_pe measured INPUT->SAM-text, i.e. including parsing,
+host post-processing, rescue lanes and SAM emission — the same
+protocol as the reference's self-reported queries/sec
+(src/gsnap.c:2493-2494).
 
-    gsnap -D gdb -d chr17test -t 1 --format=sam bench.fq
-    -> "Processed 8192 queries in 5.61 seconds (1460.25 queries/sec)"
-    (8 threads: 1603 q/s; BASELINE_REF_QPS below)
+Reference numbers measured on THIS host (reference binaries built in
+/tmp/refbuild, single worker thread, chr17test DB):
 
-Prints ONE JSON line {metric, value, unit, vs_baseline}.
+  gsnap -t 1 --format=sam b_1.fq b_2.fq   (4096 pairs, 100 bp,
+      0-3 mutations/end, inserts 200-600, seed 7)
+      -> "Processed 4096 queries in 0.55 seconds (7447.27 queries/sec)"
+  gsnap -t 1 --format=sam bench.fq        (8192 SE reads, seed 42)
+      -> 1460.25 queries/sec
+  gmap -t 1 -f samse q.fa                 (64 spliced 3-exon cDNAs,
+      seed 7) -> 45.6 queries/sec
+
+Prints ONE JSON line {metric, value, unit, vs_baseline, extra}.
 """
 
 import json
@@ -17,29 +27,105 @@ import time
 
 import numpy as np
 
-BASELINE_REF_QPS = 1460.25  # reference gsnap, 1 thread, this workload
-BATCH = 2048
-NBATCHES = 4
+BASELINE_PE_QPS = 7447.27   # reference gsnap PE, 1 thread, this workload
+BASELINE_SE_QPS = 1460.25   # reference gsnap SE, 1 thread (r1 workload)
+BASELINE_GMAP_QPS = 45.6    # reference gmap, 1 thread, spliced cDNAs
+
+NPAIRS = 2048
+BATCH = 256
 L = 100
 
 
+def make_pe_workload(seq, npairs, rng):
+    comp = str.maketrans("ACGT", "TGCA")
+    r5, r3 = [], []
+    for i in range(npairs):
+        p = int(rng.integers(0, len(seq) - 700))
+        ins = int(rng.integers(2 * L, 600))
+        a = list(seq[p : p + L])
+        b = list(seq[p + ins - L : p + ins])
+        for r in (a, b):
+            for _ in range(int(rng.integers(0, 4))):
+                r[int(rng.integers(0, L))] = "ACGT"[int(rng.integers(0, 4))]
+        r5.append("".join(a))
+        r3.append("".join(b).translate(comp)[::-1])
+    return r5, r3
+
+
+def make_gmap_workload(seq, nq, rng):
+    out = []
+    for i in range(nq):
+        p = int(rng.integers(0, len(seq) - 30000))
+        exlens = rng.integers(200, 800, 3)
+        gaps = rng.integers(500, 8000, 2)
+        parts = []
+        g = p
+        for j, el in enumerate(exlens):
+            parts.append(seq[g : g + int(el)])
+            g += int(el) + (int(gaps[j]) if j < 2 else 0)
+        q = list("".join(parts))
+        for _ in range(int(rng.integers(0, 5))):
+            q[int(rng.integers(0, len(q)))] = "ACGT"[int(rng.integers(0, 4))]
+        out.append("".join(q))
+    return out
+
+
 def main() -> int:
+    import io
+    import tempfile
+
     import jax
     import jax.numpy as jnp
 
-    from gmap_gsnap_tpu.align import gsnap_se
+    from gmap_gsnap_tpu.align import gmap as gmap_mod
+    from gmap_gsnap_tpu.align import gsnap_gapped, gsnap_se
+    from gmap_gsnap_tpu.align import runner as runner_mod
     from gmap_gsnap_tpu.db import build, indexdb
+    from gmap_gsnap_tpu.db.datadir import GenomeDB
     from gmap_gsnap_tpu.ops import genome as genome_ops
+    from gmap_gsnap_tpu.utils import jaxenv
 
-    g = build.load_genome_fasta(["/root/reference/tests/ss.chr17test"])
-    genome = genome_ops.GenomeArrays.from_codes(g.codes, g.flags, g.chr_ends)
-    offsets, positions = indexdb.build_index(g.codes, g.flags, g.chr_ends, 12, 3)
-    index = gsnap_se.IndexArrays.from_host(offsets, positions, 12, 3)
+    jaxenv.enable_compilation_cache()
 
+    tmp = tempfile.mkdtemp()
+    dbdir = build.build_db(
+        ["/root/reference/tests/ss.chr17test"], "chr17test", tmp, k=12)
+    db = GenomeDB.open(dbdir, "chr17test")
+    seq = db.genome_str
+
+    # ---------------------------------------------- end-to-end PE (primary)
+    rng = np.random.default_rng(7)
+    r5, r3 = make_pe_workload(seq, NPAIRS, rng)
+    recs5 = [runner_mod.Record(f"b{i}", f"b{i}", s, "I" * L)
+             for i, s in enumerate(r5)]
+    recs3 = [runner_mod.Record(f"b{i}", f"b{i}", s, "I" * L)
+             for i, s in enumerate(r3)]
+    runner = runner_mod.GsnapRunner(db)
+    out = io.StringIO()
+    runner.run_pe(recs5[:BATCH], recs3[:BATCH], out)  # warmup / compile
+    t0 = time.time()
+    out = io.StringIO()
+    n = runner.run_pe(recs5, recs3, out, batch_size=BATCH)
+    dt = time.time() - t0
+    assert n == NPAIRS
+    sam_lines = sum(1 for l in out.getvalue().splitlines()
+                    if not l.startswith("@"))
+    assert sam_lines >= 2 * NPAIRS
+    pe_qps = NPAIRS / dt
+
+    # ---------------------------------------------- device-only SE
     rng = np.random.default_rng(42)
-    nreads = BATCH * NBATCHES
-    lefts = rng.integers(0, len(g.codes) - L, nreads)
-    codes = g.codes[lefts[:, None] + np.arange(L)[None, :]].copy()
+    g = db
+    genome = db.device_genome
+    index = db.device_index
+    nreads = 4 * 2048
+    codes_all = np.frombuffer(seq.encode(), np.uint8)
+    code_of = np.zeros(256, np.uint8)
+    for i, c in enumerate(b"ACGT"):
+        code_of[c] = i
+    gcodes = code_of[codes_all]
+    lefts = rng.integers(0, len(seq) - L, nreads)
+    codes = gcodes[lefts[:, None] + np.arange(L)[None, :]].copy()
     nmut = rng.integers(0, 4, nreads)
     for i in range(nreads):
         for _ in range(nmut[i]):
@@ -48,49 +134,46 @@ def main() -> int:
     codes[rc] = (codes[rc, ::-1] ^ 3).astype(np.uint8)
     nflags = np.zeros((nreads, L), bool)
     lengths = np.full(nreads, L, np.int32)
-
-    from gmap_gsnap_tpu.align import gsnap_gapped
-
-    # full default-gsnap workload: substitutions + middle indels, the
-    # same feature set the reference binary ran for BASELINE_REF_QPS
     params = gsnap_gapped.GappedParams()
     dev_batches = [
-        (
-            jnp.asarray(codes[i : i + BATCH]),
-            jnp.asarray(nflags[i : i + BATCH]),
-            jnp.asarray(lengths[i : i + BATCH]),
-        )
-        for i in range(0, nreads, BATCH)
+        (jnp.asarray(codes[i : i + 2048]), jnp.asarray(nflags[i : i + 2048]),
+         jnp.asarray(lengths[i : i + 2048]))
+        for i in range(0, nreads, 2048)
     ]
-
-    # warmup / compile
-    out = gsnap_gapped.align_batch_gapped(genome, index, *dev_batches[0], params)
-    jax.block_until_ready(out)
-
+    o = gsnap_gapped.align_batch_gapped(genome, index, *dev_batches[0], params)
+    jax.block_until_ready(o)
     t0 = time.time()
     reps = 3
     for _ in range(reps):
-        outs = [
-            gsnap_gapped.align_batch_gapped(genome, index, *db, params)
-            for db in dev_batches
-        ]
+        outs = [gsnap_gapped.align_batch_gapped(genome, index, *b_, params)
+                for b_ in dev_batches]
         jax.block_until_ready(outs)
-    dt = time.time() - t0
-    qps = reps * nreads / dt
-
+    se_qps = reps * nreads / (time.time() - t0)
     mapped = int(np.asarray(outs[-1]["npaths"] > 0).sum())
-    assert mapped > 0.95 * BATCH, f"only {mapped}/{BATCH} reads mapped"
+    assert mapped > 0.95 * 2048, f"only {mapped}/2048 reads mapped"
 
-    print(
-        json.dumps(
-            {
-                "metric": "gsnap_se_100bp_reads_per_sec",
-                "value": round(qps, 1),
-                "unit": "reads/s",
-                "vs_baseline": round(qps / BASELINE_REF_QPS, 2),
-            }
-        )
-    )
+    # ---------------------------------------------- batched GMAP cDNA
+    rng = np.random.default_rng(7)
+    queries = make_gmap_workload(seq, 64, rng)
+    paths = gmap_mod.align_cdna_batch(db, queries)  # warmup
+    t0 = time.time()
+    paths = gmap_mod.align_cdna_batch(db, queries)
+    gmap_qps = len(queries) / (time.time() - t0)
+    nmapped = sum(1 for p in paths if p is not None)
+    assert nmapped >= 0.9 * len(queries), f"gmap mapped {nmapped}"
+
+    print(json.dumps({
+        "metric": "gsnap_pe_100bp_end_to_end_pairs_per_sec",
+        "value": round(pe_qps, 1),
+        "unit": "pairs/s",
+        "vs_baseline": round(pe_qps / BASELINE_PE_QPS, 2),
+        "extra": {
+            "gsnap_se_device_reads_per_sec": round(se_qps, 1),
+            "gsnap_se_device_vs_baseline": round(se_qps / BASELINE_SE_QPS, 2),
+            "gmap_cdna_per_sec": round(gmap_qps, 1),
+            "gmap_cdna_vs_baseline": round(gmap_qps / BASELINE_GMAP_QPS, 2),
+        },
+    }))
     return 0
 
 

@@ -51,6 +51,35 @@ MISMATCH_LOGPROB = np.array(
 TRIM_MATCH_SCORE = 1
 
 
+def _pack_leaves(leaves):
+    import jax
+    import jax.numpy as jnp
+
+    ints, bools = [], []
+    for l in leaves:
+        if l.dtype == jnp.bool_:
+            bools.append(l.reshape(-1).astype(jnp.uint8))
+        elif l.dtype in (jnp.float32, jnp.uint32):
+            ints.append(
+                jax.lax.bitcast_convert_type(l, jnp.int32).reshape(-1))
+        else:
+            ints.append(l.reshape(-1).astype(jnp.int32))
+    ibuf = (jnp.concatenate(ints) if ints
+            else jnp.zeros(0, jnp.int32))
+    bbuf = (jnp.concatenate(bools) if bools
+            else jnp.zeros(0, jnp.uint8))
+    return ibuf, bbuf
+
+
+def _make_pack_jit():
+    import jax
+
+    return jax.jit(_pack_leaves)
+
+
+_pack_leaves_jit = None
+
+
 def trim_ends(mm: np.ndarray, trim_mismatch_score: int = -3) -> tuple[int, int]:
     """Exact reimplementation of trim_left_end + trim_right_end
     (substring.c) for a full-length gapless alignment.
@@ -365,7 +394,42 @@ class GsnapRunner:
         return c, f, l, b
 
     # ---------------------------------------------------------------- device
-    def align_records(self, records: list[Record]):
+    @staticmethod
+    def _fetch_tree(res):
+        """Device -> host transfer of a whole result pytree via TWO
+        buffers (int32 + uint8) instead of one RPC per array: on a
+        tunneled device every blocking transfer pays a round trip, so
+        ~40 per-array np.asarray calls dominated end-to-end time."""
+        import jax
+
+        global _pack_leaves_jit
+        if _pack_leaves_jit is None:
+            _pack_leaves_jit = _make_pack_jit()
+        leaves, treedef = jax.tree_util.tree_flatten(res)
+        ibuf, bbuf = _pack_leaves_jit(leaves)
+        inp = np.asarray(ibuf)
+        bnp = np.asarray(bbuf)
+        out = []
+        ioff = boff = 0
+        for l in leaves:
+            n = int(np.prod(l.shape)) if l.ndim else 1
+            if l.dtype == np.bool_:
+                out.append(bnp[boff : boff + n].astype(bool).reshape(l.shape))
+                boff += n
+            else:
+                v = inp[ioff : ioff + n]
+                if l.dtype == np.float32:
+                    v = v.view(np.float32)
+                elif l.dtype == np.uint32:
+                    v = v.view(np.uint32)
+                else:
+                    v = v.astype(l.dtype)
+                out.append(v.reshape(l.shape))
+                ioff += n
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    def dispatch_records(self, records: list[Record]):
+        """Async-dispatch the device SE pipeline for a chunk."""
         codes, nflags, lengths = encode_batch(records, self.lmax)
         c, f, l, b = self._shard(codes, nflags, lengths)
         res = gsnap_gapped.align_batch_gapped(
@@ -377,7 +441,16 @@ class GsnapRunner:
             alt=self.alt,
             known=self.known,
         )
-        return {k: np.asarray(v)[:b] for k, v in res.items()}
+        return res, b
+
+    @classmethod
+    def fetch_records(cls, dispatched):
+        res, b = dispatched
+        host = cls._fetch_tree(res)
+        return {k: v[:b] for k, v in host.items()}
+
+    def align_records(self, records: list[Record]):
+        return self.fetch_records(self.dispatch_records(records))
 
     # ------------------------------------------------------------------ host
     @staticmethod
@@ -910,12 +983,33 @@ class GsnapRunner:
         t5, t3 = path.qstart, L - path.qend
         covered = sum(e.qend - e.qstart for e in path.exons)
         nmatches = covered - len(mmpos)
+        # comparison nmatches = POSTTRIM by the GSNAP trim policy: the
+        # reference's GMAP hits display the full pairarray but compete
+        # (acceptance vs terminals, hit_goodness_cmp) on
+        # nmatches_posttrim (Stage3end_new_gmap stage3hr.c:123,
+        # "This favors the trimmed results"), so a rescue alignment
+        # with a messy end does not beat a terminal trimmed at the
+        # same boundary
+        mmvec = np.zeros(covered, bool)
+        qoff = 0
+        covmap = []
+        for e in path.exons:
+            covmap.append((e.qstart, e.qend, qoff))
+            qoff += e.qend - e.qstart
+        mset = set(mmpos)
+        for qs, qe, off in covmap:
+            for qp in range(qs, qe):
+                if qp in mset:
+                    mmvec[off + qp - qs] = True
+        tg5, tg3 = trim_ends(mmvec)
+        post = covered - tg5 - tg3 - int(
+            mmvec[tg5 : covered - tg3].sum())
         d = PostHit(path.gstart - path.qstart, path.watsonp, t5, t3, nm,
                     nmatches, loglik, md, core,
                     path.gend - path.gstart, xs, intron, ndel,
                     tuple((e.qstart, e.qend, e.gstart) for e in path.exons),
                     tuple(mmpos), nmatches)
-        return rescue.HostHit(d, "gmap", nmatches, np.array(mmpos, int), loglik)
+        return rescue.HostHit(d, "gmap", post, np.array(mmpos, int), loglik)
 
     def _rescued_hits(self, rec: Record, hits, row: int, npaths: int,
                       maxpaths: int):
@@ -975,16 +1069,19 @@ class GsnapRunner:
         if done >= rescue.TERMINAL_THRESHOLD:
             mm_fn = self._cand_mm_fn(rec, hits, row, L)
 
-            # indel/splice solvers mark their diagonals usedp on the
-            # segment arrays that find_terminals reuses (spanning-set
-            # subs never touch segments), so only indel/splice
-            # diagonals are excluded from terminal seeding
+            # every reported hit marks its diagonals usedp on the
+            # segment arrays find_terminals reuses: indel/splice
+            # solvers mark pairs (stage1hr.c:4318,6566), and
+            # find_complete_mm re-derives each sub diagonal whose
+            # floor fits the budget and marks it too
+            # (stage1hr.c:3062) — so sub diagonals never seed
+            # terminals; rescue terminals come from OTHER (junk)
+            # diagonals whose GMAP window covers the true locus
             used = set(end_used)
             for i in range(n):
-                if int(hits["kind"][row, i]) != 0:
-                    pp = bool(hits["plusp"][row, i])
-                    used.add((int(hits["left"][row, i]), pp))
-                    used.add((int(hits["right"][row, i]), pp))
+                pp = bool(hits["plusp"][row, i])
+                used.add((int(hits["left"][row, i]), pp))
+                used.add((int(hits["right"][row, i]), pp))
             terms = rescue.make_terminals(
                 mm_fn, np.asarray(hits["cand_left"][row]),
                 np.asarray(hits["cand_plusp"][row]),
@@ -995,13 +1092,13 @@ class GsnapRunner:
             term_hits = []
             for left, plusp, t5, t3, nmm_trim, pos in terms:
                 d = self._terminal_hit(rec, left, plusp, t5, t3)
-                # HostHit.nmatches carries the WHOLE-region matches of
-                # the anchor diagonal: the GMAP acceptance compares
-                # against it, so main-diagonal anchors (high whole
-                # nmatches) reject a same-locus GMAP while junk anchors
-                # accept it; display still uses the trimmed d.nmatches
+                # HostHit.nmatches is the TRIMMED-region matches: the
+                # reference recomputes terminal nmismatches over the
+                # trimmed span (Stage3end_new_terminal,
+                # stage3hr.c "Re-compute nmismatches_whole"), and the
+                # GMAP-on-terminals acceptance compares against that
                 term_hits.append(rescue.HostHit(
-                    d, "terminal", L - len(pos), pos, d.loglik))
+                    d, "terminal", d.nmatches, pos, d.loglik))
             hhits.extend(term_hits)
             if term_hits and len(term_hits) <= rescue.MAX_GMAP_TERMINAL:
                 g = gmap_once()
@@ -1192,11 +1289,11 @@ class GsnapRunner:
         return "".join(out)
 
     # ------------------------------------------------------------ paired-end
-    def align_pairs(self, recs5: list[Record], recs3_inv: list[Record]):
-        """recs3_inv: read-2 records already reverse-complemented
-        (invert_second_p, gsnap.c)."""
-        import jax.numpy as jnp
-
+    def dispatch_pairs(self, recs5: list[Record], recs3_inv: list[Record]):
+        """Enqueue the device PE pipeline for a chunk (async dispatch —
+        returns device arrays without blocking, so host emission of the
+        previous chunk overlaps device compute: the double-buffering
+        equivalent of the reference's inbuffer/outbuffer threads)."""
         from . import gsnap_pe
 
         c5, f5, l5 = encode_batch(recs5, self.lmax)
@@ -1214,18 +1311,30 @@ class GsnapRunner:
             alt=self.alt,
             known=self.known,
         )
+        return res, b
+
+    @classmethod
+    def fetch_pairs(cls, dispatched):
+        """Device -> host transfer of a dispatch_pairs result."""
+        res, b = dispatched
+        host = cls._fetch_tree(res)
 
         def tohost(d):
-            return {k: np.asarray(v)[:b] for k, v in d.items()}
+            return {k: v[:b] for k, v in d.items()}
 
-        out = {k: np.asarray(v)[:b] for k, v in res.items()
+        out = {k: v[:b] for k, v in host.items()
                if not isinstance(v, dict)}
         for k in ("end5", "end3", "end5_pairing", "end3_pairing"):
-            out[k] = tohost(res[k])
+            out[k] = tohost(host[k])
         # candidate diagonals feed the per-end terminal/GMAP rescue lanes
         for ek, ck in (("end5", "cands5"), ("end3", "cands3")):
-            out[ek].update(tohost(res[ck]))
+            out[ek].update(tohost(host[ck]))
         return out
+
+    def align_pairs(self, recs5: list[Record], recs3_inv: list[Record]):
+        """recs3_inv: read-2 records already reverse-complemented
+        (invert_second_p, gsnap.c)."""
+        return self.fetch_pairs(self.dispatch_pairs(recs5, recs3_inv))
 
     def _end_hit(self, rec: Record, hits, row: int, col: int) -> PostHit:
         return self._hit_details(
@@ -1610,10 +1719,8 @@ class GsnapRunner:
                 q = [qual5, qual3i]
                 mq = MAX_QUALITY_SCORE
                 if qual5 or qual3i:
-                    mq = max(
-                        max((ord(c) - QUALITY_ADJ for c in (qual5 or "")), default=1),
-                        max((ord(c) - QUALITY_ADJ for c in (qual3i or "")), default=1),
-                    )
+                    both = (qual5 or "") + (qual3i or "")
+                    mq = int(np.frombuffer(both.encode(), np.uint8).max()) - QUALITY_ADJ
                     mq = max(1, min(MAX_QUALITY_SCORE, mq))
                 mapqs = [mq]
                 absmqs = [MAPQ_MAXIMUM_SCORE]
@@ -1770,15 +1877,33 @@ class GsnapRunner:
             )
         emit = self.sam_pe_records if fmt == "sam" else self.native_pe_records
         total = 0
-        for i in range(0, len(records5), batch_size):
-            chunk5 = records5[i : i + batch_size]
-            chunk3 = records3[i : i + batch_size]
-            chunk3_inv = [
+
+        def mk_inv(chunk3):
+            return [
                 Record(r.label, r.header, dna.revcomp_str(r.seq.upper()),
                        r.quality[::-1] if r.quality else r.quality)
                 for r in chunk3
             ]
-            res = self.align_pairs(chunk5, chunk3_inv)
+
+        pairs_in = [
+            (records5[i : i + batch_size], records3[i : i + batch_size])
+            for i in range(0, len(records5), batch_size)
+        ]
+        invs = [None] * len(pairs_in)
+        # pipeline: dispatch chunk i+1 before emitting chunk i
+        disp = None
+        if pairs_in:
+            invs[0] = mk_inv(pairs_in[0][1])
+            disp = self.dispatch_pairs(pairs_in[0][0], invs[0])
+        for ci, (chunk5, chunk3) in enumerate(pairs_in):
+            chunk3_inv = invs[ci]
+            if ci + 1 < len(pairs_in):
+                invs[ci + 1] = mk_inv(pairs_in[ci + 1][1])
+                nxt = self.dispatch_pairs(pairs_in[ci + 1][0], invs[ci + 1])
+            else:
+                nxt = None
+            res = self.fetch_pairs(disp)
+            disp = nxt
             # pass 1 collects GMAP-rescue requests; one batched device
             # call resolves them; affected pairs re-emit (pass 2)
             self._gmap_collect = []
@@ -1813,9 +1938,16 @@ class GsnapRunner:
             )
         emit = self.sam_records if fmt == "sam" else self.native_records
         total = 0
-        for i in range(0, len(records), batch_size):
-            chunk = records[i : i + batch_size]
-            res = self.align_records(chunk)
+        chunks = [records[i : i + batch_size]
+                  for i in range(0, len(records), batch_size)]
+        # pipeline: chunk i+1's device work is dispatched before chunk
+        # i's host emission, so emission overlaps device compute
+        disp = self.dispatch_records(chunks[0]) if chunks else None
+        for ci, chunk in enumerate(chunks):
+            nxt = (self.dispatch_records(chunks[ci + 1])
+                   if ci + 1 < len(chunks) else None)
+            res = self.fetch_records(disp)
+            disp = nxt
             # pass 1: GMAP-rescue requests are collected, not solved
             self._gmap_collect = []
             self._gmap_rows = set()
