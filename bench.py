@@ -31,8 +31,8 @@ BASELINE_PE_QPS = 7447.27   # reference gsnap PE, 1 thread, this workload
 BASELINE_SE_QPS = 1460.25   # reference gsnap SE, 1 thread (r1 workload)
 BASELINE_GMAP_QPS = 45.6    # reference gmap, 1 thread, spliced cDNAs
 
-NPAIRS = 2048
-BATCH = 256
+NPAIRS = 4096
+BATCH = 1024
 L = 100
 
 

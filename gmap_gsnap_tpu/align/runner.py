@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import functools
 import math
+import sys as _sys
+import time as _time
 from dataclasses import dataclass
 
 import numpy as np
@@ -49,6 +51,17 @@ MISMATCH_LOGPROB = np.array(
 )
 
 TRIM_MATCH_SCORE = 1
+
+
+def _offending_read(*recs) -> None:
+    """Crash guard: report the read being processed when emission
+    raises, like the reference's signal handlers / per-request TRY
+    frames that print the problem sequence before aborting
+    (src/gsnap.c:699-739,934-961)."""
+    for r in recs:
+        print(f"Problem sequence: {r.label} ({len(r.seq)} bp)",
+              file=_sys.stderr)
+        print(r.seq, file=_sys.stderr)
 
 
 def _pack_leaves(leaves):
@@ -289,6 +302,8 @@ class GsnapRunner:
         self._gmap_collect = None
         self._gmap_rows: set = set()
         self._gmap_row = -1
+        self._categories: dict = {}
+        self.batch_times: list = []
         mode = self.params.mode
         if snpsdb is not None:
             # SNP-tolerant: snp-substituted index + alt genome
@@ -395,11 +410,12 @@ class GsnapRunner:
 
     # ---------------------------------------------------------------- device
     @staticmethod
-    def _fetch_tree(res):
-        """Device -> host transfer of a whole result pytree via TWO
-        buffers (int32 + uint8) instead of one RPC per array: on a
-        tunneled device every blocking transfer pays a round trip, so
-        ~40 per-array np.asarray calls dominated end-to-end time."""
+    def _pack_tree(res):
+        """Queue the device-side packing of a result pytree into TWO
+        buffers (int32 + uint8).  Called at DISPATCH time so the pack
+        op sits directly behind its pipeline in the device queue —
+        packing inside fetch would queue it behind the NEXT chunk's
+        pipeline and stall the overlap."""
         import jax
 
         global _pack_leaves_jit
@@ -407,6 +423,14 @@ class GsnapRunner:
             _pack_leaves_jit = _make_pack_jit()
         leaves, treedef = jax.tree_util.tree_flatten(res)
         ibuf, bbuf = _pack_leaves_jit(leaves)
+        return leaves, treedef, ibuf, bbuf
+
+    @staticmethod
+    def _fetch_tree(packed):
+        """Host side of _pack_tree: two transfers + unpack."""
+        import jax
+
+        leaves, treedef, ibuf, bbuf = packed
         inp = np.asarray(ibuf)
         bnp = np.asarray(bbuf)
         out = []
@@ -441,12 +465,12 @@ class GsnapRunner:
             alt=self.alt,
             known=self.known,
         )
-        return res, b
+        return self._pack_tree(res), b
 
     @classmethod
     def fetch_records(cls, dispatched):
-        res, b = dispatched
-        host = cls._fetch_tree(res)
+        packed, b = dispatched
+        host = cls._fetch_tree(packed)
         return {k: v[:b] for k, v in host.items()}
 
     def align_records(self, records: list[Record]):
@@ -1139,6 +1163,7 @@ class GsnapRunner:
 
         qual = rec.quality if rec.quality else None
         final = self._rescued_hits(rec, hits, row, npaths, maxpaths)
+        self._categories[row] = self._se_category(final)
         mapqs = []
         if final:
             mapqs, _, _ = self._end_mapqs([h.d for h in final], qual)
@@ -1152,10 +1177,20 @@ class GsnapRunner:
             splice_labels=self._splice_labels,
         )
 
+    def _se_category(self, final) -> str:
+        """Resulttype classification for --split-output
+        (resulthr.h:7-12 SINGLEEND_* ladder)."""
+        if not final:
+            return "nomapping"
+        if final[0].hittype == "distant":
+            return "unpaired_transloc"
+        return "unpaired_uniq" if len(final) == 1 else "unpaired_mult"
+
     def sam_records(self, rec: Record, hits, row: int, npaths,
                     maxpaths: int = 100) -> str:
         qual = rec.quality if rec.quality else None
         final = self._rescued_hits(rec, hits, row, npaths, maxpaths)
+        self._categories[row] = self._se_category(final)
         if not final:
             return sam.se_record(rec.label, rec.seq.upper(), qual, None)
         details = [h.d for h in final]
@@ -1311,13 +1346,13 @@ class GsnapRunner:
             alt=self.alt,
             known=self.known,
         )
-        return res, b
+        return self._pack_tree(res), b
 
     @classmethod
     def fetch_pairs(cls, dispatched):
         """Device -> host transfer of a dispatch_pairs result."""
-        res, b = dispatched
-        host = cls._fetch_tree(res)
+        packed, b = dispatched
+        host = cls._fetch_tree(packed)
 
         def tohost(d):
             return {k: v[:b] for k, v in d.items()}
@@ -1714,6 +1749,17 @@ class GsnapRunner:
             )
             pairs = [pairs[k] for k in order]
 
+            # --split-output resulttype (resulthr.h:7-12)
+            if conc_dev or (use_rescue and rconc):
+                cat = "concordant_uniq" if n == 1 else "concordant_mult"
+            elif n > 1:
+                cat = "paired_mult"
+            else:
+                pt = int(res["pairtype"][row, 0])
+                cat = {1: "paired_uniq_inv", 2: "paired_uniq_scr",
+                       3: "paired_uniq_long"}.get(pt, "concordant_uniq")
+            self._categories[row] = cat
+
             # pair MAPQ (stage3hr.c Stage3pair_eval_and_sort)
             if n == 1:
                 q = [qual5, qual3i]
@@ -1778,6 +1824,25 @@ class GsnapRunner:
             return "".join(out)
 
         # no pairs: halfmapping / unpaired / nomapping (rescued lanes)
+        n5 = len(f5) if f5 else 0
+        n3 = len(f3) if f3 else 0
+        if n5 == 0 and n3 == 0:
+            self._categories[row] = "nomapping"
+        elif n5 > 0 and n3 > 0:
+            if f5[0].hittype == "distant" or f3[0].hittype == "distant":
+                self._categories[row] = "unpaired_transloc"
+            elif n5 == 1 and n3 == 1:
+                self._categories[row] = "unpaired_uniq"
+            else:
+                self._categories[row] = "unpaired_mult"
+        else:
+            mapped = f5 if n5 > 0 else f3
+            if mapped[0].hittype == "distant":
+                self._categories[row] = "halfmapping_transloc"
+            elif len(mapped) == 1:
+                self._categories[row] = "halfmapping_uniq"
+            else:
+                self._categories[row] = "halfmapping_mult"
         for (rec, qual, fh, other_f, first, inv, minv, rec_orig) in (
             (rec5, qual5, f5, f3, True, False, True, rec5),
             (rec3_inv, qual3i, f3, f5, False, True, False, rec3_orig),
@@ -1865,10 +1930,13 @@ class GsnapRunner:
 
     def run_pe(self, records5: list[Record], records3: list[Record], out,
                batch_size: int = 256, emit_header: bool = True,
-               fmt: str = "sam") -> int:
+               fmt: str = "sam", router=None) -> int:
         """Paired-end driver: read 2 is reverse-complemented at input
-        (invert_second_p) so concordant mates share a strand."""
-        if emit_header and fmt == "sam":
+        (invert_second_p) so concordant mates share a strand.
+
+        router: optional io.outbuffer.OutputRouter for --split-output /
+        --fails-as-input / read-group / quality-shift handling."""
+        if router is None and emit_header and fmt == "sam":
             out.write(
                 sam.header(
                     self.db.chr_names,
@@ -1906,30 +1974,47 @@ class GsnapRunner:
             disp = nxt
             # pass 1 collects GMAP-rescue requests; one batched device
             # call resolves them; affected pairs re-emit (pass 2)
+            t_batch = _time.time()
             self._gmap_collect = []
             self._gmap_rows = set()
+            self._categories = {}
             texts = []
             for j in range(len(chunk5)):
                 self._gmap_row = j
-                texts.append(emit(chunk5[j], chunk3_inv[j], chunk3[j], res, j))
+                try:
+                    texts.append(
+                        emit(chunk5[j], chunk3_inv[j], chunk3[j], res, j))
+                except Exception:
+                    _offending_read(chunk5[j], chunk3[j])
+                    raise
             pending = self._gmap_collect
             rows = self._gmap_rows
             self._gmap_collect = None
             if pending:
                 self.prefetch_gmap(pending)
                 for j in sorted(rows):
-                    texts[j] = emit(chunk5[j], chunk3_inv[j], chunk3[j],
-                                    res, j)
-            for t in texts:
-                out.write(t)
+                    try:
+                        texts[j] = emit(chunk5[j], chunk3_inv[j], chunk3[j],
+                                        res, j)
+                    except Exception:
+                        _offending_read(chunk5[j], chunk3[j])
+                        raise
+            if router is not None:
+                for j, t in enumerate(texts):
+                    router.write(self._categories.get(j, "concordant_uniq"),
+                                 t, (chunk5[j], chunk3[j]))
+            else:
+                for t in texts:
+                    out.write(t)
             total += len(chunk5)
             self._gmap_cache.clear()
+            self.batch_times.append((_time.time() - t_batch, len(chunk5)))
         return total
 
     # ------------------------------------------------------------------ main
     def run(self, records: list[Record], out, batch_size: int = 256,
-            emit_header: bool = True, fmt: str = "sam") -> int:
-        if emit_header and fmt == "sam":
+            emit_header: bool = True, fmt: str = "sam", router=None) -> int:
+        if router is None and emit_header and fmt == "sam":
             out.write(
                 sam.header(
                     self.db.chr_names,
@@ -1949,13 +2034,19 @@ class GsnapRunner:
             res = self.fetch_records(disp)
             disp = nxt
             # pass 1: GMAP-rescue requests are collected, not solved
+            t_batch = _time.time()
             self._gmap_collect = []
             self._gmap_rows = set()
+            self._categories = {}
             texts = []
             for j, rec in enumerate(chunk):
                 self._gmap_row = j
-                texts.append(emit(rec, res, j, int(res["npaths"][j]),
-                                  self.params.maxpaths))
+                try:
+                    texts.append(emit(rec, res, j, int(res["npaths"][j]),
+                                      self.params.maxpaths))
+                except Exception:
+                    _offending_read(rec)
+                    raise
             pending = self._gmap_collect
             rows = self._gmap_rows
             self._gmap_collect = None
@@ -1964,11 +2055,21 @@ class GsnapRunner:
                 # only the affected reads re-emit (pass 2)
                 self.prefetch_gmap(pending)
                 for j in sorted(rows):
-                    texts[j] = emit(chunk[j], res, j,
-                                    int(res["npaths"][j]),
-                                    self.params.maxpaths)
-            for t in texts:
-                out.write(t)
+                    try:
+                        texts[j] = emit(chunk[j], res, j,
+                                        int(res["npaths"][j]),
+                                        self.params.maxpaths)
+                    except Exception:
+                        _offending_read(chunk[j])
+                        raise
+            if router is not None:
+                for j, t in enumerate(texts):
+                    router.write(self._categories.get(j, "unpaired_uniq"),
+                                 t, (chunk[j],))
+            else:
+                for t in texts:
+                    out.write(t)
             total += len(chunk)
             self._gmap_cache.clear()
+            self.batch_times.append((_time.time() - t_batch, len(chunk)))
         return total

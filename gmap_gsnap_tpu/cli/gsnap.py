@@ -35,6 +35,30 @@ def main(argv=None) -> int:
     p.add_argument("-q", "--part", default=None,
                    help="process only the i-th of n parts, as i/n "
                         "(multi-process input sharding, gsnap.c:999-1028)")
+    p.add_argument("--split-output", default=None, metavar="ROOT",
+                   help="write outputs per resulttype to ROOT.<suffix> "
+                        "files (7-way split, samprint.h:41-52)")
+    p.add_argument("--fails-as-input", action="store_true",
+                   help="print failed reads in input FASTA/FASTQ format "
+                        "(gsnap.c:299,463; requires --split-output or "
+                        "--failsonly)")
+    p.add_argument("--failsonly", action="store_true",
+                   help="print only failed alignments")
+    p.add_argument("--nofails", action="store_true",
+                   help="exclude failed alignments")
+    p.add_argument("--read-group-id", default=None)
+    p.add_argument("--read-group-name", default=None)
+    p.add_argument("--read-group-library", default=None)
+    p.add_argument("--read-group-platform", default=None)
+    p.add_argument("--quality-protocol", default=None,
+                   choices=["illumina", "sanger"],
+                   help="FASTQ quality protocol (illumina: shift -31 on "
+                        "output; sanger: no shift; gsnap.c:286-292)")
+    p.add_argument("-j", "--quality-print-shift", type=int, default=0,
+                   help="shift FASTQ quality scores on output")
+    p.add_argument("--time", action="store_true", dest="timing",
+                   help="print per-batch alignment runtimes to stderr "
+                        "(gsnap.c:581-599 --time)")
     p.add_argument("input", nargs="+", help="FASTQ/FASTA file(s)")
     args = p.parse_args(argv)
 
@@ -78,16 +102,51 @@ def main(argv=None) -> int:
     r = runner_mod.GsnapRunner(db, params, lmax=lmax, snpsdb=args.use_snps,
                                novelsplicing=bool(args.novelsplicing),
                                splicesdb=args.use_splicing)
+
+    from ..io import outbuffer, sam as sam_mod
+
+    if args.fails_as_input and not (args.split_output or args.failsonly):
+        print("gsnap: --fails-as-input requires --split-output or "
+              "--failsonly; turning it off", file=sys.stderr)
+        args.fails_as_input = False
+    qshift = args.quality_print_shift
+    if args.quality_protocol == "illumina":
+        qshift -= 31  # gsnap.c:287 (illumina qualities are +64-based)
+    transform = outbuffer.SamTransform(args.read_group_id, qshift)
+    router = None
+    needs_router = (args.split_output or args.fails_as_input
+                    or args.failsonly or args.nofails
+                    or not transform.identity)
+    if needs_router:
+        header = sam_mod.header(
+            db.chr_names, (db.chr_ends - db.chr_starts).tolist())
+        if args.read_group_id:
+            header += outbuffer.read_group_header(
+                args.read_group_id, args.read_group_name,
+                args.read_group_library, args.read_group_platform)
+        router = outbuffer.OutputRouter(
+            out=sys.stdout, split_root=args.split_output, fmt=args.format,
+            header=header if args.format == "sam" else "",
+            fails_as_input=args.fails_as_input, failsonly=args.failsonly,
+            nofails=args.nofails, transform=transform)
+
     import time
 
     t0 = time.time()
     if paired:
         n = r.run_pe(records5, records3, sys.stdout, batch_size=args.batch_size,
-                     fmt=args.format)
+                     fmt=args.format, router=router)
     else:
         n = r.run(records, sys.stdout, batch_size=args.batch_size,
-                  fmt=args.format)
+                  fmt=args.format, router=router)
     dt = time.time() - t0
+    if router is not None:
+        router.close()
+    if args.timing:
+        for bi, (bt, nb) in enumerate(r.batch_times):
+            print(f"batch {bi}: {nb} reads in {bt:.3f} s "
+                  f"({1000.0 * bt / max(nb, 1):.3f} ms/read)",
+                  file=sys.stderr)
     print(f"Processed {n} queries in {dt:.2f} seconds ({n/dt:.2f} queries/sec)",
           file=sys.stderr)
     return 0
