@@ -32,7 +32,7 @@ BASELINE_SE_QPS = 1460.25   # reference gsnap SE, 1 thread (r1 workload)
 BASELINE_GMAP_QPS = 45.6    # reference gmap, 1 thread, spliced cDNAs
 
 NPAIRS = 4096
-BATCH = 1024
+BATCH = 256
 L = 100
 
 

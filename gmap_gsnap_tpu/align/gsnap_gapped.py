@@ -61,6 +61,7 @@ KIND_SUB = 0
 KIND_INS = 1
 KIND_DEL = 2
 KIND_SPLICE = 3
+KIND_SHORTEXON = 4
 
 INDEL_PENALTY_MIDDLE = 2       # gsnap.c:85
 LOCALSPLICING_PENALTY = 0      # gsnap.c:90
@@ -78,6 +79,7 @@ class GappedParams:
     base: GsnapParams = GsnapParams()
     indel_pairs: int = 16      # diagonal pairs solved for indels per strand
     splice_pairs: int = 16     # diagonal pairs solved for splicing per strand
+    shortexon_triples: int = 8  # diagonal triples solved for doublesplices
     novelsplicing: bool = False  # gsnap -N (novelsplicingp, default off)
 
 
@@ -435,6 +437,211 @@ def _solve_splices(genome, top_d, pref, ii, jj, pvalid, lengths, budget,
     }
 
 
+def _select_triples(top_d, votes, maxdist, ntriples: int):
+    """Choose up to ``ntriples`` diagonal triples (i < m < j, each step
+    within maxdist) per read, ranked by vote sum — the candidate set of
+    find_doublesplices (stage1hr.c:7698-7742 potentiali x potentialj
+    around each middle segment).  Returns (ti, tm, tj, valid)."""
+    b, nc = top_d.shape
+    di = top_d[:, :, None]
+    dj = top_d[:, None, :]
+    okd = top_d != INVALID_DIAG
+    step = ((dj - di) >= jnp.uint32(1)) & ((dj - di) <= jnp.uint32(maxdist))
+    elig = step & okd[:, :, None] & okd[:, None, :]
+    t_ok = elig[:, :, :, None] & elig[:, None, :, :]      # [B, i, m, j]
+    vs = (votes[:, :, None, None] + votes[:, None, :, None]
+          + votes[:, None, None, :])
+    vs = jnp.where(t_ok, vs, -1).reshape(b, nc * nc * nc)
+    order = jnp.argsort(-vs, axis=1, stable=True)[:, :ntriples]
+    valid = jnp.take_along_axis(vs, order, axis=1) >= 0
+    ti = (order // (nc * nc)).astype(jnp.int32)
+    tm = ((order // nc) % nc).astype(jnp.int32)
+    tj = (order % nc).astype(jnp.int32)
+    return ti, tm, tj, valid
+
+
+def _solve_doublesplices(genome, top_d, pref, ti, tm, tj, tvalid, lengths,
+                         budget, lmax: int, novel: bool = True, known=None):
+    """Vectorized solve_doublesplice (stage1hr.c:6612): short middle
+    exon between two local introns.
+
+    For each triple (i, m, j): splice_pos_1 must be a donor on segment
+    i AND an acceptor on segment m; splice_pos_2 > splice_pos_1 a donor
+    on m AND an acceptor on j (sense; antisense uses antiacceptor/
+    antidonor with roles reversed).  Score = mismatches of the three
+    pieces; best by (lowest score, then highest summed prob), each of
+    the four junction probs gated by sufficient_splice_prob_local.
+
+    Returns dict of [B, T] arrays: valid, split, split2, sense,
+    prob_d, prob_a, prob_d2, prob_a2, nmm1, nmm2, nmm3, left, mid,
+    right.
+    """
+    di = _gather_pair(top_d, ti)
+    dm = _gather_pair(top_d, tm)
+    dj = _gather_pair(top_d, tj)
+    pref_i = _gather_pair(pref, ti)
+    pref_m = _gather_pair(pref, tm)
+    pref_j = _gather_pair(pref, tj)
+    L = lengths[:, None]
+    tot_j = jnp.take_along_axis(
+        pref_j, L[:, :, None].astype(jnp.int32), axis=2)[:, :, 0][:, :, None]
+
+    span_i = _fetch_span(genome, di, lmax)
+    span_m = _fetch_span(genome, dm, lmax)
+    span_j = _fetch_span(genome, dj, lmax)
+    npos = lmax + 1
+    s = jnp.arange(npos, dtype=jnp.int32)[None, None, :]
+
+    def at(span, rel):
+        return jax.lax.slice_in_dim(span, 20 + rel, 20 + rel + npos, axis=2)
+
+    def sites(span, kind):
+        if not novel:
+            return jnp.zeros(span.shape[:2] + (npos,), bool)
+        if kind == "donor":          # GT at [s, s+1]
+            return (at(span, 0) == 2) & (at(span, 1) == 3)
+        if kind == "acceptor":       # AG at [s-2, s-1]
+            return (at(span, -2) == 0) & (at(span, -1) == 2)
+        if kind == "antiacceptor":   # CT at [s, s+1]
+            return (at(span, 0) == 1) & (at(span, 1) == 3)
+        return (at(span, -2) == 0) & (at(span, -1) == 1)  # antidonor AC
+
+    def ksites(bits, d):
+        if known is None:
+            return jnp.zeros(d.shape + (npos,), bool)
+        return genome_ops.fetch_span_bits(bits, d, npos)
+
+    kd_i = ksites(known[0], di) if known is not None else sites(span_i, "x") & False
+    ka_m = ksites(known[1], dm) if known is not None else kd_i
+    kd_m = ksites(known[0], dm) if known is not None else kd_i
+    ka_j = ksites(known[1], dj) if known is not None else kd_i
+    kad_j = ksites(known[2], dj) if known is not None else kd_i
+    kaa_m = ksites(known[3], dm) if known is not None else kd_i
+    kad_m = ksites(known[2], dm) if known is not None else kd_i
+    kaa_i = ksites(known[3], di) if known is not None else kd_i
+
+    inb = ((s >= 2) & (s <= L[:, :, None] - 2)
+           & (di[:, :, None] >= 64) & (dm[:, :, None] >= 64)
+           & (dj[:, :, None] >= 64))
+    nmm_i = pref_i[:, :, :npos].astype(jnp.int32)          # nmm[0:s) on i
+    cum_m = pref_m[:, :, :npos].astype(jnp.int32)
+    nmm_j_suf = (tot_j - pref_j[:, :, :npos]).astype(jnp.int32)
+
+    K = 8  # candidate junction positions kept per junction per sense
+
+    def topk_sel(cand):
+        key = jnp.where(cand, s, jnp.int32(npos + 7))
+        negk, _ = jax.lax.top_k(-key, K)
+        sel = -negk                                        # ascending s
+        return jnp.clip(sel, 0, npos - 1), sel < npos
+
+    def probs_at(span, kind, sel):
+        from ..ops.select import table_lookup
+
+        oh = jax.nn.one_hot(sel, npos, dtype=jnp.float32)
+
+        def pick(x):
+            out = jnp.einsum("bpks,bps->bpk", oh, x.astype(jnp.float32))
+            return out.astype(jnp.int32)
+
+        odds = None
+        tables = maxent._tables_jnp()
+        for name, idx in maxent.splice_idx_span(span, kind, npos):
+            factor = table_lookup(tables[name], pick(idx))
+            odds = factor if odds is None else odds * factor
+        return (odds / (1.0 + odds)).astype(jnp.float32)
+
+    def pick_at(x, sel):
+        oh = jax.nn.one_hot(sel, npos, dtype=jnp.float32)
+        out = jnp.einsum("bpks,bps->bpk", oh, x.astype(jnp.float32))
+        if x.dtype == jnp.bool_:
+            return out > 0.5
+        return out.astype(jnp.int32)
+
+    def solve_sense(c1, c2, k1_i, k1_m, k2_m, k2_j,
+                    kind1_i, kind1_m, kind2_m, kind2_j):
+        sel1, ok1 = topk_sel(c1 & inb)
+        sel2, ok2 = topk_sel(c2 & inb)
+        p1i = jnp.where(pick_at(k1_i, sel1), 1.0, probs_at(span_i, kind1_i, sel1))
+        p1m = jnp.where(pick_at(k1_m, sel1), 1.0, probs_at(span_m, kind1_m, sel1))
+        p2m = jnp.where(pick_at(k2_m, sel2), 1.0, probs_at(span_m, kind2_m, sel2))
+        p2j = jnp.where(pick_at(k2_j, sel2), 1.0, probs_at(span_j, kind2_j, sel2))
+        mi1 = pick_at(nmm_i, sel1)         # nmm on i in [0, sp1)
+        cm1 = pick_at(cum_m, sel1)
+        cm2 = pick_at(cum_m, sel2)
+        mj2 = pick_at(nmm_j_suf, sel2)     # nmm on j in [sp2, L)
+        # joint [B, T, K1, K2]
+        sp1 = sel1[:, :, :, None]
+        sp2 = sel2[:, :, None, :]
+        okp = (ok1[:, :, :, None] & ok2[:, :, None, :] & (sp2 > sp1))
+        nmm1 = mi1[:, :, :, None]
+        nmm2 = cm2[:, :, None, :] - cm1[:, :, :, None]
+        nmm3 = mj2[:, :, None, :]
+        total = nmm1 + nmm2 + nmm3
+        okp = okp & (total <= budget[:, None, None, None]) & (nmm2 >= 0)
+        sup1 = sp1
+        sup_m = sp2 - sp1
+        sup3 = L[:, :, None, None] - sp2
+        g = (_suff_local(sup1, nmm1, p1i[:, :, :, None])
+             & _suff_local(sup_m, nmm2, p1m[:, :, :, None])
+             & _suff_local(sup_m, nmm2, p2m[:, :, None, :])
+             & _suff_local(sup3, nmm3, p2j[:, :, None, :]))
+        okp = okp & g
+        prob = (p1i[:, :, :, None] + p1m[:, :, :, None]
+                + p2m[:, :, None, :] + p2j[:, :, None, :])
+        key = jnp.where(okp, -total.astype(jnp.float32) * 8.0 + prob, -1e9)
+        kf = key.reshape(key.shape[:2] + (K * K,))
+        best = jnp.argmax(kf, axis=2)
+        bval = jnp.take_along_axis(kf, best[:, :, None], 2)[:, :, 0]
+        b1 = best // K
+        b2 = best % K
+        take1 = lambda x: jnp.take_along_axis(x, b1[:, :, None], 2)[:, :, 0]
+        take2 = lambda x: jnp.take_along_axis(x, b2[:, :, None], 2)[:, :, 0]
+        return dict(score=bval, sp1=take1(sel1), sp2=take2(sel2),
+                    p1i=take1(p1i), p1m=take1(p1m),
+                    p2m=take2(p2m), p2j=take2(p2j),
+                    nmm1=take1(mi1),
+                    nmm2=take2(cm2) - take1(cm1),
+                    nmm3=take2(mj2))
+
+    sense = solve_sense(
+        (sites(span_i, "donor") | kd_i) & (sites(span_m, "acceptor") | ka_m),
+        (sites(span_m, "donor") | kd_m) & (sites(span_j, "acceptor") | ka_j),
+        kd_i, ka_m, kd_m, ka_j,
+        "donor", "acceptor", "donor", "acceptor")
+    anti = solve_sense(
+        (sites(span_i, "antiacceptor") | kaa_i)
+        & (sites(span_m, "antidonor") | kad_m),
+        (sites(span_m, "antiacceptor") | kaa_m)
+        & (sites(span_j, "antidonor") | kad_j),
+        kaa_i, kad_m, kaa_m, kad_j,
+        "antiacceptor", "antidonor", "antiacceptor", "antidonor")
+
+    use_anti = anti["score"] > sense["score"]
+    pickd = lambda k: jnp.where(use_anti, anti[k], sense[k])
+    score = pickd("score")
+    valid = tvalid & (score > -1e8)
+    sp1 = pickd("sp1").astype(jnp.int32)
+    sp2 = pickd("sp2").astype(jnp.int32)
+    return {
+        "valid": valid,
+        "split": jnp.where(valid, sp1, 0),
+        "split2": jnp.where(valid, sp2, 0),
+        "sense": ~use_anti,
+        # junction probs in DONOR/ACCEPTOR display order per junction
+        "prob_d": jnp.where(valid, jnp.where(use_anti, anti["p2j"], sense["p1i"]), 0.0),
+        "prob_a": jnp.where(valid, jnp.where(use_anti, anti["p2m"], sense["p1m"]), 0.0),
+        "prob_d2": jnp.where(valid, jnp.where(use_anti, anti["p1m"], sense["p2m"]), 0.0),
+        "prob_a2": jnp.where(valid, jnp.where(use_anti, anti["p1i"], sense["p2j"]), 0.0),
+        "nmm1": jnp.where(valid, pickd("nmm1").astype(jnp.int32), 0),
+        "nmm2": jnp.where(valid, pickd("nmm2").astype(jnp.int32), 0),
+        "nmm3": jnp.where(valid, pickd("nmm3").astype(jnp.int32), 0),
+        "left": di,
+        "mid": dm,
+        "right": dj,
+    }
+
+
 # -------------------------------------------------------------- full pipeline
 
 def _strand_hits(genome, index, queries, codes, nflags, lengths, conv, alt,
@@ -490,6 +697,12 @@ def _strand_hits(genome, index, queries, codes, nflags, lengths, conv, alt,
             genome, top_d, pref, si, sj, sv, lengths, budget, queries.lmax,
             novel=params.novelsplicing, known=known,
         )
+        ti, tm, tj, tv = _select_triples(
+            top_d, votes, SHORTSPLICEDIST, params.shortexon_triples)
+        shortex = _solve_doublesplices(
+            genome, top_d, pref, ti, tm, tj, tv, lengths, budget,
+            queries.lmax, novel=params.novelsplicing, known=known,
+        )
     else:
         z = jnp.zeros(ii.shape[:1] + (params.splice_pairs,), jnp.int32)
         splices = {
@@ -497,6 +710,18 @@ def _strand_hits(genome, index, queries, codes, nflags, lengths, conv, alt,
             "prob_d": z.astype(jnp.float32), "prob_a": z.astype(jnp.float32),
             "nmm1": z, "nmm2": z,
             "left": z.astype(jnp.uint32), "right": z.astype(jnp.uint32),
+        }
+        zt = jnp.zeros(ii.shape[:1] + (params.shortexon_triples,), jnp.int32)
+        shortex = {
+            "valid": zt.astype(bool), "split": zt, "split2": zt,
+            "sense": zt.astype(bool),
+            "prob_d": zt.astype(jnp.float32),
+            "prob_a": zt.astype(jnp.float32),
+            "prob_d2": zt.astype(jnp.float32),
+            "prob_a2": zt.astype(jnp.float32),
+            "nmm1": zt, "nmm2": zt, "nmm3": zt,
+            "left": zt.astype(jnp.uint32), "mid": zt.astype(jnp.uint32),
+            "right": zt.astype(jnp.uint32),
         }
 
     # assemble candidate hit arrays [B, K]
@@ -509,38 +734,49 @@ def _strand_hits(genome, index, queries, codes, nflags, lengths, conv, alt,
         jnp.full((b, nc), KIND_SUB, jnp.int32),
         jnp.where(indels["is_del"], KIND_DEL, KIND_INS),
         jnp.full_like(splices["split"], KIND_SPLICE),
+        jnp.full_like(shortex["split"], KIND_SHORTEXON),
     )
     ind_nmm = indels["nmm1"] + indels["nmm2"]
     spl_nmm = splices["nmm1"] + splices["nmm2"]
+    shx_nmm = shortex["nmm1"] + shortex["nmm2"] + shortex["nmm3"]
     score = cat(
         nmm_sub,
         jnp.where(indels["valid"], ind_nmm + INDEL_PENALTY_MIDDLE, BIG_NMM),
         jnp.where(splices["valid"], spl_nmm + LOCALSPLICING_PENALTY, BIG_NMM),
+        jnp.where(shortex["valid"], shx_nmm + 2 * LOCALSPLICING_PENALTY,
+                  BIG_NMM),
     )
-    nmm = cat(jnp.where(nmm_sub < BIG_NMM, nmm_sub, 0), ind_nmm, spl_nmm)
-    left = cat(top_d, indels["left"], splices["left"])
-    right = cat(top_d, indels["right"], splices["right"])
-    split = cat(zsub, indels["split"], splices["split"])
-    nindels = cat(zsub, indels["nindels"], jnp.zeros_like(splices["split"]))
+    nmm = cat(jnp.where(nmm_sub < BIG_NMM, nmm_sub, 0), ind_nmm, spl_nmm,
+              shx_nmm)
+    left = cat(top_d, indels["left"], splices["left"], shortex["left"])
+    right = cat(top_d, indels["right"], splices["right"], shortex["right"])
+    split = cat(zsub, indels["split"], splices["split"], shortex["split"])
+    zspl = jnp.zeros_like(splices["split"])
+    zshx = jnp.zeros_like(shortex["split"])
+    split2 = cat(zsub, jnp.zeros_like(indels["split"]), zspl,
+                 shortex["split2"])
+    mid = cat(top_d, indels["left"], splices["left"], shortex["mid"])
+    nindels = cat(zsub, indels["nindels"], zspl, zshx)
     sense = cat(
         jnp.zeros((b, nc), bool),
         jnp.zeros_like(indels["valid"]),
         splices["sense"],
+        shortex["sense"],
     )
-    prob_d = cat(
-        jnp.zeros((b, nc), jnp.float32),
-        jnp.zeros(indels["split"].shape, jnp.float32),
-        splices["prob_d"],
-    )
-    prob_a = cat(
-        jnp.zeros((b, nc), jnp.float32),
-        jnp.zeros(indels["split"].shape, jnp.float32),
-        splices["prob_a"],
-    )
+    zf = jnp.zeros((b, nc), jnp.float32)
+    zfi = jnp.zeros(indels["split"].shape, jnp.float32)
+    prob_d = cat(zf, zfi, splices["prob_d"], shortex["prob_d"])
+    prob_a = cat(zf, zfi, splices["prob_a"], shortex["prob_a"])
+    prob_d2 = cat(zf, zfi, jnp.zeros_like(splices["prob_d"]),
+                  shortex["prob_d2"])
+    prob_a2 = cat(zf, zfi, jnp.zeros_like(splices["prob_a"]),
+                  shortex["prob_a2"])
     return {
         "kind": kind, "score": score, "nmm": nmm, "left": left, "right": right,
-        "split": split, "nindels": nindels, "sense": sense,
+        "split": split, "split2": split2, "mid": mid, "nindels": nindels,
+        "sense": sense,
         "prob_d": prob_d, "prob_a": prob_a,
+        "prob_d2": prob_d2, "prob_a2": prob_a2,
     }, {
         # unfiltered diagonal candidates (terminal/rescue lanes); the
         # selection mismatch matrix rides along so host lanes consume
@@ -617,7 +853,7 @@ def rank_hits(out, base: GsnapParams, apply_optimal: bool = True,
     # dedup identical (kind, left, right, split, strand) candidates:
     # multi-pass stable sort (least-significant key first) groups equal
     # tuples adjacently; sorts permute only the index vector
-    fields = ["kind", "split", "right", "plusp", "left"]
+    fields = ["kind", "split", "split2", "mid", "right", "plusp", "left"]
     ordl = jnp.broadcast_to(
         jnp.arange(ncand, dtype=jnp.int32)[None, :], score.shape
     )
@@ -661,9 +897,9 @@ def rank_hits(out, base: GsnapParams, apply_optimal: bool = True,
     ok = final_score < BIG_NMM
     final["score"] = jnp.where(ok, final_score, BIG_NMM)
     final["npaths"] = jnp.sum(ok, axis=1).astype(jnp.int32)
-    for k in ("left", "right"):
+    for k in ("left", "right", "mid"):
         final[k] = jnp.where(ok, final[k], 0).astype(jnp.uint32)
-    for k in ("kind", "split", "nindels", "nmm"):
+    for k in ("kind", "split", "split2", "nindels", "nmm"):
         final[k] = jnp.where(ok, final[k], 0)
     return final
 

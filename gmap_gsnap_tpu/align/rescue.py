@@ -31,7 +31,8 @@ TERMINAL_THRESHOLD = 2     # gsnap.c:182
 TERMINAL_MINLENGTH = 40    # stage3hr.c:39
 GMAP_IMPROVEMENT_TRIM = 8  # align_singleend_with_gmap trim trigger
 MAX_GMAP_TERMINAL = 50     # gsnap.c max_gmap_terminal
-PENALTY = {"sub": 0, "ins": 2, "del": 2, "splice": 0, "terminal": 0, "gmap": 0}
+PENALTY = {"sub": 0, "ins": 2, "del": 2, "splice": 0,
+           "shortexon": 0, "terminal": 0, "gmap": 0}
 
 
 @dataclass
@@ -203,7 +204,7 @@ def optimal_pass(hits: list[HostHit], L: int, finalp: bool,
 # Hittype_T enum order (stage3hr.h:21-24): ties in overlap resolution go
 # to the LOWER hittype
 HITTYPE_ORDER = {"sub": 1, "ins": 2, "del": 3, "splice": 6, "distant": 6,
-                 "gmap": 12, "terminal": 13}
+                 "shortexon": 7, "gmap": 12, "terminal": 13}
 
 
 def remove_overlaps(hits: list[HostHit], finalp: bool) -> list[HostHit]:

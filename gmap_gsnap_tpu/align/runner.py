@@ -35,6 +35,7 @@ from ..utils import dna
 from . import gsnap_gapped, gsnap_se
 from .gsnap_gapped import (
     KIND_DEL,
+    KIND_SHORTEXON,
     KIND_INS,
     KIND_SPLICE,
     KIND_SUB,
@@ -514,13 +515,20 @@ class GsnapRunner:
         return mm, mm_ref
 
     def _hit_details(self, rec: Record, kind: int, left: int, right: int,
-                     split: int, nind: int, sense: bool, plusp: bool) -> PostHit:
+                     split: int, nind: int, sense: bool, plusp: bool,
+                     mid: int = 0, split2: int = 0) -> PostHit:
         L = len(rec.seq)
         q = rec.seq.upper() if plusp else dna.revcomp_str(rec.seq.upper())
         conv = self._conv_plus if plusp else self._conv_minus
         # aligned parts in printed-SEQ order: (qstart, qend, genome start)
         if kind == KIND_SUB:
             parts = [(0, L, left)]
+        elif kind == KIND_SHORTEXON:
+            # two introns around a short middle exon (Stage3end_new_
+            # shortexon, stage3hr.c:2577): query [0,split) on the left
+            # diagonal, [split,split2) on the middle, [split2,L) right
+            parts = [(0, split, left), (split, split2, mid + split),
+                     (split2, L, right + split2)]
         elif kind in (KIND_DEL, KIND_SPLICE):
             parts = [(0, split, left), (split, L, right + split)]
         else:  # insertion: nind query bases at [split, split+nind) unaligned
@@ -559,6 +567,8 @@ class GsnapRunner:
             nm += nind
         elif kind == KIND_SUB:
             md, nm = sam.md_gapped(md_parts, [])
+        elif kind == KIND_SHORTEXON:
+            md, nm = sam.md_gapped(md_parts, [None, None])
         else:
             md, nm = sam.md_gapped(md_parts, [None])
             if kind == KIND_INS:
@@ -609,6 +619,17 @@ class GsnapRunner:
                                loglik, md, cigar_core, ref_consumed, xs, gap,
                                0, tuple(parts), tuple(mmpos_all),
                                aligned_len - nmm_whole)
+            elif kind == KIND_SHORTEXON:
+                gap1 = mid - left
+                gap2 = right - mid
+                mexon = split2 - split
+                cigar_core = f"{a}M{gap1}N{mexon}M{gap2}N{b}M"
+                ref_consumed = a + gap1 + mexon + gap2 + b
+                xs = "+" if sense else "-"
+                return PostHit(left, plusp, trim5, trim3, nm, nmatches,
+                               loglik, md, cigar_core, ref_consumed, xs,
+                               gap1 + gap2, 0, tuple(parts),
+                               tuple(mmpos_all), aligned_len - nmm_whole)
             else:
                 cigar_core = f"{a}M{nind}I{b}M"
                 ref_consumed = a + b
@@ -1042,7 +1063,8 @@ class GsnapRunner:
         from . import rescue
 
         L = len(rec.seq)
-        kindname = {0: "sub", 1: "ins", 2: "del", 3: "splice"}
+        kindname = {0: "sub", 1: "ins", 2: "del", 3: "splice",
+                    4: "shortexon"}
         hhits = []
         n = min(int(npaths), maxpaths)
         for i in range(n):
@@ -1381,6 +1403,8 @@ class GsnapRunner:
             int(hits["nindels"][row, col]),
             bool(hits["sense"][row, col]),
             bool(hits["plusp"][row, col]),
+            mid=int(hits["mid"][row, col]) if "mid" in hits else 0,
+            split2=int(hits["split2"][row, col]) if "split2" in hits else 0,
         )
 
     def _chrpos(self, d: PostHit) -> tuple[str, int]:
