@@ -13,7 +13,10 @@ pairs are formed, and the first mismatch level that yields pairs ends
 the search (found_score update, stage1hr.c:12300-12315).
 
 Mixed-strand inversion pairs (sections 2/3/6/7 of
-find_splicepairs_distant) are not yet implemented.
+find_splicepairs_distant) pair a plus-scan end with a minus-scan end
+covering the complementary READ region (an aligned split of L - s on
+the opposite strand covers read [0, s) or [s, L)); they are never
+shortdistance and print splice_type:inversion.
 """
 
 from __future__ import annotations
@@ -136,11 +139,14 @@ class DistantPair:
     left_end: SpliceEnd    # substring covering aligned q0..split
     right_end: SpliceEnd   # substring covering aligned split..L
     donor_left: bool       # True when the donor is the LEFT part
-    splice_type: str       # consistent / scramble
+    splice_type: str       # consistent / scramble / inversion
     distance: int
     shortdistancep: bool
     penalty: int
     nmm_total: int
+    inversion: bool = False  # mixed strands; split/ends in READ coords
+    donor_kind: str = ""     # scan kind of the donor end (dinucl form)
+    acceptor_kind: str = ""
 
     @property
     def donor(self) -> SpliceEnd:
@@ -208,12 +214,73 @@ def find_pairs(ends, L: int, max_mm_total: int, shortsplicedist: int,
                             stype = "scramble"
                             dist = el.left - er.left
                             shortp = False
+                        dk = lkind if donor_left else rkind
+                        ak = rkind if donor_left else lkind
                         level.append(DistantPair(
                             s, plusp, sensep, el, er, donor_left,
                             stype, dist, shortp,
                             LOCAL_PENALTY if shortp else DISTANT_PENALTY,
-                            total))
+                            total, donor_kind=dk, acceptor_kind=ak))
                         count += 1
+
+        # inversion sections 2/3/6/7 (mixed strands, READ coordinates).
+        # The minus-scan end covering read [s, L) or [0, s) appears in
+        # our aligned lists at split L - s with the complementary scan
+        # kind (e.g. a minus-strand acceptor shows plus-text CT -> the
+        # aligned antiacceptor list).  Genomicstart of a minus end =
+        # left + L; distance formulas follow each C section.
+        for (lk, lp, rk, rp, donor_left, sensep, dkind, akind) in (
+            # 2. donor+ x acceptor-   (read-left donor on plus)
+            ("donor", True, "antiacceptor", False, True, True,
+             "donor", "antiacceptor"),
+            # 3. donor- x acceptor+   (read-left donor on minus)
+            ("antidonor", False, "acceptor", True, True, True,
+             "antidonor", "acceptor"),
+            # 6. antiacceptor- x antidonor+ (read-left acceptor, minus)
+            ("acceptor", False, "antidonor", True, False, False,
+             "antidonor", "acceptor"),
+            # 7. antiacceptor+ x antidonor- (read-left acceptor, plus)
+            ("antiacceptor", True, "donor", False, False, False,
+             "donor", "antiacceptor"),
+        ):
+            for el in ends[(lk, lp)]:
+                # read-coords split of the READ-LEFT piece
+                s = el.split if lp else L - el.split
+                for er in ends[(rk, rp)]:
+                    if count > MAXCHIMERAPATHS:
+                        break
+                    s_r = er.split if rp else L - er.split
+                    if s != s_r:
+                        continue
+                    if el.nmm + er.nmm != total:
+                        continue
+                    if s < _min_endlength(el.nmm if donor_left else er.nmm):
+                        continue
+                    if L - s < _min_endlength(er.nmm if donor_left
+                                              else el.nmm):
+                        continue
+                    gs_l = el.left if lp else el.left + L
+                    gs_r = er.left if rp else er.left + L
+                    if (chrnum_of is not None
+                            and chrnum_of(el.left) != chrnum_of(er.left)):
+                        stype, dist = "translocation", 0
+                    else:
+                        # donor/acceptor genomicstart +- pos per section
+                        if donor_left:
+                            gd, ga = gs_l, gs_r
+                        else:
+                            ga, gd = gs_l, gs_r
+                        if lp:   # sections 2 / 7: +pos on plus side
+                            dist = abs((ga - s) - (gd + s)) if donor_left                                 else abs((ga + s) - (gd - s))
+                        else:    # sections 3 / 6
+                            dist = abs((ga + s) - (gd - s)) if donor_left                                 else abs((ga - s) - (gd + s))
+                        stype = "inversion"
+                    level.append(DistantPair(
+                        s, lp, sensep, el, er, donor_left,
+                        stype, dist, False, DISTANT_PENALTY, total,
+                        inversion=True, donor_kind=dkind,
+                        acceptor_kind=akind))
+                    count += 1
         if level:
             # per-level optimal-score filter: shortdistance (penalty 0)
             # pairs dominate distant ones at the same mismatch level

@@ -804,15 +804,76 @@ class GsnapRunner:
         qual = rec.quality if rec.quality else None
         g = self._genome_str
         out = []
+
+        def dn_text(kind, site):
+            # splice dinucleotide in SENSE display form per scan kind
+            if kind == "donor":
+                return g[site : site + 2]
+            if kind == "acceptor":
+                return g[site - 2 : site]
+            if kind == "antidonor":
+                return dna.revcomp_str(g[site - 2 : site])
+            return dna.revcomp_str(g[site : site + 2])  # antiacceptor
+
+        def mm_fn(left, plusp):
+            q = (rec.seq.upper() if plusp
+                 else dna.revcomp_str(rec.seq.upper()))
+            conv = self._conv_plus if plusp else self._conv_minus
+            return self._mismatch_masks(q, left, conv)
+
         for p in pairs:
             el, er = p.left_end, p.right_end
             s = p.split
+            dsite, asite = p.donor.site, p.acceptor.site
+            dinucl = f"{dn_text(p.donor_kind, dsite)}-" \
+                     f"{dn_text(p.acceptor_kind, asite)}".upper()
 
-            def mm_fn(left, plusp):
-                q = (rec.seq.upper() if plusp
-                     else dna.revcomp_str(rec.seq.upper()))
-                conv = self._conv_plus if plusp else self._conv_minus
-                return self._mismatch_masks(q, left, conv)
+            if p.inversion:
+                # mixed strands; p.split and both pieces in READ coords
+                def half(e, a, b):
+                    sel, ref = mm_fn(e.left, e.plusp)
+                    if e.plusp:
+                        sl = slice(a, b)
+                        span = (e.left + a, e.left + b)
+                        rp = np.flatnonzero(sel[sl]) + a
+                    else:
+                        sl = slice(L - b, L - a)
+                        span = (e.left + L - b, e.left + L - a)
+                        rp = (L - 1) - (np.flatnonzero(sel[sl]) + (L - b))
+                    md, nm = sam.md_gapped(
+                        [(ref[sl], g[span[0] : span[1]])], [])
+                    return span, np.sort(rp), md, nm
+
+                spanL, mmL, md1, nm1 = half(el, 0, s)
+                spanR, mmR, md2, nm2 = half(er, s, L)
+                mmpos = np.concatenate([mmL, mmR]).astype(int)
+                if qual is None:
+                    qv = np.full(L, MAX_QUALITY_SCORE, int)
+                else:
+                    qv = np.clip(
+                        np.frombuffer(qual.encode(), np.uint8).astype(int)
+                        - QUALITY_ADJ, 0, MAX_QUALITY_SCORE)
+                loglik = (float(MISMATCH_LOGPROB[qv[mmpos]].sum())
+                          if len(mmpos) else 0.0)
+                xs1 = "+" if p.sensep == el.plusp else "-"
+                xs2 = "+" if p.sensep == er.plusp else "-"
+                info = dict(sense=p.sensep, type=p.splice_type,
+                            dist=p.distance, dsite=dsite, asite=asite,
+                            dprob=p.donor.prob, aprob=p.acceptor.prob,
+                            penalty=p.penalty, shortp=False, dinucl=dinucl,
+                            md1=md1, nm1=nm1, md2=md2, nm2=nm2,
+                            md_merged=md1, nm_merged=nm1 + nm2,
+                            plusps=(el.plusp, er.plusp), xs1=xs1, xs2=xs2,
+                            donor_left=p.donor_left)
+                total = p.nmm_total
+                d = PostHit(spanL[0], el.plusp, 0, 0, total, L - total,
+                            loglik, md1, "", s, xs1, p.distance, 0,
+                            ((0, s, spanL[0]), (s, L, spanR[0])),
+                            tuple(int(x) for x in mmpos), L - total,
+                            distant=info)
+                out.append(rescue.HostHit(d, "distant", L - total, mmpos,
+                                          loglik))
+                continue
 
             selL, refL = mm_fn(el.left, p.plusp)
             selR, refR = mm_fn(er.left, p.plusp)
@@ -831,17 +892,6 @@ class GsnapRunner:
             md1, nm1 = sam.md_gapped(parts_md[:1], [])
             md2, nm2 = sam.md_gapped(parts_md[1:], [])
             mdm, nmm_md = sam.md_gapped(parts_md, [None])
-            dsite, asite = p.donor.site, p.acceptor.site
-            # XT dinucleotides print in SENSE form; the scan kind sets
-            # the genomic layout (donor GT at [g,g+2) vs antidonor AC
-            # at [g-2,g), acceptor AG at [g-2,g) vs antiacceptor CT)
-            if p.donor_left:
-                ddn = g[dsite : dsite + 2]
-                adn = g[asite - 2 : asite]
-            else:
-                ddn = dna.revcomp_str(g[dsite - 2 : dsite])
-                adn = dna.revcomp_str(g[asite : asite + 2])
-            dinucl = f"{ddn}-{adn}".upper()
             xs = "+" if p.sensep == p.plusp else "-"
             info = dict(sense=p.sensep, type=p.splice_type, dist=p.distance,
                         dsite=dsite, asite=asite, dprob=p.donor.prob,
@@ -1315,6 +1365,45 @@ class GsnapRunner:
         xt = (f"XT:Z:{info['dinucl']},{info['dprob']:.2f},"
               f"{info['aprob']:.2f}")
         out = []
+        if info.get("plusps") is not None:
+            # inversion: the two halves align to OPPOSITE strands; each
+            # prints genome-forward with its own flag/XS, hard-clipping
+            # the other half (samprint.c halfdonor/halfacceptor)
+            for (qs, qe, g0), md, nm, hplus, hxs in (
+                ((q1, q2, g1), info["md1"], info["nm1"],
+                 info["plusps"][0], info["xs1"]),
+                ((q3, q4, g2), info["md2"], info["nm2"],
+                 info["plusps"][1], info["xs2"]),
+            ):
+                chrnum = int(np.searchsorted(self.db.chr_ends, g0,
+                                             side="right"))
+                pos = g0 - int(self.db.chr_starts[chrnum]) + 1
+                seg = qe - qs
+                if hplus:
+                    cigar = (f"{qs}H" if qs else "") + f"{seg}M" + (
+                        f"{L - qe}H" if qe < L else "")
+                    sseq = rec.seq.upper()[qs:qe]
+                    squal = qual[qs:qe] if qual else None
+                else:
+                    cigar = (f"{L - qe}H" if qe < L else "") + f"{seg}M" + (
+                        f"{qs}H" if qs else "")
+                    sseq = dna.revcomp_str(rec.seq.upper()[qs:qe])
+                    squal = qual[qs:qe][::-1] if qual else None
+                hit = sam.SEHit(
+                    chrname=self.db.chr_names[chrnum], chrpos=pos,
+                    plusp=True, cigar=cigar, md=md, nm=nm, mapq=mapq,
+                    absmq=absmq, second_absmq=second_absmq, xs=hxs,
+                )
+                rec_out = sam.se_record(
+                    rec.label, sseq, squal, hit, nh=nh, hi=hi + 1,
+                    secondary=hi > 0, extra=[xt])
+                if not hplus:
+                    # strand flag comes from the half, not the SEHit
+                    fields = rec_out.split("\t")
+                    fields[1] = str(int(fields[1]) | sam.FLAG_REVCOMP)
+                    rec_out = "\t".join(fields)
+                out.append(rec_out)
+            return "".join(out)
         halves = [
             (q1, q2, g1, info["md1"], info["nm1"], True),
             (q3, q4, g2, info["md2"], info["nm2"], False),

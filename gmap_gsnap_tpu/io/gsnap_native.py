@@ -37,6 +37,75 @@ def _fmt_prob(p: float) -> str:
     return f"{p:.2f}"
 
 
+def _inversion_lines(h, rec, genome_str, chrname, chr_start, mapq,
+                     pair_suffix, chr_lookup):
+    """Mixed-strand distant pair (splice_type:inversion): two segments
+    printed in READ order, each with its own strand sign; the minus
+    segment shows the read text against the reverse-complemented
+    genomic span with descending coordinates."""
+    d = h.d
+    info = d.distant
+    L = len(rec.seq)
+    read = rec.seq.upper()
+    (q1, q2, g1), (q3, q4, g2) = d.parts
+    p1, p2 = info["plusps"]
+    sense = "sense" if info["sense"] else "antisense"
+    dist = info["dist"]
+
+    def span_of(qs, qe, g0):
+        return g0, g0 + (qe - qs)
+
+    segs = []
+    for idx, ((qs, qe, g0), hplus) in enumerate(
+            (((q1, q2, g1), p1), ((q3, q4, g2), p2))):
+        lo, hi = span_of(qs, qe, g0)
+        gseq = genome_str[lo:hi]
+        if not hplus:
+            gseq = _revcomp(gseq)
+        text = _seg_text(gseq, read[qs:qe])
+        sub = sum(1 for c in text if c.islower())
+        cn, cs = (chrname, chr_start)
+        if chr_lookup is not None:
+            cn, cs = chr_lookup(lo)
+        if hplus:
+            rng = f"+{cn}:{lo - cs + 1}..{hi - cs}"
+        else:
+            rng = f"-{cn}:{hi - cs}..{lo - cs + 1}"
+        segs.append((qs, qe, lo, hi, hplus, text, sub, rng))
+
+    # adjacent intron dinucleotides in READ orientation
+    (qs1, qe1, lo1, hi1, hp1, text1, sub1, rng1) = segs[0]
+    (qs2, qe2, lo2, hi2, hp2, text2, sub2, rng2) = segs[1]
+    dn1 = (genome_str[hi1 : hi1 + 2] if hp1
+           else _revcomp(genome_str[lo1 - 2 : lo1])).lower()
+    dn2 = (genome_str[lo2 - 2 : lo2] if hp2
+           else _revcomp(genome_str[hi2 : hi2 + 2])).lower()
+    row1 = text1 + dn1 + "-" * (L - qe1 - 2)
+    row2 = "-" * (qs2 - 2) + dn2 + text2
+
+    dprob = _fmt_prob(info["dprob"])
+    aprob = _fmt_prob(info["aprob"])
+    if info.get("donor_left", True):
+        lab1, lab2 = f"donor:{dprob}", f"acceptor:{aprob}"
+    else:
+        lab1, lab2 = f"acceptor:{aprob}", f"donor:{dprob}"
+
+    stype = info["type"]
+    f1 = (f"start:0..{lab1},matches:{(qe1 - qs1) - sub1},sub:{sub1},"
+          f"dir:{sense},splice_type:{stype}")
+    f2 = (f"{lab2}..end:0,matches:{(qe2 - qs2) - sub2},sub:{sub2},"
+          f"dir:{sense},splice_type:{stype}")
+    if dist > 0:
+        f1 += f",splice_dist_2:{dist}"
+        f2 += f",splice_dist_1:{dist}"
+    line1 = (f"{row1}\t{qs1 + 1}..{qe1}\t{rng1}\t{f1}"
+             f"\tsegs:2,align_score:{_align_score(h)},mapq:{mapq}")
+    if pair_suffix is not None:
+        line1 += f"\t{pair_suffix}"
+    line2 = f"{row2}\t{qs2 + 1}..{qe2}\t{rng2}\t{f2}"
+    return [line1, line2]
+
+
 def hit_lines(h, rec, genome_str: str, codes, chrname: str, chr_start: int,
               mapq: int, pair_suffix: str | None = None,
               splice_labels=None, chr_lookup=None) -> list[str]:
@@ -45,6 +114,11 @@ def hit_lines(h, rec, genome_str: str, codes, chrname: str, chr_start: int,
     d = h.d
     L = len(rec.seq)
     read = rec.seq.upper()
+
+    if (h.hittype == "distant" and d.distant is not None
+            and d.distant.get("plusps") is not None):
+        return _inversion_lines(h, rec, genome_str, chrname, chr_start,
+                                mapq, pair_suffix, chr_lookup)
 
     # aligned-space segments: (qs, qe, g0) plus junction info
     parts = list(d.parts) if d.parts else [(0, L, d.left)]
