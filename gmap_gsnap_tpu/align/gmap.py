@@ -494,6 +494,125 @@ def align_cdna_batch(db: GenomeDB, queries: list[str],
     return out
 
 
+CHIMERA_MARGIN = 40  # gmap.c:234 chimera_margin default
+
+
+def _path_matchvec_read(gstr_a, path: Path, read: str, L: int) -> np.ndarray:
+    """int32[L] per-READ-position match score (+1 match, 0 elsewhere)
+    for a path (Stage3_pathscores flattened to our exon model)."""
+    vec = np.zeros(L, np.int32)
+    qstr = read if path.watsonp else dna.revcomp_str(read)
+    qa = _as_bytes(qstr)
+    for e in path.exons:
+        eq = _match_vec(gstr_a, qa, e.qstart, e.qend, e.gstart - e.qstart)
+        qpos = np.arange(e.qstart, e.qend)
+        rpos = qpos if path.watsonp else (L - 1 - qpos)
+        vec[rpos] = eq.astype(np.int32)
+    return vec
+
+
+def _clip_path_read(path: Path, lo: int, hi: int, L: int, gstr: str,
+                    read: str) -> Path | None:
+    """Clip a path to READ region [lo, hi); exon coords stay in the
+    path's aligned orientation."""
+    if path.watsonp:
+        alo, ahi = lo, hi
+    else:
+        alo, ahi = L - hi, L - lo
+    qstr = read if path.watsonp else dna.revcomp_str(read)
+    exons = []
+    for e in path.exons:
+        qs, qe = max(e.qstart, alo), min(e.qend, ahi)
+        if qe <= qs:
+            continue
+        diag = e.gstart - e.qstart
+        m, mm = _count_matches(gstr, qstr, qs, qe, diag)
+        exons.append(Exon(qs, qe, diag + qs, diag + qe, m, mm))
+    if not exons:
+        return None
+    # direction comes from the part's OWN canonical introns
+    # (pick_cdna_direction): none -> indeterminate
+    itypes = []
+    direction = 0
+    for a, b in zip(exons, exons[1:]):
+        gap = b.gstart - a.gend
+        if gap >= MIN_INTRONLENGTH:
+            ld = gstr[a.gend : a.gend + 2]
+            rd = gstr[b.gstart - 2 : b.gstart]
+            _, it = intron_score(ld, rd, path.cdna_direction, 1, True)
+            itypes.append(it)
+            if it in ("canonical", "gcag", "atac"):
+                direction = path.cdna_direction
+        else:
+            itypes.append("indel")
+    return Path(watsonp=path.watsonp, cdna_direction=direction,
+                exons=exons, intron_types=itypes,
+                querylength=L, chrnum=path.chrnum)
+
+
+def align_cdna_chimera(db: GenomeDB, query: str,
+                       max_intronlen: int = 1_000_000):
+    """Chimera detection (gmap.c:1945-2010 check_for_chimera +
+    chimera.c:263 Chimera_bestpath): when the best path leaves a query
+    margin >= chimera_margin, the uncovered part is re-aligned and the
+    breakpoint maximizing joint matches splits the read into two paths.
+
+    Returns (paths, chimerapos): one path (chimerapos None) or two
+    paths in read order with the 0-based breakpoint (last position of
+    part 1)."""
+    best = align_cdna(db, query)
+    if best is None:
+        return [], None
+    L = len(query)
+    read = query.upper()
+    # margins in READ coords (Stage3_largemargin)
+    if best.watsonp:
+        five_margin, three_margin = best.qstart, L - best.qend
+    else:
+        five_margin, three_margin = L - best.qend, best.qstart
+    if max(five_margin, three_margin) < CHIMERA_MARGIN:
+        return [best], None
+    # re-align the uncovered margin
+    if five_margin >= three_margin:
+        sub = read[:five_margin]
+        sub_off, sub_is_five = 0, True
+    else:
+        sub = read[L - three_margin :]
+        sub_off, sub_is_five = L - three_margin, False
+    other = align_cdna(db, sub, max_intronlen=max_intronlen)
+    if other is None:
+        return [best], None
+    # rebase the margin path into full-read coordinates
+    if other.watsonp:
+        shift = sub_off
+    else:
+        # revcomp coords of the substring -> revcomp coords of the read
+        shift = (L - sub_off - len(sub))
+    for e in other.exons:
+        e.qstart += shift
+        e.qend += shift
+    other.querylength = L
+
+    p5, p3 = (other, best) if sub_is_five else (best, other)
+    gstr_a = _as_bytes(db.genome_str)
+    v5 = _path_matchvec_read(gstr_a, p5, read, L)
+    v3 = _path_matchvec_read(gstr_a, p3, read, L)
+    # breakpoint b maximizes matches5[0..b] + matches3[b+1..L)
+    c5 = np.cumsum(v5)
+    s3 = np.concatenate([np.cumsum(v3[::-1])[::-1], [0]])
+    tot = c5[: L - 1] + s3[1:L]
+    b = int(np.argmax(tot))
+    part1 = _clip_path_read(p5, 0, b + 1, L, db.genome_str, read)
+    part2 = _clip_path_read(p3, b + 1, L, L, db.genome_str, read)
+    if part1 is None or part2 is None:
+        return [best], None
+    # require both parts to contribute meaningfully (chimera_margin)
+    if (int(v5[: b + 1].sum()) < CHIMERA_MARGIN
+            or int(v3[b + 1 :].sum()) < CHIMERA_MARGIN):
+        return [best], None
+    return [part1, part2], b
+
+
 def chop_path_ends(gstr: str, qstr: str, path: Path) -> None:
     """GMAP's changepoint end trimming (chop_ends_by_changepoint,
     stage3.c:2130): chop alignment ends whose match rate drops sharply
@@ -636,9 +755,14 @@ def _build_path(gstr, qstr, chain, watsonp, db) -> Path | None:
             intron_types.append(itype)
 
         ncanonical = sum(1 for t in intron_types if t == "canonical")
+        # no canonical-family intron -> cDNA direction indeterminate
+        # (pick_cdna_direction, stage3.c:3694)
+        direction = (cdna_direction if any(
+            t in ("canonical", "gcag", "atac") for t in intron_types)
+            else 0)
         path = Path(
             watsonp=watsonp,
-            cdna_direction=cdna_direction,
+            cdna_direction=direction,
             exons=exons,
             intron_types=intron_types,
             querylength=L,

@@ -63,9 +63,18 @@ def main(argv=None) -> int:
             f"@SQ\tSN:{n}\tLN:{int(e - s)}\n"
             for n, s, e in zip(db.chr_names, db.chr_starts, db.chr_ends)
         ))
+    import numpy as _np
+
+    chimera_ok = args.format in ("paths", "summary", "samse") and dbmode
     for path_in in args.input:
         for rec in fasta.read_fasta(path_in):
-            path = gmap_mod.align_cdna(db, rec.seq)
+            chimera_pos = None
+            if chimera_ok:
+                cpaths, chimera_pos = gmap_mod.align_cdna_chimera(db, rec.seq)
+                path = cpaths[0] if cpaths else None
+            else:
+                path = gmap_mod.align_cdna(db, rec.seq)
+                cpaths = [path] if path is not None else []
             qstr = (
                 rec.seq.upper()
                 if path is None or path.watsonp
@@ -75,8 +84,23 @@ def main(argv=None) -> int:
                 if path is None:
                     sys.stdout.write(gmap_out.sam_record(
                         None, rec.label, rec.seq, None, "", 0, qstr, gstr))
+                elif chimera_pos is not None:
+                    # chimeric halves: hard clips, NH 2, both HI 1,
+                    # multimapper MAPQ 3, XT junction tag (gmap.c)
+                    xt = "XT:Z:NN-NN,0.00,0.00"
+                    for part in cpaths:
+                        cn = int(_np.searchsorted(
+                            db.chr_ends, part.gstart, side="right"))
+                        pq = (rec.seq.upper() if part.watsonp
+                              else dna.revcomp_str(rec.seq.upper()))
+                        sys.stdout.write(gmap_out.sam_record(
+                            part, rec.label, rec.seq, None,
+                            db.chr_names[cn], int(db.chr_starts[cn]),
+                            pq, gstr, nh=2, hi=1, mapq=3, sm=40,
+                            hardclip=True, extra=[xt],
+                        ))
                 else:
-                    chrnum = int(__import__("numpy").searchsorted(
+                    chrnum = int(_np.searchsorted(
                         db.chr_ends, path.gstart, side="right"))
                     sys.stdout.write(gmap_out.sam_record(
                         path, rec.label, rec.seq, None,
@@ -133,9 +157,13 @@ def main(argv=None) -> int:
                 )
                 sys.stdout.write("###\n")
             else:
+                outpaths = cpaths if chimera_pos is not None else [path]
                 sys.stdout.write(
                     gmap_out.paths_output(
-                        rec.header, [path], chrname, chrlength, qstr, gstr, dbmode
+                        rec.header, outpaths, chrname, chrlength, qstr,
+                        gstr, dbmode, chimera_pos=chimera_pos,
+                        read=rec.seq.upper() if chimera_pos is not None
+                        else None,
                     )
                 )
                 if args.A or args.summary_only:
@@ -144,13 +172,23 @@ def main(argv=None) -> int:
                     cname = chrname if dbmode else None
                     codes = db.codes if dbmode else None
                     sys.stdout.write("Alignments:\n")
-                    sys.stdout.write("  Alignment for path 1:\n\n")
-                    sys.stdout.write(afmt.exon_table(path, chr_start, cname,
-                                                     codes=codes))
-                    sys.stdout.write("\n")
-                    if args.A:
-                        sys.stdout.write(afmt.alignment_body(
-                            path, qstr, gstr, chr_start, cname))
+                    for pi, part in enumerate(outpaths):
+                        pq = (rec.seq.upper() if part.watsonp
+                              else dna.revcomp_str(rec.seq.upper()))
+                        pcn = int(_np.searchsorted(
+                            db.chr_ends, part.gstart, side="right"))
+                        pcs = int(db.chr_starts[pcn]) if dbmode else chr_start
+                        pcname = (db.chr_names[pcn] if dbmode else cname)
+                        sys.stdout.write(
+                            f"  Alignment for path {pi + 1}:\n\n")
+                        sys.stdout.write(afmt.exon_table(
+                            part, pcs, pcname if dbmode else cname,
+                            codes=codes))
+                        sys.stdout.write("\n")
+                        if args.A:
+                            sys.stdout.write(afmt.alignment_body(
+                                part, pq, gstr, pcs,
+                                pcname if dbmode else cname))
     return 0
 
 

@@ -45,8 +45,15 @@ def _translation_bounds(path: Path, qstr: str, gstr: str):
     stop = endstopp and aa[endi] == "*"
     if stop:
         length -= 1
-    # ORF end = last base of the last complete codon (stop included)
-    e2 = min(starti + 3 * (length + (1 if stop else 0)) - 1, n - 1)
+        e2 = min(starti + 3 * (length + 1) - 1, n - 1)
+    elif (path.cdna_direction >= 0) == path.watsonp:
+        # READ-forward ORF truncated at the cDNA end: the trailing
+        # partial codon counts as a residue (Translation_via_genomic
+        # forward; the backward translation truncates instead)
+        length = -(-(n - starti) // 3)
+        e2 = n - 1
+    else:
+        e2 = min(starti + 3 * length - 1, n - 1)
     if path.cdna_direction >= 0:
         col_s, col_e = starti, e2
     else:
@@ -58,6 +65,49 @@ def _translation_bounds(path: Path, qstr: str, gstr: str):
         return qp if path.watsonp else L - 1 - qp
 
     return readpos(col_s), readpos(col_e), length
+
+
+def _chimera_translation(paths, gstr):
+    """Translate the merged chimeric cDNA (genomic columns of both
+    parts in read order) and return (part_index, read_left, read_right,
+    aa_len) of the longest ORF; truncated ORFs count the trailing
+    partial codon (Translation_via_genomic chimera handling)."""
+    from ..utils import dna as _dna
+
+    txt = []
+    readpos = []
+    spans = []
+    for pi, p in enumerate(paths):
+        L = p.querylength
+        seg = []
+        qpos = []
+        for e in p.exons:
+            seg.append(gstr[e.gstart : e.gend])
+            qpos.extend(range(e.qstart, e.qend))
+        seg = "".join(seg)
+        if not p.watsonp:
+            seg = _dna.revcomp_str(seg)
+            qpos = [L - 1 - q for q in reversed(qpos)]
+        start = len(readpos)
+        txt.append(seg)
+        readpos.extend(qpos)
+        spans.append((start, len(readpos), pi))
+    text = "".join(txt)
+    n = len(text)
+    aa = tr.translate_forward(text)
+    frame, starti, endi, length, endstopp = tr.find_bounds_forward(aa)
+    if length == 0:
+        return None, 0, 0, 0
+    stop = endstopp and endi < len(aa) and aa[endi] == "*"
+    if stop:
+        length -= 1
+        e2 = min(starti + 3 * (length + 1) - 1, n - 1)
+    else:
+        # truncated at the cDNA end: count the partial codon
+        length = -(-(n - starti) // 3)
+        e2 = n - 1
+    part_i = next((pi for (a, b, pi) in spans if a <= starti < b), 0)
+    return part_i, readpos[starti], readpos[e2], length
 
 
 def path_cigar_md(path: Path, qstr: str, gstr: str, sam_mode: str = "gmap"):
@@ -131,7 +181,9 @@ def path_cigar_md(path: Path, qstr: str, gstr: str, sam_mode: str = "gmap"):
 
 def sam_record(path: Path | None, qname: str, seq: str, qual: str | None,
                chrname: str, chr_start: int, qstr: str, gstr: str,
-               nh: int = 1, hi: int = 1, mapq: int = 40) -> str:
+               nh: int = 1, hi: int = 1, mapq: int = 40,
+               hardclip: bool = False, sm: int | None = None,
+               extra: list | None = None) -> str:
     """One SAM line for a GMAP path (gmap -f samse; Pair_print_sam,
     pair.c).  Query ends outside the path soft-clip.  Tag set matches
     gsnap: MD/NH/HI/NM/SM/XQ/X2 (+XS splice strand when introns
@@ -147,13 +199,20 @@ def sam_record(path: Path | None, qname: str, seq: str, qual: str | None,
     out_qual = (qual if path.watsonp else qual[::-1]) if qual else "*"
 
     core, mds, nm, has_intron = path_cigar_md(path, qstr, gstr)
+    clip = "H" if hardclip else "S"
     cigar = []
     if path.qstart:
-        cigar.append(f"{path.qstart}S")
+        cigar.append(f"{path.qstart}{clip}")
     cigar.append(core)
     if path.qend < L:
-        cigar.append(f"{L - path.qend}S")
+        cigar.append(f"{L - path.qend}{clip}")
     md = [mds]
+    if hardclip:
+        # hard-clipped halves (chimera parts) carry only the aligned
+        # slice of SEQ/QUAL (Pair_print_sam with hardclips)
+        out_seq = out_seq[path.qstart : path.qend]
+        if out_qual != "*":
+            out_qual = out_qual[path.qstart : path.qend]
 
     pos = path.gstart - chr_start + 1
     fields = [
@@ -161,12 +220,16 @@ def sam_record(path: Path | None, qname: str, seq: str, qual: str | None,
         "*", "0", "0", out_seq, out_qual,
         "MD:Z:" + "".join(md),
         f"NH:i:{nh}", f"HI:i:{hi}", f"NM:i:{nm}",
-        f"SM:i:{mapq}", "XQ:i:40", "X2:i:0",
+        f"SM:i:{mapq if sm is None else sm}", "XQ:i:40", "X2:i:0",
     ]
-    if has_intron and path.cdna_direction:
-        # cdna_direction is in aligned space: +1 <=> GT-AG on plus genome
-        xs = "+" if path.cdna_direction > 0 else "-"
+    if has_intron:
+        # cdna_direction is in aligned space: +1 <=> GT-AG on plus
+        # genome; indeterminate direction prints '?' (Pair_print_sam)
+        xs = ("?" if path.cdna_direction == 0
+              else ("+" if path.cdna_direction > 0 else "-"))
         fields.append(f"XS:A:{xs}")
+    if extra:
+        fields.extend(extra)
     return "\t".join(fields) + "\n"
 
 
@@ -438,6 +501,8 @@ def path_summary(
     qstr: str,
     gstr: str,
     dbmode: bool = True,
+    translate: bool = True,
+    trans_override: "tuple | None" = None,
 ) -> str:
     """One 'Path N:' block (gmap default output)."""
     out = []
@@ -482,11 +547,14 @@ def path_summary(
         f"({path.matches} matches, {path.mismatches} mismatches, "
         f"{path.indels} indels, {unknowns} unknowns)\n"
     )
-    tb = _translation_bounds(path, qstr, gstr)
+    tb = _translation_bounds(path, qstr, gstr) if translate else None
+    if trans_override is not None:
+        tb = trans_override
     if tb is not None:
         left, right, aalen = tb
-        out.append(f"    Translation: {left + 1}..{right + 1} ({aalen} aa)\n")
-        out.append("    Amino acid changes: \n")
+        out.append(f"    Translation: {left + 1}..{right + 1} "
+                   f"({aalen} aa)\n")
+    out.append("    Amino acid changes: \n")
     return "".join(out)
 
 
@@ -498,11 +566,36 @@ def paths_output(
     qstr: str,
     gstr: str,
     dbmode: bool = True,
+    chimera_pos: int | None = None,
+    read: str | None = None,
 ) -> str:
     out = [f">{header}\n"]
-    out.append(f"Paths ({len(paths)}):\n")
+    if chimera_pos is not None:
+        out.append(f"Paths ({len(paths)}): *** Possible chimera "
+                   f"with breakpoint at {chimera_pos + 1}\n")
+    else:
+        out.append(f"Paths ({len(paths)}):\n")
+    # chimeras translate the FULL cDNA once (Stage3_translate_chimera)
+    # and assign the ORF to the part containing its start, printing
+    # PART-relative coordinates
+    overrides = [None] * len(paths)
+    if chimera_pos is not None and len(paths) > 1:
+        part_i, l, r, aalen = _chimera_translation(paths, gstr)
+        if part_i is not None:
+            p = paths[part_i]
+            toff = p.qstart if p.watsonp else p.querylength - p.qend
+            overrides[part_i] = (l - toff, r - toff, aalen)
     for i, p in enumerate(paths):
-        out.append(path_summary(p, i + 1, chrname, chrlength, qstr, gstr, dbmode))
+        pq = qstr
+        if read is not None:
+            from ..utils import dna as _dna
+            pq = read if p.watsonp else _dna.revcomp_str(read)
+        if i > 0:
+            out.append("\n")
+        out.append(path_summary(
+            p, i + 1, chrname, chrlength, pq, gstr, dbmode,
+            translate=False if chimera_pos is not None else True,
+            trans_override=overrides[i]))
     out.append("\n")
     return "".join(out)
 
@@ -548,7 +641,7 @@ def gff3_gene(
             f"Target={accession} {tq1} {tq2} {qstrand}\n"
         )
     # CDS from translation bounds
-    tb = _translation_bounds(path, qstr, gstr)
+    tb = _translation_bounds(path, qstr, gstr) if translate else None
     if tb is not None:
         left, right, _ = tb
         cdsnum = 0
