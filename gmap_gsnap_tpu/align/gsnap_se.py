@@ -120,10 +120,17 @@ def _seed_diagonals(index: IndexArrays, oligos, valid, params: GsnapParams):
     """Gather up to seed_cap positions per valid k-mer; return candidate
     diagonals uint32[B, S*W] with invalid slots = INVALID_DIAG.
 
+    A ShardedIndexArrays index routes to the sharded-positions seeding
+    (parallel.shard.sharded_seed_diagonals).
+
     Positions are fetched as aligned 8-wide rows (one gather descriptor
     per 8 entries — TPU gathers are per-descriptor limited) and the
     exact [start, start+min(count, seed_cap)) window is selected by
     masking on the global element index."""
+    from ..parallel import shard as shard_mod
+
+    if isinstance(index, shard_mod.ShardedIndexArrays):
+        return shard_mod.sharded_seed_diagonals(index, oligos, valid, params)
     b, s = oligos.shape
     c = params.seed_cap
     row = 8

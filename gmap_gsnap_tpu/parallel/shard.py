@@ -95,3 +95,110 @@ def shard_index_lookup(positions_sharded, starts, counts, cap: int, nshards: int
                              idx]
     ok = j < counts[:, None]
     return jnp.where(ok, vals, jnp.uint32(0xFFFFFFFF))
+
+
+# ------------------------------------------------------- sharded k-mer index
+
+@jax.tree_util.register_pytree_node_class
+class ShardedIndexArrays:
+    """K-mer positional index with the positions array SHARDED over the
+    mesh (for genomes whose index outgrows one HBM; SURVEY.md 2.7
+    "shard positions arrays + all-gather candidate lists").
+
+    positions2d: uint32[nshards, shard_len], shard s owning global
+    elements [s*shard_len, (s+1)*shard_len); placed with
+    NamedSharding(mesh, P('reads', None)) so each device holds one row.
+    offsets stay replicated (they are 4^k+1 entries — the positions
+    array is the one that scales with genome size).
+    """
+
+    def __init__(self, offsets, positions2d, k, interval, mesh):
+        self.offsets = offsets
+        self.positions2d = positions2d
+        self.k = int(k)
+        self.interval = int(interval)
+        self.mesh = mesh
+
+    def tree_flatten(self):
+        return (self.offsets, self.positions2d), (self.k, self.interval,
+                                                  self.mesh)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0], aux[1], aux[2])
+
+    @classmethod
+    def from_index(cls, mesh: Mesh, index):
+        """Shard a replicated IndexArrays over the mesh."""
+        n = mesh.devices.size
+        pos = np.asarray(index.positions)
+        shard_len = -(-len(pos) // n)
+        shard_len += (-shard_len) % 8  # keep 8-wide row alignment
+        pad = n * shard_len - len(pos)
+        pos = np.concatenate([pos, np.zeros(pad, np.uint32)])
+        pos2d = pos.reshape(n, shard_len)
+        sharded = jax.device_put(
+            jnp.asarray(pos2d), NamedSharding(mesh, P("reads", None)))
+        offsets = jax.device_put(
+            index.offsets, NamedSharding(mesh, P()))
+        return cls(offsets, sharded, index.k, index.interval, mesh)
+
+
+def sharded_seed_diagonals(index: "ShardedIndexArrays", oligos, valid,
+                           params):
+    """Seeding against a sharded positions array: every device scans
+    the whole read batch against ITS positions shard and the per-slot
+    candidate tensors combine with a pmin collective (INVALID_DIAG is
+    the identity, and each global element is owned by exactly one
+    shard) — the all-gather-of-candidates pattern riding ICI.
+
+    Matches gsnap_se._seed_diagonals output exactly.
+    """
+    from functools import partial as _partial
+
+    from jax.experimental.shard_map import shard_map
+
+    from ..align.gsnap_se import INVALID_DIAG
+
+    mesh = index.mesh
+    nshards, shard_len = index.positions2d.shape
+    c = params.seed_cap
+    row = 8
+    nrows = c // row + 1
+    b, s = oligos.shape
+
+    def local(offsets, pos_shard, oligos, valid):
+        # pos_shard [1, shard_len]; this device owns global elements
+        # [s0, s0 + shard_len)
+        sid = jax.lax.axis_index("reads")
+        s0 = sid.astype(jnp.int32) * shard_len
+        start = offsets[oligos].astype(jnp.int32)
+        end = offsets[jnp.minimum(oligos + 1, offsets.shape[0] - 1)]
+        count = end.astype(jnp.int32) - start
+        usable = valid & (count > 0) & (count <= params.size_threshold)
+        cap_end = start + jnp.minimum(count, c)
+
+        pos2d = pos_shard.reshape(-1, row)
+        grow = (start >> 3)[:, :, None] + jnp.arange(nrows, dtype=jnp.int32)
+        lrow = grow - (s0 >> 3)
+        inshard = (lrow >= 0) & (lrow < pos2d.shape[0])
+        pos = pos2d[jnp.clip(lrow, 0, pos2d.shape[0] - 1)]
+        gidx = grow[:, :, :, None] * row + jnp.arange(row, dtype=jnp.int32)
+        ok = (
+            usable[:, :, None, None]
+            & inshard[:, :, :, None]
+            & (gidx >= start[:, :, None, None])
+            & (gidx < cap_end[:, :, None, None])
+        )
+        qpos = jnp.arange(s, dtype=jnp.uint32)[None, :, None, None]
+        ok = ok & (pos >= qpos)
+        diag = jnp.where(ok, pos - qpos, INVALID_DIAG)
+        # each global element is owned by one shard: min-combine
+        return jax.lax.pmin(diag.reshape(b, s * nrows * row), "reads")
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P("reads", None), P(), P()),
+        out_specs=P(),
+    )
+    return fn(index.offsets, index.positions2d, oligos, valid)

@@ -101,3 +101,46 @@ def test_sharded_index_lookup(db):
         # shard; only verify the in-shard prefix (the all-gather pattern)
         inshard = min(c, shard_len - (s % shard_len))
         assert np.array_equal(got[:inshard], want[:inshard])
+
+
+def test_sharded_index_seeding_matches_replicated():
+    """Index sharding wired for real: the sharded-positions seeding
+    (pmin-combined shard_map) must equal the replicated-index seeding,
+    and the FULL pipeline run with a sharded index must match the
+    replicated run end to end."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gmap_gsnap_tpu.align import gsnap_gapped, gsnap_se
+    from gmap_gsnap_tpu.db import build, indexdb
+    from gmap_gsnap_tpu.ops import genome as genome_ops
+    from gmap_gsnap_tpu.parallel import shard
+
+    g = build.load_genome_fasta(["/root/reference/tests/ss.chr17test"])
+    genome = genome_ops.GenomeArrays.from_codes(g.codes, g.flags, g.chr_ends)
+    offsets, positions = indexdb.build_index(g.codes, g.flags, g.chr_ends, 12, 3)
+    index = gsnap_se.IndexArrays.from_host(offsets, positions, 12, 3)
+
+    mesh = shard.reads_mesh()
+    sharded = shard.ShardedIndexArrays.from_index(mesh, index)
+
+    rng = np.random.default_rng(3)
+    B, L = 32, 100
+    lefts = rng.integers(0, len(g.codes) - L, B)
+    codes = g.codes[lefts[:, None] + np.arange(L)[None, :]].copy()
+    for i in range(B):
+        for _ in range(int(rng.integers(0, 3))):
+            codes[i, rng.integers(0, L)] = rng.integers(0, 4)
+    nflags = np.zeros((B, L), bool)
+    lengths = np.full(B, L, np.int32)
+
+    params = gsnap_gapped.GappedParams()
+    out_rep = gsnap_gapped.align_batch_gapped(
+        genome, index, jnp.asarray(codes), jnp.asarray(nflags),
+        jnp.asarray(lengths), params)
+    out_sh = gsnap_gapped.align_batch_gapped(
+        genome, sharded, jnp.asarray(codes), jnp.asarray(nflags),
+        jnp.asarray(lengths), params)
+    for k in ("npaths", "left", "kind", "score", "nmm"):
+        assert np.array_equal(np.asarray(out_rep[k]), np.asarray(out_sh[k])), k
