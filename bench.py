@@ -162,6 +162,33 @@ def main() -> int:
     nmapped = sum(1 for p in paths if p is not None)
     assert nmapped >= 0.9 * len(queries), f"gmap mapped {nmapped}"
 
+    # ------------------------------------------- dynprog kernel micro-bench
+    from gmap_gsnap_tpu.ops import dynprog as dp
+
+    rng = np.random.default_rng(5)
+    B, M, N = 4096, 32, 40
+    q = rng.integers(0, 4, (B, M)).astype(np.int32)
+    gmat = rng.integers(0, 4, (B, N)).astype(np.int32)
+    len1 = np.full(B, M, np.int32)
+    len2 = np.full(B, N, np.int32)
+    lband, rband = dp.compute_bands(len1, len2, 7)
+    W = int((lband + rband).max()) + 1
+    pairmat = dp.pair_matrix(dp.MISMATCH_HIGHQ)
+    late = np.zeros(B, bool)
+    mats = dp.banded_matrices(q, gmat, len1, len2, lband, rband, pairmat,
+                              late, M=M, W=W, open_=dp.PAIRED_OPEN,
+                              extend=dp.PAIRED_EXTEND)
+    jax.block_until_ready(mats)
+    t0 = time.time()
+    reps = 10
+    for _ in range(reps):
+        mats = dp.banded_matrices(q, gmat, len1, len2, lband, rband,
+                                  pairmat, late, M=M, W=W,
+                                  open_=dp.PAIRED_OPEN,
+                                  extend=dp.PAIRED_EXTEND)
+        jax.block_until_ready(mats)
+    dyn_per_sec = reps * B / (time.time() - t0)
+
     print(json.dumps({
         "metric": "gsnap_pe_100bp_end_to_end_pairs_per_sec",
         "value": round(pe_qps, 1),
@@ -172,6 +199,7 @@ def main() -> int:
             "gsnap_se_device_vs_baseline": round(se_qps / BASELINE_SE_QPS, 2),
             "gmap_cdna_per_sec": round(gmap_qps, 1),
             "gmap_cdna_vs_baseline": round(gmap_qps / BASELINE_GMAP_QPS, 2),
+            "dynprog_banded_gaps_per_sec": round(dyn_per_sec, 1),
         },
     }))
     return 0

@@ -496,6 +496,14 @@ def align_cdna_batch(db: GenomeDB, queries: list[str],
 
 CHIMERA_MARGIN = 40  # gmap.c:234 chimera_margin default
 
+_CODE_LUT = np.full(256, 4, np.uint8)
+for _i, _c in enumerate(b"ACGT"):
+    _CODE_LUT[_c] = _i
+
+
+def _codes_of(s: str) -> np.ndarray:
+    return _CODE_LUT[np.frombuffer(s.encode("latin-1"), np.uint8)]
+
 
 def _path_matchvec_read(gstr_a, path: Path, read: str, L: int) -> np.ndarray:
     """int32[L] per-READ-position match score (+1 match, 0 elsewhere)
@@ -702,9 +710,39 @@ def _build_path(gstr, qstr, chain, watsonp, db) -> Path | None:
             qsR, qeR, gsR, dR = merged[i + 1]
             gap = dR - dL
             if gap >= MIN_INTRONLENGTH:
-                r, _, introntype = _bridge_intron(
+                r, scan_score, introntype = _bridge_intron(
                     gstr, qstr, qeL, qsR, dL, dR, cdna_direction
                 )
+                # dynprog rescue (traverse_genome_gap): when the exact
+                # split leaves mismatches in the peel window, the
+                # banded affine DP kernels can place indels INSIDE the
+                # window; take its solution when it scores higher
+                lo = max(0, min(qeL, qsR) - 11)
+                hi = min(L, max(qeL, qsR) + 11)
+                gstr_a = _as_bytes(gstr)
+                qstr_a = _as_bytes(qstr)
+                nmmL = int((~_match_vec(gstr_a, qstr_a, lo, r, dL)).sum())
+                nmmR = int((~_match_vec(gstr_a, qstr_a, r, hi, dR)).sum())
+                if (nmmL + nmmR > 0 and hi - lo >= 4
+                        and lo >= prev_split):
+                    from . import gmap_engine
+
+                    sol = gmap_engine.solve_junction_dynprog(
+                        _codes_of(gstr), _codes_of(qstr), lo, hi, dL, dR,
+                        cdna_direction)
+                    if sol is not None and sol[0] > scan_score and sol[1]:
+                        # emit the DP pieces as bounds; neighbors merge
+                        # on equal diagonals downstream
+                        fs, pieces, _ = sol
+                        exon_bounds.append(
+                            (prev_split, pieces[0][0], dL, None))
+                        for pi, (pqs, pqe, pd) in enumerate(pieces):
+                            exon_bounds.append(
+                                (pqs, pqe, pd,
+                                 introntype if pi + 1 < len(pieces)
+                                 else None))
+                        prev_split = pieces[-1][1]
+                        continue
             else:
                 r = _solve_indel_junction(gstr, qstr, qeL, qsR, dL, dR)
                 introntype = "indel"

@@ -183,3 +183,118 @@ def chains_from_device(segs, B: int, Q: int, k: int,
             i = int(prev[i])
         chains.append(chain[::-1])
     return chains
+
+
+# ---------------------------------------------- dynprog junction rescue
+
+def solve_junction_dynprog(gcodes: "np.ndarray", qcodes: "np.ndarray",
+                           lo: int, hi: int, diagL: int, diagR: int,
+                           cdna_direction: int, finalp: bool = True):
+    """Re-solve one messy intron junction with the banded affine DP
+    kernels (traverse_genome_gap -> Dynprog_genome_gap semantics,
+    stage3.c:5633): the window query [lo, hi) bridges from diagonal
+    diagL to diagR allowing indels INSIDE the peeled window, which the
+    exact split-point scan cannot represent.
+
+    gcodes/qcodes: uint8 code arrays (genome / aligned query).
+    Returns (finalscore, pieces, introntype) where pieces is a list of
+    (qs, qe, diag) diagonal runs covering [lo, hi) in aligned query
+    coords, or None when the DP fails.
+    """
+    import jax.numpy as jnp
+
+    M = hi - lo
+    if M < 2:
+        return None
+    NL = M + EXTRAMATERIAL_PAIRED
+    NR = M + EXTRAMATERIAL_PAIRED
+
+    def codes_at(start, n):
+        idx = np.arange(start, start + n)
+        ok = (idx >= 0) & (idx < len(gcodes))
+        out = np.where(ok, gcodes[np.clip(idx, 0, len(gcodes) - 1)], 5)
+        return out.astype(np.int32)
+
+    q = qcodes[lo:hi].astype(np.int32)[None, :]
+    gl = codes_at(diagL + lo, NL)[None, :]
+    grv = codes_at(diagR + hi - NR, NR)[::-1].copy()[None, :]
+    qr = q[:, ::-1].copy()
+
+    len1 = np.array([M], np.int32)
+    len2L = np.array([NL], np.int32)
+    len2R = np.array([NR], np.int32)
+    lbandL, rbandL = dp.compute_bands(len1, len2L, EXTRABAND_PAIRED)
+    lbandR, rbandR = dp.compute_bands(len1, len2R, EXTRABAND_PAIRED)
+    W = int(max((lbandL + rbandL).max(), (lbandR + rbandR).max())) + 1
+    pairmat = dp.pair_matrix(dp.MISMATCH_HIGHQ)
+    late = np.zeros(1, bool)
+    later = np.ones(1, bool)
+    open_, extend = dp.PAIRED_OPEN, dp.PAIRED_EXTEND
+    if M > 4 * PEEL:
+        open_, extend = dp.SINGLE_OPEN, dp.SINGLE_EXTEND
+
+    matsL = dp.banded_matrices(
+        jnp.asarray(q), jnp.asarray(gl), len1, len2L, lbandL, rbandL,
+        pairmat, late, M=M, W=W, open_=open_, extend=extend)
+    matsR = dp.banded_matrices(
+        jnp.asarray(qr), jnp.asarray(grv), len1, len2R, lbandR, rbandR,
+        pairmat, later, M=M, W=W, open_=open_, extend=extend)
+
+    leftdi = dp.dinucl_codes_left(jnp.asarray(gl), NL)
+    rightdi = dp.dinucl_codes_right(jnp.asarray(grv), NR)
+    zL = jnp.zeros((1, NL + 1), jnp.int32)
+    zR = jnp.zeros((1, NR + 1), jnp.int32)
+    loff = np.array([diagL + lo], np.int32)
+    roff = np.array([diagR + hi - 1], np.int32)
+    reward = (dp.FINAL_CANONICAL_INTRON_HIGHQ if finalp
+              else dp.CANONICAL_INTRON_HIGHQ)
+    fs, brL, brR, bcL, bcR, ityp = (np.asarray(x) for x in dp.bridge_intron(
+        matsL[0], matsL[3], matsR[0], matsR[3], jnp.asarray(len1),
+        jnp.asarray(len2L), jnp.asarray(len2R),
+        jnp.asarray(lbandL), jnp.asarray(lbandR), leftdi, rightdi, zL, zR,
+        jnp.asarray(loff), jnp.asarray(roff),
+        M=M, W=W, open_=open_, extend=extend,
+        canonical_reward=reward, cdna_direction=cdna_direction,
+        finalp=finalp, halfp=False))
+    if fs[0] <= dp.NEG_INF // 2:
+        return None
+
+    T = M + max(NL, NR) + 2
+    opsL, oprL, opcL = (np.asarray(x) for x in dp.traceback(
+        matsL[0], matsL[1], matsL[2], jnp.asarray(brL.astype(np.int32)),
+        jnp.asarray(bcL.astype(np.int32)), jnp.asarray(lbandL), late,
+        T=T, W=W, open_=open_, extend=extend))
+    opsR, oprR, opcR = (np.asarray(x) for x in dp.traceback(
+        matsR[0], matsR[1], matsR[2], jnp.asarray(brR.astype(np.int32)),
+        jnp.asarray(bcR.astype(np.int32)), jnp.asarray(lbandR), later,
+        T=T, W=W, open_=open_, extend=extend))
+
+    def pieces_from(ops, opr, opc, rev: bool):
+        # convert diag-run ops into (qpos, gpos) pairs in aligned coords
+        pairs = []
+        for t in range(ops.shape[1]):
+            k = int(ops[0, t])
+            if k == dp.OP_NONE:
+                continue
+            if k == dp.OP_DIAG:
+                r, c = int(opr[0, t]), int(opc[0, t])
+                if rev:
+                    qp = hi - 1 - r
+                    gp = (diagR + hi - 1) - c
+                else:
+                    qp = lo + r
+                    gp = diagL + lo + c
+                pairs.append((qp, gp))
+        return pairs
+
+    pairs = pieces_from(opsL, oprL, opcL, False) + \
+        pieces_from(opsR, oprR, opcR, True)
+    pairs.sort()
+    pieces = []
+    for qp, gp in pairs:
+        d = gp - qp
+        if pieces and pieces[-1][2] == d and pieces[-1][1] == qp:
+            pieces[-1] = (pieces[-1][0], qp + 1, d)
+        else:
+            pieces.append((qp, qp + 1, d))
+    return int(fs[0]), pieces, int(ityp[0])
