@@ -723,7 +723,7 @@ def _build_path(gstr, qstr, chain, watsonp, db) -> Path | None:
                 qstr_a = _as_bytes(qstr)
                 nmmL = int((~_match_vec(gstr_a, qstr_a, lo, r, dL)).sum())
                 nmmR = int((~_match_vec(gstr_a, qstr_a, r, hi, dR)).sum())
-                if (nmmL + nmmR > 0 and hi - lo >= 4
+                if (nmmL + nmmR >= 2 and hi - lo >= 4
                         and lo >= prev_split):
                     from . import gmap_engine
 

@@ -206,8 +206,13 @@ def solve_junction_dynprog(gcodes: "np.ndarray", qcodes: "np.ndarray",
     M = hi - lo
     if M < 2:
         return None
-    NL = M + EXTRAMATERIAL_PAIRED
-    NR = M + EXTRAMATERIAL_PAIRED
+    # bucket the problem shape so the jitted kernels compile once per
+    # bucket instead of once per junction (M up to ~4*maxpeelback)
+    Mb = min(max(8, -(-M // 8) * 8), 64)
+    if M > Mb:
+        return None
+    NL = Mb + EXTRAMATERIAL_PAIRED
+    NR = Mb + EXTRAMATERIAL_PAIRED
 
     def codes_at(start, n):
         idx = np.arange(start, start + n)
@@ -215,17 +220,24 @@ def solve_junction_dynprog(gcodes: "np.ndarray", qcodes: "np.ndarray",
         out = np.where(ok, gcodes[np.clip(idx, 0, len(gcodes) - 1)], 5)
         return out.astype(np.int32)
 
-    q = qcodes[lo:hi].astype(np.int32)[None, :]
-    gl = codes_at(diagL + lo, NL)[None, :]
-    grv = codes_at(diagR + hi - NR, NR)[::-1].copy()[None, :]
-    qr = q[:, ::-1].copy()
+    q = np.full((1, Mb), 5, np.int32)
+    q[0, :M] = qcodes[lo:hi].astype(np.int32)
+    gl = np.full((1, NL), 5, np.int32)
+    gl[0, : M + EXTRAMATERIAL_PAIRED] = codes_at(
+        diagL + lo, M + EXTRAMATERIAL_PAIRED)
+    nr_real = M + EXTRAMATERIAL_PAIRED
+    grv = np.full((1, NR), 5, np.int32)
+    grv[0, :nr_real] = codes_at(diagR + hi - nr_real, nr_real)[::-1]
+    qr = np.full((1, Mb), 5, np.int32)
+    qr[0, :M] = qcodes[lo:hi].astype(np.int32)[::-1]
 
     len1 = np.array([M], np.int32)
-    len2L = np.array([NL], np.int32)
-    len2R = np.array([NR], np.int32)
+    len2L = np.array([M + EXTRAMATERIAL_PAIRED], np.int32)
+    len2R = np.array([M + EXTRAMATERIAL_PAIRED], np.int32)
     lbandL, rbandL = dp.compute_bands(len1, len2L, EXTRABAND_PAIRED)
     lbandR, rbandR = dp.compute_bands(len1, len2R, EXTRABAND_PAIRED)
-    W = int(max((lbandL + rbandL).max(), (lbandR + rbandR).max())) + 1
+    # static W for the bucket (max possible for this Mb)
+    W = EXTRAMATERIAL_PAIRED + 2 * EXTRABAND_PAIRED + 1
     pairmat = dp.pair_matrix(dp.MISMATCH_HIGHQ)
     late = np.zeros(1, bool)
     later = np.ones(1, bool)
@@ -235,10 +247,10 @@ def solve_junction_dynprog(gcodes: "np.ndarray", qcodes: "np.ndarray",
 
     matsL = dp.banded_matrices(
         jnp.asarray(q), jnp.asarray(gl), len1, len2L, lbandL, rbandL,
-        pairmat, late, M=M, W=W, open_=open_, extend=extend)
+        pairmat, late, M=Mb, W=W, open_=open_, extend=extend)
     matsR = dp.banded_matrices(
         jnp.asarray(qr), jnp.asarray(grv), len1, len2R, lbandR, rbandR,
-        pairmat, later, M=M, W=W, open_=open_, extend=extend)
+        pairmat, later, M=Mb, W=W, open_=open_, extend=extend)
 
     leftdi = dp.dinucl_codes_left(jnp.asarray(gl), NL)
     rightdi = dp.dinucl_codes_right(jnp.asarray(grv), NR)
@@ -253,13 +265,13 @@ def solve_junction_dynprog(gcodes: "np.ndarray", qcodes: "np.ndarray",
         jnp.asarray(len2L), jnp.asarray(len2R),
         jnp.asarray(lbandL), jnp.asarray(lbandR), leftdi, rightdi, zL, zR,
         jnp.asarray(loff), jnp.asarray(roff),
-        M=M, W=W, open_=open_, extend=extend,
+        M=Mb, W=W, open_=open_, extend=extend,
         canonical_reward=reward, cdna_direction=cdna_direction,
         finalp=finalp, halfp=False))
     if fs[0] <= dp.NEG_INF // 2:
         return None
 
-    T = M + max(NL, NR) + 2
+    T = Mb + max(NL, NR) + 2
     opsL, oprL, opcL = (np.asarray(x) for x in dp.traceback(
         matsL[0], matsL[1], matsL[2], jnp.asarray(brL.astype(np.int32)),
         jnp.asarray(bcL.astype(np.int32)), jnp.asarray(lbandL), late,

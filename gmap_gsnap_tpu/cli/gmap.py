@@ -17,10 +17,15 @@ def main(argv=None) -> int:
     p.add_argument("-g", "--gseg", help="user-supplied genomic segment FASTA")
     p.add_argument("-f", "--format", default="paths",
                    choices=["paths", "gff3_gene", "gff3_match_cdna",
-                            "gff3_match_est", "summary", "samse", "psl",
+                            "gff3_match_est", "summary", "samse", "sampe",
+                            "psl",
                             "splicesites", "introns", "map_genes",
                             "map_exons", "coords"])
     p.add_argument("-A", action="store_true", help="alignment output")
+    p.add_argument("-3", dest="continuous", action="store_true",
+                   help="show alignment in three continuous lines")
+    p.add_argument("-4", dest="continuous_by_exon", action="store_true",
+                   help="show alignment in three lines per exon")
     p.add_argument("-S", dest="summary_only", action="store_true",
                    help="summary output + exon table (no alignment rows)")
     p.add_argument("-Z", "--compress", action="store_true",
@@ -58,7 +63,7 @@ def main(argv=None) -> int:
         dbmode = True
 
     gstr = dna.decode(db.codes, db.flags)
-    if args.format == "samse":
+    if args.format in ("samse", "sampe"):
         sys.stdout.write("".join(
             f"@SQ\tSN:{n}\tLN:{int(e - s)}\n"
             for n, s, e in zip(db.chr_names, db.chr_starts, db.chr_ends)
@@ -80,7 +85,7 @@ def main(argv=None) -> int:
                 if path is None or path.watsonp
                 else dna.revcomp_str(rec.seq.upper())
             )
-            if args.format == "samse":
+            if args.format in ("samse", "sampe"):
                 if path is None:
                     sys.stdout.write(gmap_out.sam_record(
                         None, rec.label, rec.seq, None, "", 0, qstr, gstr))
@@ -102,11 +107,18 @@ def main(argv=None) -> int:
                 else:
                     chrnum = int(_np.searchsorted(
                         db.chr_ends, path.gstart, side="right"))
-                    sys.stdout.write(gmap_out.sam_record(
+                    line = gmap_out.sam_record(
                         path, rec.label, rec.seq, None,
                         db.chr_names[chrnum], int(db.chr_starts[chrnum]),
                         qstr, gstr,
-                    ))
+                    )
+                    if args.format == "sampe":
+                        # sampe sets the paired-read bits on a single
+                        # end (gmap.c "setting paired_read bit")
+                        fields = line.split("\t")
+                        fields[1] = str(int(fields[1]) | 0x41)
+                        line = "\t".join(fields)
+                    sys.stdout.write(line)
                 continue
             if path is None:
                 if args.format == "paths" and not args.compress:
@@ -121,6 +133,10 @@ def main(argv=None) -> int:
             path.chrnum = chrnum
             from ..io import gmap_align_fmt as afmt
 
+            if args.continuous:
+                sys.stdout.write(f">{rec.header}\n")
+                sys.stdout.write(afmt.continuous_body(path, qstr, gstr))
+                continue
             if args.compress:
                 sys.stdout.write(gmap_out.compressed_output(
                     path, rec.label, 1, 1, chrname, chr_start,
@@ -166,7 +182,7 @@ def main(argv=None) -> int:
                         else None,
                     )
                 )
-                if args.A or args.summary_only:
+                if args.A or args.summary_only or args.continuous_by_exon:
                     from ..io import gmap_align_fmt as afmt
 
                     cname = chrname if dbmode else None
@@ -185,7 +201,10 @@ def main(argv=None) -> int:
                             part, pcs, pcname if dbmode else cname,
                             codes=codes))
                         sys.stdout.write("\n")
-                        if args.A:
+                        if args.continuous_by_exon:
+                            sys.stdout.write(afmt.continuous_by_exon_body(
+                                part, pq, gstr))
+                        elif args.A:
                             sys.stdout.write(afmt.alignment_body(
                                 part, pq, gstr, pcs,
                                 pcname if dbmode else cname))

@@ -218,40 +218,50 @@ def protein_output(path: Path, header: str, qstr: str, gstr: str,
     return f">{header}\n" + _wrap50(prot)
 
 
+def _read_order_cols(path: Path, cols):
+    """Columns in READ display order: minus paths reverse and
+    complement (intron length texts rebuilt)."""
+    if path.watsonp:
+        return cols
+    comp = str.maketrans("ACGTacgt", "TGCAtgca")
+    barflip = str.maketrans("><)(][", "<>()[]")
+    rev = []
+    for c in reversed(cols):
+        c = dict(c)
+        if c["g"] not in ".-" and not c.get("intron") or (
+                c.get("intron") and c["g"] != "."):
+            c["g"] = c["g"].translate(comp)
+        if c["q"] not in ".-" and c.get("qpos") is not None:
+            c["q"] = c["q"].translate(comp)
+        if c.get("intron"):
+            c["bar"] = c["bar"].translate(barflip)
+        rev.append(c)
+    cols = rev
+    i = 0
+    while i < len(cols):
+        if cols[i].get("intron"):
+            j = i
+            while j < len(cols) and cols[j].get("intron"):
+                j += 1
+            # re-derive gap length from genomic coords
+            gp = [c["gpos"] for c in cols[i:j] if c["gpos"] is not None]
+            gap = max(gp) - min(gp) + 1 if gp else 0
+            s = str(gap)
+            left = (9 - len(s)) // 2
+            text = " " * left + s + " " * (9 - left - len(s))
+            for k in range(i, j):
+                cols[k]["q"] = text[k - i]
+            i = j
+        else:
+            i += 1
+    return cols
+
+
 def alignment_body(path: Path, qstr: str, gstr: str, chr_start: int,
                    chrname: str | None) -> str:
-    cols = _columns(path, qstr, gstr)
-    if not path.watsonp:
-        # display in read order: reverse columns, complement bases
-        comp = str.maketrans("ACGTacgt", "TGCAtgca")
-        rev = []
-        for c in reversed(cols):
-            c = dict(c)
-            if c["g"] not in ".-" and not c.get("intron") or (
-                    c.get("intron") and c["g"] != "."):
-                c["g"] = c["g"].translate(comp)
-            if c["q"] not in ".-" and c.get("qpos") is not None:
-                c["q"] = c["q"].translate(comp)
-            rev.append(c)
-        # intron length text gets reversed too; rebuild it
-        cols = rev
-        i = 0
-        while i < len(cols):
-            if cols[i].get("intron"):
-                j = i
-                while j < len(cols) and cols[j].get("intron"):
-                    j += 1
-                # re-derive gap length from genomic coords
-                gp = [c["gpos"] for c in cols[i:j] if c["gpos"] is not None]
-                gap = max(gp) - min(gp) - 5 + 9 if gp else 0
-                s = str(gap)
-                left = (9 - len(s)) // 2
-                text = " " * left + s + " " * (9 - left - len(s))
-                for k in range(i, j):
-                    cols[k]["q"] = text[k - i]
-                i = j
-            else:
-                i += 1
+    cols = _read_order_cols(path, _columns(path, qstr, gstr))
+    if False:
+        pass
 
     L = path.querylength
     aac, aac_num = _aa_by_qpos(qstr)
@@ -306,5 +316,42 @@ def alignment_body(path: Path, qstr: str, gstr: str, chr_start: int,
             (qpos0 + 1) if path.watsonp else (L - qpos0))
         out.append(f"{qdisp:>14} " + "".join(c["q"] for c in block))
         out.append(aa_row("aa.c", aac, aac_num))
+        out.append("")
+    return "".join(l + "\n" for l in out)
+
+
+def continuous_body(path: Path, qstr: str, gstr: str) -> str:
+    """gmap -3 / --continuous (Printtype CONTINUOUS, Pair_print_
+    continuous pair.c): the whole alignment as three unwrapped rows —
+    genome, bars, query — with introns as 9-column blocks (3 intron
+    bases, '...', 3 intron bases; centered intron length in the query
+    row)."""
+    cols = _read_order_cols(path, _columns(path, qstr, gstr))
+    g = "".join(c["g"] for c in cols)
+    b = "".join(c["bar"] for c in cols)
+    q = "".join(c["q"] for c in cols)
+    return f"{g}\n{b}\n{q}\n"
+
+
+def continuous_by_exon_body(path: Path, qstr: str, gstr: str) -> str:
+    """gmap -4 / --continuous-by-exon (CONTINUOUS_BY_EXON): one
+    unwrapped three-row block per exon, blank line between blocks."""
+    cols = _read_order_cols(path, _columns(path, qstr, gstr))
+    blocks = []
+    cur = []
+    for c in cols:
+        if c.get("intron"):
+            if cur:
+                blocks.append(cur)
+                cur = []
+        else:
+            cur.append(c)
+    if cur:
+        blocks.append(cur)
+    out = []
+    for blk in blocks:
+        out.append("".join(c["g"] for c in blk))
+        out.append("".join(c["bar"] for c in blk))
+        out.append("".join(c["q"] for c in blk))
         out.append("")
     return "".join(l + "\n" for l in out)

@@ -179,7 +179,8 @@ def test_gmap_formats_oracle_parity(ref_tests):
              (["-f", "introns"], both), (["-f", "map_genes"], both),
              (["-f", "map_exons"], both), (["-Z"], both),
              (["-E", "cdna"], [her2]), (["-E", "genomic"], [her2]),
-             (["-P"], [her2]), (["-Q"], [her2])]
+             (["-P"], [her2]), (["-Q"], [her2]),
+             (["-3"], both), (["-4"], [her2]), (["-f", "sampe"], both)]
     for opts, inputs in cases:
         ref = subprocess.run(
             [oracle, "-D", odb, "-d", "chr17test", *opts, *inputs],
