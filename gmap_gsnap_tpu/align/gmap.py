@@ -297,6 +297,8 @@ _ITYPE_NAMES = np.array(["noncanonical", "canonical", "gcag", "atac"])
 def _as_bytes(s) -> np.ndarray:
     if isinstance(s, np.ndarray):
         return s
+    if hasattr(s, "ascii"):  # LazyGenomeStr
+        return s.ascii
     return np.frombuffer(s.encode("latin-1"), np.uint8)
 
 
@@ -472,20 +474,45 @@ def align_cdna_batch(db: GenomeDB, queries: list[str],
         H *= 4  # overflow rescue: re-run at a larger hit budget
     chains = gmap_engine.chains_from_device(segs, rows, Q, k, max_intronlen)
 
+    from . import gmap_engine
+
+    gcodes = _codes_of(genome_str)
+
+    def build_row(row, jx):
+        chain = chains[row]
+        if not chain:
+            return None
+        qstr = qstrs[row]
+        path = _build_path(genome_str, qstr, chain, row % 2 == 0, db,
+                           jx=jx)
+        if path is not None and extend_ends:
+            _extend_path_to_ends(genome_str, qstr, path)
+        return path
+
+    # pass 1 collects dynprog junction-rescue requests; they solve in
+    # ONE batched device call per direction bucket (per-junction
+    # dispatches pay a device round trip each), then affected rows
+    # rebuild with the solutions
+    coll = {"mode": "collect", "requests": {}, "solutions": {},
+            "rows": set()}
+    row_paths: list[Path | None] = [
+        build_row(row, (coll, row)) for row in range(rows)]
+    if coll["requests"]:
+        for direction, reqs in coll["requests"].items():
+            keys = [k for k, _ in reqs]
+            sols = gmap_engine.solve_junctions_batch(
+                gcodes, [r for _, r in reqs], direction)
+            for k, sol in zip(keys, sols):
+                if sol is not None:
+                    coll["solutions"][k] = sol
+        coll["mode"] = "solve"
+        for row in coll["rows"]:
+            row_paths[row] = build_row(row, (coll, row))
+
     out: list[Path | None] = []
     for b in range(B):
-        paths = []
-        for strand in (0, 1):
-            row = 2 * b + strand
-            chain = chains[row]
-            if not chain:
-                continue
-            qstr = qstrs[row]
-            path = _build_path(genome_str, qstr, chain, strand == 0, db)
-            if path is not None:
-                if extend_ends:
-                    _extend_path_to_ends(genome_str, qstr, path)
-                paths.append(path)
+        paths = [p for p in (row_paths[2 * b], row_paths[2 * b + 1])
+                 if p is not None]
         if not paths:
             out.append(None)
             continue
@@ -501,7 +528,9 @@ for _i, _c in enumerate(b"ACGT"):
     _CODE_LUT[_c] = _i
 
 
-def _codes_of(s: str) -> np.ndarray:
+def _codes_of(s) -> np.ndarray:
+    if hasattr(s, "ascii"):
+        return _CODE_LUT[s.ascii]
     return _CODE_LUT[np.frombuffer(s.encode("latin-1"), np.uint8)]
 
 
@@ -682,7 +711,7 @@ def _extend_path_to_ends(gstr: str, qstr: str, path: Path) -> None:
         last.mismatches += mm
 
 
-def _build_path(gstr, qstr, chain, watsonp, db) -> Path | None:
+def _build_path(gstr, qstr, chain, watsonp, db, jx=None) -> Path | None:
     L = len(qstr)
     # merge chained segments into exons, resolving junctions
     # first: collapse segments on the same diagonal
@@ -727,9 +756,21 @@ def _build_path(gstr, qstr, chain, watsonp, db) -> Path | None:
                         and lo >= prev_split):
                     from . import gmap_engine
 
-                    sol = gmap_engine.solve_junction_dynprog(
-                        _codes_of(gstr), _codes_of(qstr), lo, hi, dL, dR,
-                        cdna_direction)
+                    sol = None
+                    if jx is not None:
+                        coll, rowkey = jx
+                        key = (rowkey, cdna_direction, i)
+                        if coll["mode"] == "collect":
+                            coll["requests"].setdefault(
+                                cdna_direction, []).append(
+                                (key, (_codes_of(qstr), lo, hi, dL, dR)))
+                            coll["rows"].add(rowkey)
+                        else:
+                            sol = coll["solutions"].get(key)
+                    else:
+                        sol = gmap_engine.solve_junction_dynprog(
+                            _codes_of(gstr), _codes_of(qstr), lo, hi,
+                            dL, dR, cdna_direction)
                     if sol is not None and sol[0] > scan_score and sol[1]:
                         # emit the DP pieces as bounds; neighbors merge
                         # on equal diagonals downstream

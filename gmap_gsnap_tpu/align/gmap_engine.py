@@ -187,9 +187,16 @@ def chains_from_device(segs, B: int, Q: int, k: int,
 
 # ---------------------------------------------- dynprog junction rescue
 
-def solve_junction_dynprog(gcodes: "np.ndarray", qcodes: "np.ndarray",
-                           lo: int, hi: int, diagL: int, diagR: int,
-                           cdna_direction: int, finalp: bool = True):
+def solve_junction_dynprog(gcodes, qcodes, lo, hi, diagL, diagR,
+                           cdna_direction, finalp: bool = True):
+    """Single-junction wrapper over solve_junctions_batch."""
+    out = solve_junctions_batch(
+        gcodes, [(qcodes, lo, hi, diagL, diagR)], cdna_direction, finalp)
+    return out[0]
+
+
+def solve_junctions_batch(gcodes, requests, cdna_direction,
+                          finalp: bool = True):
     """Re-solve one messy intron junction with the banded affine DP
     kernels (traverse_genome_gap -> Dynprog_genome_gap semantics,
     stage3.c:5633): the window query [lo, hi) bridges from diagonal
@@ -197,20 +204,24 @@ def solve_junction_dynprog(gcodes: "np.ndarray", qcodes: "np.ndarray",
     exact split-point scan cannot represent.
 
     gcodes/qcodes: uint8 code arrays (genome / aligned query).
-    Returns (finalscore, pieces, introntype) where pieces is a list of
-    (qs, qe, diag) diagonal runs covering [lo, hi) in aligned query
-    coords, or None when the DP fails.
+    Batched over many junctions at once (one device call set per
+    bucket) — per-junction dispatches pay a full device round trip
+    each.  requests: list of (qcodes, lo, hi, diagL, diagR).
+
+    Returns a list aligned with requests: (finalscore, pieces,
+    introntype) with pieces = diagonal runs covering [lo, hi) in
+    aligned query coords, or None for failures.
     """
     import jax.numpy as jnp
 
-    M = hi - lo
-    if M < 2:
-        return None
-    # bucket the problem shape so the jitted kernels compile once per
-    # bucket instead of once per junction (M up to ~4*maxpeelback)
-    Mb = min(max(8, -(-M // 8) * 8), 64)
-    if M > Mb:
-        return None
+    B = len(requests)
+    results = [None] * B
+    Ms = [hi - lo for (_, lo, hi, _, _) in requests]
+    Mb = min(max(8, -(-max(Ms) // 8) * 8), 64)
+    keep = [i for i in range(B) if 2 <= Ms[i] <= Mb]
+    if not keep:
+        return results
+    nb = len(keep)
     NL = Mb + EXTRAMATERIAL_PAIRED
     NR = Mb + EXTRAMATERIAL_PAIRED
 
@@ -220,29 +231,36 @@ def solve_junction_dynprog(gcodes: "np.ndarray", qcodes: "np.ndarray",
         out = np.where(ok, gcodes[np.clip(idx, 0, len(gcodes) - 1)], 5)
         return out.astype(np.int32)
 
-    q = np.full((1, Mb), 5, np.int32)
-    q[0, :M] = qcodes[lo:hi].astype(np.int32)
-    gl = np.full((1, NL), 5, np.int32)
-    gl[0, : M + EXTRAMATERIAL_PAIRED] = codes_at(
-        diagL + lo, M + EXTRAMATERIAL_PAIRED)
-    nr_real = M + EXTRAMATERIAL_PAIRED
-    grv = np.full((1, NR), 5, np.int32)
-    grv[0, :nr_real] = codes_at(diagR + hi - nr_real, nr_real)[::-1]
-    qr = np.full((1, Mb), 5, np.int32)
-    qr[0, :M] = qcodes[lo:hi].astype(np.int32)[::-1]
-
-    len1 = np.array([M], np.int32)
-    len2L = np.array([M + EXTRAMATERIAL_PAIRED], np.int32)
-    len2R = np.array([M + EXTRAMATERIAL_PAIRED], np.int32)
+    q = np.full((nb, Mb), 5, np.int32)
+    qr = np.full((nb, Mb), 5, np.int32)
+    gl = np.full((nb, NL), 5, np.int32)
+    grv = np.full((nb, NR), 5, np.int32)
+    len1 = np.zeros(nb, np.int32)
+    len2L = np.zeros(nb, np.int32)
+    len2R = np.zeros(nb, np.int32)
+    loffs = np.zeros(nb, np.int32)
+    roffs = np.zeros(nb, np.int32)
+    for bi, i in enumerate(keep):
+        qcodes, lo, hi, diagL, diagR = requests[i]
+        M = hi - lo
+        q[bi, :M] = qcodes[lo:hi].astype(np.int32)
+        qr[bi, :M] = qcodes[lo:hi].astype(np.int32)[::-1]
+        n_real = M + EXTRAMATERIAL_PAIRED
+        gl[bi, :n_real] = codes_at(diagL + lo, n_real)
+        grv[bi, :n_real] = codes_at(diagR + hi - n_real, n_real)[::-1]
+        len1[bi] = M
+        len2L[bi] = len2R[bi] = n_real
+        loffs[bi] = diagL + lo
+        roffs[bi] = diagR + hi - 1
     lbandL, rbandL = dp.compute_bands(len1, len2L, EXTRABAND_PAIRED)
     lbandR, rbandR = dp.compute_bands(len1, len2R, EXTRABAND_PAIRED)
-    # static W for the bucket (max possible for this Mb)
+    # static W for the bucket (max possible band width)
     W = EXTRAMATERIAL_PAIRED + 2 * EXTRABAND_PAIRED + 1
     pairmat = dp.pair_matrix(dp.MISMATCH_HIGHQ)
-    late = np.zeros(1, bool)
-    later = np.ones(1, bool)
+    late = np.zeros(nb, bool)
+    later = np.ones(nb, bool)
     open_, extend = dp.PAIRED_OPEN, dp.PAIRED_EXTEND
-    if M > 4 * PEEL:
+    if max(Ms) > 4 * PEEL:
         open_, extend = dp.SINGLE_OPEN, dp.SINGLE_EXTEND
 
     matsL = dp.banded_matrices(
@@ -254,22 +272,18 @@ def solve_junction_dynprog(gcodes: "np.ndarray", qcodes: "np.ndarray",
 
     leftdi = dp.dinucl_codes_left(jnp.asarray(gl), NL)
     rightdi = dp.dinucl_codes_right(jnp.asarray(grv), NR)
-    zL = jnp.zeros((1, NL + 1), jnp.int32)
-    zR = jnp.zeros((1, NR + 1), jnp.int32)
-    loff = np.array([diagL + lo], np.int32)
-    roff = np.array([diagR + hi - 1], np.int32)
+    zL = jnp.zeros((nb, NL + 1), jnp.int32)
+    zR = jnp.zeros((nb, NR + 1), jnp.int32)
     reward = (dp.FINAL_CANONICAL_INTRON_HIGHQ if finalp
               else dp.CANONICAL_INTRON_HIGHQ)
     fs, brL, brR, bcL, bcR, ityp = (np.asarray(x) for x in dp.bridge_intron(
         matsL[0], matsL[3], matsR[0], matsR[3], jnp.asarray(len1),
         jnp.asarray(len2L), jnp.asarray(len2R),
         jnp.asarray(lbandL), jnp.asarray(lbandR), leftdi, rightdi, zL, zR,
-        jnp.asarray(loff), jnp.asarray(roff),
+        jnp.asarray(loffs), jnp.asarray(roffs),
         M=Mb, W=W, open_=open_, extend=extend,
         canonical_reward=reward, cdna_direction=cdna_direction,
         finalp=finalp, halfp=False))
-    if fs[0] <= dp.NEG_INF // 2:
-        return None
 
     T = Mb + max(NL, NR) + 2
     opsL, oprL, opcL = (np.asarray(x) for x in dp.traceback(
@@ -281,15 +295,15 @@ def solve_junction_dynprog(gcodes: "np.ndarray", qcodes: "np.ndarray",
         jnp.asarray(bcR.astype(np.int32)), jnp.asarray(lbandR), later,
         T=T, W=W, open_=open_, extend=extend))
 
-    def pieces_from(ops, opr, opc, rev: bool):
+    def pieces_from(bi, ops, opr, opc, rev, lo, hi, diagL, diagR):
         # convert diag-run ops into (qpos, gpos) pairs in aligned coords
         pairs = []
         for t in range(ops.shape[1]):
-            k = int(ops[0, t])
+            k = int(ops[bi, t])
             if k == dp.OP_NONE:
                 continue
             if k == dp.OP_DIAG:
-                r, c = int(opr[0, t]), int(opc[0, t])
+                r, c = int(opr[bi, t]), int(opc[bi, t])
                 if rev:
                     qp = hi - 1 - r
                     gp = (diagR + hi - 1) - c
@@ -299,14 +313,21 @@ def solve_junction_dynprog(gcodes: "np.ndarray", qcodes: "np.ndarray",
                 pairs.append((qp, gp))
         return pairs
 
-    pairs = pieces_from(opsL, oprL, opcL, False) + \
-        pieces_from(opsR, oprR, opcR, True)
-    pairs.sort()
-    pieces = []
-    for qp, gp in pairs:
-        d = gp - qp
-        if pieces and pieces[-1][2] == d and pieces[-1][1] == qp:
-            pieces[-1] = (pieces[-1][0], qp + 1, d)
-        else:
-            pieces.append((qp, qp + 1, d))
-    return int(fs[0]), pieces, int(ityp[0])
+    for bi, i in enumerate(keep):
+        if fs[bi] <= dp.NEG_INF // 2:
+            continue
+        qcodes, lo, hi, diagL, diagR = requests[i]
+        pairs = (pieces_from(bi, opsL, oprL, opcL, False, lo, hi,
+                             diagL, diagR)
+                 + pieces_from(bi, opsR, oprR, opcR, True, lo, hi,
+                               diagL, diagR))
+        pairs.sort()
+        pieces = []
+        for qp, gp in pairs:
+            d = gp - qp
+            if pieces and pieces[-1][2] == d and pieces[-1][1] == qp:
+                pieces[-1] = (pieces[-1][0], qp + 1, d)
+            else:
+                pieces.append((qp, qp + 1, d))
+        results[i] = (int(fs[bi]), pieces, int(ityp[bi]))
+    return results

@@ -291,10 +291,10 @@ class GsnapRunner:
             self._splice_labels = sites.labels
             self.splicing_on = True
         self.genome = db.device_genome
-        # decoded genome string for MD computation
+        # lazy genome view: slices decode on demand, vectorized host
+        # compares use the shared ASCII array (no whole-genome str)
         self._genome_str = db.genome_str
-        self._genome_bytes = np.frombuffer(
-            self._genome_str.encode("latin-1"), np.uint8)
+        self._genome_bytes = self._genome_str.ascii
         self.index_minus = None
         self.alt = None
         self._alt_str = None
@@ -336,9 +336,10 @@ class GsnapRunner:
             import jax.numpy as _jnp
 
             self.alt = (_jnp.asarray(alt16), self.genome.flag16)
-            self._alt_str = dna.decode(alt_codes, db.flags)
-            self._alt_bytes = np.frombuffer(
-                self._alt_str.encode("latin-1"), np.uint8)
+            from ..db.datadir import LazyGenomeStr
+
+            self._alt_str = LazyGenomeStr(alt_codes, db.flags)
+            self._alt_bytes = self._alt_str.ascii
             self._conv_plus = self._conv_minus = None
             self._init_mesh()
             return

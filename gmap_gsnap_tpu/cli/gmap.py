@@ -62,7 +62,7 @@ def main(argv=None) -> int:
         )
         dbmode = True
 
-    gstr = dna.decode(db.codes, db.flags)
+    gstr = db.genome_str
     if args.format in ("samse", "sampe"):
         sys.stdout.write("".join(
             f"@SQ\tSN:{n}\tLN:{int(e - s)}\n"

@@ -33,10 +33,8 @@ class GenomeDB:
     basesize: int = 0
 
     @cached_property
-    def genome_str(self) -> str:
-        from ..utils import dna
-
-        return dna.decode(self.codes, self.flags)
+    def genome_str(self) -> "LazyGenomeStr":
+        return LazyGenomeStr(self.codes, self.flags)
 
     @cached_property
     def offsets(self) -> np.ndarray | None:
@@ -110,3 +108,43 @@ class GenomeDB:
         if self.offsets is None:
             raise ValueError("database has no k-mer index")
         return gsnap_se.IndexArrays.from_host(self.offsets, self.positions, self.k, self.interval)
+
+
+class LazyGenomeStr:
+    """String-like windowed view over the genome code arrays.
+
+    Post-processing consumes small genomic windows; materializing the
+    whole genome as a Python str costs ~1 byte/nt ON TOP of the code
+    arrays and collapses at 3 Gbp.  This view keeps one lazily-built
+    ASCII uint8 array (vectorized host compares index it directly via
+    .ascii) and decodes only the requested slices to str.
+
+    Host memory budget per nt: codes (1 B) + flags (1 B, bool) +
+    ascii (1 B) = 3 B/nt -> ~9 GB for a 3 Gbp genome, vs ~12 GB with
+    the former whole-genome str (plus its allocation spike).
+    """
+
+    _LUT = np.frombuffer(b"ACGT", np.uint8)
+
+    def __init__(self, codes: np.ndarray, flags: np.ndarray):
+        self._codes = codes
+        self._flags = flags
+        self._ascii: np.ndarray | None = None
+
+    @property
+    def ascii(self) -> np.ndarray:
+        if self._ascii is None:
+            a = self._LUT[self._codes]
+            if self._flags is not None and self._flags.any():
+                a = a.copy()
+                a[self._flags] = ord("N")
+            self._ascii = a
+        return self._ascii
+
+    def __len__(self) -> int:
+        return len(self._codes)
+
+    def __getitem__(self, i) -> str:
+        if isinstance(i, slice):
+            return self.ascii[i].tobytes().decode("latin-1")
+        return chr(self.ascii[int(i)])
