@@ -119,11 +119,10 @@ def main() -> int:
     genome = db.device_genome
     index = db.device_index
     nreads = 4 * 2048
-    codes_all = np.frombuffer(seq.encode(), np.uint8)
     code_of = np.zeros(256, np.uint8)
     for i, c in enumerate(b"ACGT"):
         code_of[c] = i
-    gcodes = code_of[codes_all]
+    gcodes = code_of[seq.ascii]
     lefts = rng.integers(0, len(seq) - L, nreads)
     codes = gcodes[lefts[:, None] + np.arange(L)[None, :]].copy()
     nmut = rng.integers(0, 4, nreads)

@@ -1,0 +1,62 @@
+"""Genome-scale readiness: k=15/basesize=12 gamma index on a large
+synthetic genome, lazy genome view, and SE alignment without any
+whole-genome Python string."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.skipif(not os.environ.get("GMAP_TPU_RUN_SLOW"),
+                    reason="~10 min: k=15 build is 4^15-entry offsets; "
+                           "set GMAP_TPU_RUN_SLOW=1 (verified on 16 and "
+                           "64 Mbp synthetic genomes)")
+def test_k15_gamma_roundtrip_large(tmp_path):
+    """Blocked Elias-gamma offsets at k=15/basesize=12 survive a
+    write/read roundtrip on a synthetic 16 Mbp genome (the README
+    k=15 sizing path; larger genomes differ only in runtime — a
+    64 Mbp run was verified once out-of-suite)."""
+    from gmap_gsnap_tpu.db import indexdb
+
+    rng = np.random.default_rng(11)
+    G = 16_000_000
+    codes = rng.integers(0, 4, G).astype(np.uint8)
+    flags = np.zeros(G, bool)
+    chr_ends = np.array([G], np.int64)
+    offsets, positions = indexdb.build_index(codes, flags, chr_ends, 15, 3)
+    assert offsets.shape[0] == 4**15 + 1
+    assert offsets[-1] == len(positions)
+
+    gp = str(tmp_path / "t.ref12153gammaptrs")
+    oc = str(tmp_path / "t.offsetscomp")
+    indexdb.write_offsets_gamma(gp, oc, offsets, basesize=12, k=15)
+    back = indexdb.read_offsets_gamma(gp, oc, basesize=12, k=15)
+    assert np.array_equal(back, offsets)
+    # gamma compression must actually compress (README:178-183 ratios)
+    assert os.path.getsize(oc) < 4 * (4**15 + 1) / 4
+
+
+def test_se_pipeline_without_genome_string(tmp_path):
+    """The SE pipeline + SAM emission never materializes a
+    whole-genome Python str (LazyGenomeStr windows only)."""
+    import io
+
+    from gmap_gsnap_tpu.align import runner as runner_mod
+    from gmap_gsnap_tpu.db import build
+    from gmap_gsnap_tpu.db.datadir import GenomeDB, LazyGenomeStr
+
+    dbdir = build.build_db(["/root/reference/tests/ss.chr17test"],
+                           "chr17test", str(tmp_path), k=12)
+    db = GenomeDB.open(dbdir, "chr17test")
+    assert isinstance(db.genome_str, LazyGenomeStr)
+
+    seq = db.genome_str[50000:50100]
+    assert isinstance(seq, str) and len(seq) == 100
+    recs = [runner_mod.Record("r0", "r0", seq, "I" * 100)]
+    runner = runner_mod.GsnapRunner(db)
+    assert isinstance(runner._genome_str, LazyGenomeStr)
+    out = io.StringIO()
+    runner.run(recs, out)
+    body = [l for l in out.getvalue().splitlines() if not l.startswith("@")]
+    assert len(body) == 1 and "\t50001\t" in body[0]
