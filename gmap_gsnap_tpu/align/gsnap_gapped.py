@@ -653,8 +653,9 @@ def _strand_hits(genome, index, queries, codes, nflags, lengths, conv, alt,
     oligos, valid = _extract_oligos(
         _convert_codes(codes, conv), nflags, lengths, index.k
     )
-    diag = _seed_diagonals(index, oligos, valid, base)
-    top_d, votes = _top_diagonals(diag, base.ncand)
+    diag, trunc = _seed_diagonals(index, oligos, valid, base)
+    top_d, votes, ndistinct = _top_diagonals(diag, base.ncand)
+    overflow = trunc | (ndistinct > base.ncand)
 
     mm, pref = _prefix_mm(genome, queries, top_d, lengths, conv, alt)
 
@@ -782,7 +783,7 @@ def _strand_hits(genome, index, queries, codes, nflags, lengths, conv, alt,
         # selection mismatch matrix rides along so host lanes consume
         # the device verify output instead of re-deriving masks
         "cand_left": top_d, "cand_votes": votes, "cand_nmm": nmm_raw,
-        "cand_mm": mm,
+        "cand_mm": mm, "overflow": overflow,
     }
 
 
@@ -827,7 +828,9 @@ def gather_candidates(
         [jnp.ones((b, nplus), bool), jnp.zeros((b, ncand - nplus), bool)], axis=1
     )
     out["plusp"] = plusp
-    cands = {k: jnp.concatenate([cf[k], cr[k]], axis=1) for k in cf}
+    cands = {k: jnp.concatenate([cf[k], cr[k]], axis=1)
+             for k in cf if k != "overflow"}
+    cands["overflow"] = cf["overflow"] | cr["overflow"]
     nc = cf["cand_left"].shape[1]
     cands["cand_plusp"] = jnp.concatenate(
         [jnp.ones((b, nc), bool), jnp.zeros((b, nc), bool)], axis=1

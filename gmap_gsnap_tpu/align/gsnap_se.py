@@ -130,7 +130,14 @@ def _seed_diagonals(index: IndexArrays, oligos, valid, params: GsnapParams):
     from ..parallel import shard as shard_mod
 
     if isinstance(index, shard_mod.ShardedIndexArrays):
-        return shard_mod.sharded_seed_diagonals(index, oligos, valid, params)
+        diag = shard_mod.sharded_seed_diagonals(index, oligos, valid, params)
+        off = index.offsets
+        o = jnp.clip(oligos, 0, off.shape[0] - 2)
+        count = (off[o + 1] - off[o]).astype(jnp.int32)
+        trunc = jnp.any(
+            valid & (count > params.seed_cap)
+            & (count <= params.size_threshold), axis=1)
+        return diag, trunc
     b, s = oligos.shape
     c = params.seed_cap
     row = 8
@@ -155,7 +162,11 @@ def _seed_diagonals(index: IndexArrays, oligos, valid, params: GsnapParams):
     qpos = jnp.arange(s, dtype=jnp.uint32)[None, :, None, None]
     ok = ok & (pos >= qpos)
     diag = jnp.where(ok, pos - qpos, INVALID_DIAG)
-    return diag.reshape(b, s * nrows * row)
+    # overflow: some in-threshold oligo had its position list truncated
+    # at seed_cap — candidates may be missing (rescue lane re-runs the
+    # read at wider caps, SURVEY 7 / stage1hr.c:1029 policy)
+    trunc = jnp.any(usable & (count > c), axis=1)
+    return diag.reshape(b, s * nrows * row), trunc
 
 
 def _top_diagonals(diag, ncand: int):
@@ -185,7 +196,8 @@ def _top_diagonals(diag, ncand: int):
     top_v, order = jax.lax.top_k(votes, ncand)
     top_d = jnp.take_along_axis(d, order, axis=1)
     top_d = jnp.where(top_v > 0, top_d, INVALID_DIAG)
-    return top_d, top_v
+    ndistinct = jnp.sum(is_head, axis=1).astype(jnp.int32)
+    return top_d, top_v, ndistinct
 
 
 def _verify(genome, queries, diags, lengths, conversion=None, alt=None):
@@ -263,11 +275,11 @@ def align_batch(
         _convert_codes(codes_rc, conv_minus), nflags_rc, lengths, index.k
     )
 
-    diag_f = _seed_diagonals(index, oligos_f, valid_f, params)
-    diag_r = _seed_diagonals(index_minus, oligos_r, valid_r, params)
+    diag_f, trunc_f = _seed_diagonals(index, oligos_f, valid_f, params)
+    diag_r, trunc_r = _seed_diagonals(index_minus, oligos_r, valid_r, params)
 
-    top_f, _ = _top_diagonals(diag_f, params.ncand)
-    top_r, _ = _top_diagonals(diag_r, params.ncand)
+    top_f, _, nd_f = _top_diagonals(diag_f, params.ncand)
+    top_r, _, nd_r = _top_diagonals(diag_r, params.ncand)
 
     nmm_f = _verify(genome, queries_fwd, top_f, lengths, conv_plus, alt)
     nmm_r = _verify(genome, queries_rev, top_r, lengths, conv_minus, alt)

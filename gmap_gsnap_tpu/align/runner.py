@@ -478,6 +478,23 @@ class GsnapRunner:
     def align_records(self, records: list[Record]):
         return self.fetch_records(self.dispatch_records(records))
 
+    def _align_wide(self, records: list[Record]):
+        """Overflow rescue: re-align a (rare) subset at wide caps —
+        seed_cap = size_threshold so no in-threshold position list
+        truncates, and 4x the candidate-diagonal budget."""
+        import dataclasses
+
+        base = dataclasses.replace(
+            self.params, seed_cap=self.params.size_threshold,
+            ncand=min(4 * self.params.ncand, 128))
+        gp = dataclasses.replace(self.gapped_params, base=base)
+        codes, nflags, lengths = encode_batch(records, self.lmax)
+        c, f, l, b = self._shard(codes, nflags, lengths)
+        res = gsnap_gapped.align_batch_gapped(
+            self.genome, self.index, c, f, l, gp,
+            index_minus=self.index_minus, alt=self.alt, known=self.known)
+        return self.fetch_records((self._pack_tree(res), b))
+
     # ------------------------------------------------------------------ host
     @staticmethod
     @functools.lru_cache(maxsize=8)
@@ -2147,6 +2164,15 @@ class GsnapRunner:
                    if ci + 1 < len(chunks) else None)
             res = self.fetch_records(disp)
             disp = nxt
+            # overflow rescue lane (SURVEY 7): reads whose oligo
+            # position lists truncated at seed_cap or whose distinct
+            # diagonals exceeded ncand re-run at wider caps so
+            # repetitive-region candidates are not silently lost
+            ovf = np.flatnonzero(res.get("overflow", np.zeros(0, bool)))
+            wide_res, wide_row = None, {}
+            if len(ovf):
+                wide_res = self._align_wide([chunk[int(j)] for j in ovf])
+                wide_row = {int(j): wi for wi, j in enumerate(ovf)}
             # pass 1: GMAP-rescue requests are collected, not solved
             t_batch = _time.time()
             self._gmap_collect = []
@@ -2155,8 +2181,11 @@ class GsnapRunner:
             texts = []
             for j, rec in enumerate(chunk):
                 self._gmap_row = j
+                rres, rrow = ((wide_res, wide_row[j]) if j in wide_row
+                              else (res, j))
                 try:
-                    texts.append(emit(rec, res, j, int(res["npaths"][j]),
+                    texts.append(emit(rec, rres, rrow,
+                                      int(rres["npaths"][rrow]),
                                       self.params.maxpaths))
                 except Exception:
                     _offending_read(rec)
@@ -2169,9 +2198,11 @@ class GsnapRunner:
                 # only the affected reads re-emit (pass 2)
                 self.prefetch_gmap(pending)
                 for j in sorted(rows):
+                    rres, rrow = ((wide_res, wide_row[j]) if j in wide_row
+                                  else (res, j))
                     try:
-                        texts[j] = emit(chunk[j], res, j,
-                                        int(res["npaths"][j]),
+                        texts[j] = emit(chunk[j], rres, rrow,
+                                        int(rres["npaths"][rrow]),
                                         self.params.maxpaths)
                     except Exception:
                         _offending_read(chunk[j])

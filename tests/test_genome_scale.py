@@ -60,3 +60,42 @@ def test_se_pipeline_without_genome_string(tmp_path):
     runner.run(recs, out)
     body = [l for l in out.getvalue().splitlines() if not l.startswith("@")]
     assert len(body) == 1 and "\t50001\t" in body[0]
+
+
+def test_overflow_rescue_lane(tmp_path):
+    """Reads whose oligo position lists truncate at seed_cap re-run at
+    wide caps (SURVEY 7 overflow rescue): a read built over the most
+    frequent chr17test 12-mer (79 positions > seed_cap=32) must flag
+    overflow and still match the reference byte-for-byte."""
+    import io
+    import subprocess
+    import sys as _sys
+
+    from gmap_gsnap_tpu.align import runner as runner_mod
+    from gmap_gsnap_tpu.db.datadir import GenomeDB
+
+    if not os.path.isdir("/tmp/refbuild/trytest/gdb"):
+        pytest.skip("oracle DB not built")
+    db = GenomeDB.open("/tmp/refbuild/trytest/gdb/chr17test", "chr17test")
+    cnt = np.diff(db.offsets.astype(np.int64))
+    big = np.flatnonzero((cnt > 32) & (cnt <= 100))
+    assert len(big), "fixture lost its frequent oligo"
+    o = int(big[np.argmax(cnt[big])])
+    pos = int(db.positions[db.offsets[o]])
+    seq = db.genome_str[pos : pos + 100]
+    rec = runner_mod.Record("ovf", "ovf", seq, "I" * 100)
+    runner = runner_mod.GsnapRunner(db)
+    res = runner.align_records([rec])
+    assert bool(res["overflow"][0])
+    out = io.StringIO()
+    runner.run([rec], out)
+    mine = [l for l in out.getvalue().splitlines() if not l.startswith("@")]
+
+    fq = tmp_path / "ovf.fq"
+    fq.write_text(f"@ovf\n{seq}\n+\n{'I' * 100}\n")
+    ref = subprocess.run(
+        ["/tmp/refbuild/src/gsnap", "-D", "/tmp/refbuild/trytest/gdb",
+         "-d", "chr17test", "--format=sam", str(fq)],
+        capture_output=True, text=True, check=True).stdout
+    refl = [l for l in ref.splitlines() if not l.startswith("@")]
+    assert mine == refl

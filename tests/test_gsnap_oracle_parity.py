@@ -79,14 +79,12 @@ def test_se_sam_parity(tmp_path):
 
     ref_lines = ref.splitlines()
     my_lines = mine.splitlines()
-    # compare per-read record sets
-    diff = [
-        (a, b) for a, b in zip(my_lines, ref_lines) if a != b
-    ]
-    total = len(ref_lines)
-    # small budget for reads that route through the reference's GMAP
-    # improvement pass (not yet implemented here)
-    MAX_DIVERGENT = max(2, total // 20)
-    assert len(diff) <= MAX_DIVERGENT, (
-        f"{len(diff)}/{total} lines diverge; first: {diff[0] if diff else None}"
-    )
+    assert len(ref_lines) == len(my_lines)
+    diff = [(a, b) for a, b in zip(my_lines, ref_lines) if a != b]
+    # ONE pinned divergence remains: read t18 (Alu-repeat read) where
+    # the reference re-extends a junk-terminal GMAP rescue that our
+    # posttrim acceptance bookkeeping rejects (README Known
+    # divergences); anything else is a regression
+    allowed = {"t18"}
+    assert all(a.split("\t")[0] in allowed for a, b in diff), diff[:3]
+    assert len(diff) <= 1, diff
