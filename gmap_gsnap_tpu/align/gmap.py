@@ -426,11 +426,15 @@ def _bucket(n: int, lo: int = 256) -> int:
 
 def align_cdna_batch(db: GenomeDB, queries: list[str],
                      max_intronlen: int = 1_000_000,
-                     extend_ends: bool = False) -> "list[Path | None]":
+                     extend_ends: bool = False,
+                     npaths: int = 1):
     """Batched cDNA alignment: seeding, segment extraction and chaining
     for BOTH strands of EVERY query run as one device call
     (gmap_engine.seed_segments_device); host work is O(segments) per
-    query.  Returns one best Path (or None) per query."""
+    query.  Returns one best Path (or None) per query; with npaths > 1,
+    a ranked list of non-overlapping Paths per query instead
+    (stage3array_from_list semantics, gmap.c:561: Stage3_cmp goodness
+    order, then overlap elimination)."""
     from . import gmap_engine
 
     genome_str = db.genome_str
@@ -472,16 +476,15 @@ def align_cdna_batch(db: GenomeDB, queries: list[str],
         if nhits <= H:
             break
         H *= 4  # overflow rescue: re-run at a larger hit budget
-    chains = gmap_engine.chains_from_device(segs, rows, Q, k, max_intronlen)
+    chains = gmap_engine.chains_from_device(segs, rows, Q, k, max_intronlen,
+                                            npaths=npaths)
 
     from . import gmap_engine
 
     gcodes = _codes_of(genome_str)
 
-    def build_row(row, jx):
-        chain = chains[row]
-        if not chain:
-            return None
+    def build_one(row, ci, jx):
+        chain = chains[row][ci]
         qstr = qstrs[row]
         path = _build_path(genome_str, qstr, chain, row % 2 == 0, db,
                            jx=jx)
@@ -495,8 +498,9 @@ def align_cdna_batch(db: GenomeDB, queries: list[str],
     # rebuild with the solutions
     coll = {"mode": "collect", "requests": {}, "solutions": {},
             "rows": set()}
-    row_paths: list[Path | None] = [
-        build_row(row, (coll, row)) for row in range(rows)]
+    row_paths = {
+        (row, ci): build_one(row, ci, (coll, (row, ci)))
+        for row in range(rows) for ci in range(len(chains[row]))}
     if coll["requests"]:
         for direction, reqs in coll["requests"].items():
             keys = [k for k, _ in reqs]
@@ -506,19 +510,91 @@ def align_cdna_batch(db: GenomeDB, queries: list[str],
                 if sol is not None:
                     coll["solutions"][k] = sol
         coll["mode"] = "solve"
-        for row in coll["rows"]:
-            row_paths[row] = build_row(row, (coll, row))
+        for row, ci in coll["rows"]:
+            row_paths[row, ci] = build_one(row, ci, (coll, (row, ci)))
 
-    out: list[Path | None] = []
+    out = []
     for b in range(B):
-        paths = [p for p in (row_paths[2 * b], row_paths[2 * b + 1])
-                 if p is not None]
-        if not paths:
-            out.append(None)
-            continue
-        paths.sort(key=lambda p: -(p.matches - 3 * p.mismatches))
-        out.append(paths[0])
+        paths = [p for (row, _), p in row_paths.items()
+                 if row // 2 == b and p is not None]
+        if npaths <= 1:
+            paths.sort(key=lambda p: -(p.matches - 3 * p.mismatches))
+            out.append(paths[0] if paths else None)
+        else:
+            out.append(rank_paths(paths))
     return out
+
+
+def path_goodness(p: Path) -> int:
+    """Stage3 goodness (stage3.c:3684, scores.h constants): matches
+    with mismatch/indel-open/indel-extend penalties, minus 12 per
+    noncanonical intron."""
+    qopens = qindels = topens = tindels = noncanonical = 0
+    for i in range(len(p.exons) - 1):
+        ggap = p.exons[i + 1].gstart - p.exons[i].gend
+        qgap = p.exons[i + 1].qstart - p.exons[i].qend
+        if qgap > 0 and ggap <= 0:
+            qopens += 1
+            qindels += qgap
+        elif 0 < ggap < MIN_INTRONLENGTH:
+            topens += 1
+            tindels += ggap
+        elif ggap >= MIN_INTRONLENGTH:
+            if i < len(p.intron_types) and p.intron_types[i] not in (
+                    "canonical", "gcag", "atac"):
+                noncanonical += 1
+    return (p.matches - 3 * p.mismatches - 5 * qopens - 2 * qindels
+            - 5 * topens - 2 * tindels - 12 * noncanonical)
+
+
+def rank_paths(paths: "list[Path]") -> "list[Path]":
+    """Order by Stage3_cmp (goodness desc, chrnum, genomicstart) and
+    eliminate genomically-overlapping same-strand paths, keeping the
+    better one (stage3array_from_list remove-overlaps pass,
+    gmap.c:617-651 with Stage3_overlap).  Paths scoring more than
+    stage2's suboptimal_score_end=3 (gmap.c:265) below the best never
+    survive the reference's stage2 parse winnowing — observed: even a
+    1-mismatch copy of a duplicated locus is not reported."""
+    paths = sorted(paths, key=lambda p: (
+        -path_goodness(p), p.chrnum,
+        p.gstart if p.watsonp else p.gend))
+    kept: list[Path] = []
+    for p in paths:
+        if kept and path_goodness(p) < path_goodness(kept[0]) - 3:
+            break
+        lo, hi = min(p.gstart, p.gend), max(p.gstart, p.gend)
+        if any(x.watsonp == p.watsonp
+               and min(x.gstart, x.gend) <= hi and lo <= max(x.gstart, x.gend)
+               for x in kept):
+            continue
+        kept.append(p)
+    return kept
+
+
+def path_mapqs(paths: "list[Path]"):
+    """MAPQ / XQ / X2 for a ranked path list (Stage3_recompute_goodness,
+    stage3.c:3657-3688): absmq = matches - 10*mismatches relativized to
+    the best; mapq from the softmax posterior; XQ clamps absmq + 40 at
+    0.  Returns (mapqs, absmqs, second_absmq)."""
+    if not paths:
+        return [], [], 0
+    raw = np.array([p.matches - 10 * p.mismatches for p in paths], float)
+    rel = raw - raw.max()
+    total = np.exp(rel).sum()
+    q = 1.0 - np.exp(rel) / total
+    mapqs = np.where(q < 1.0e-4, 40,
+                     np.rint(-10.0 * np.log10(np.maximum(q, 1e-300))))
+    absmqs = np.maximum(rel + 40, 0).astype(int)
+    second = int(absmqs[1]) if len(paths) > 1 else 0
+    return [int(m) for m in mapqs], [int(a) for a in absmqs], second
+
+
+def align_cdna_paths(db: GenomeDB, query: str,
+                     max_intronlen: int = 1_000_000,
+                     npaths: int = 10) -> "list[Path]":
+    """All surviving non-overlapping paths for one query, ranked."""
+    return align_cdna_batch(db, [query], max_intronlen=max_intronlen,
+                            npaths=npaths)[0]
 
 
 CHIMERA_MARGIN = 40  # gmap.c:234 chimera_margin default
@@ -588,7 +664,7 @@ def _clip_path_read(path: Path, lo: int, hi: int, L: int, gstr: str,
 
 
 def align_cdna_chimera(db: GenomeDB, query: str,
-                       max_intronlen: int = 1_000_000):
+                       max_intronlen: int = 1_000_000, best="auto"):
     """Chimera detection (gmap.c:1945-2010 check_for_chimera +
     chimera.c:263 Chimera_bestpath): when the best path leaves a query
     margin >= chimera_margin, the uncovered part is re-aligned and the
@@ -596,8 +672,9 @@ def align_cdna_chimera(db: GenomeDB, query: str,
 
     Returns (paths, chimerapos): one path (chimerapos None) or two
     paths in read order with the 0-based breakpoint (last position of
-    part 1)."""
-    best = align_cdna(db, query)
+    part 1).  Pass best= to reuse an already-computed best path."""
+    if best == "auto":
+        best = align_cdna(db, query)
     if best is None:
         return [], None
     L = len(query)

@@ -136,7 +136,7 @@ def seed_segments_device(offsets, positions, oligos, valid,
 
 
 def chains_from_device(segs, B: int, Q: int, k: int,
-                       max_intronlen: int = 1_000_000):
+                       max_intronlen: int = 1_000_000, npaths: int = 1):
     """Host chain DP + backtrack over the device-extracted segments.
 
     The DP is the stage2-style sparse chaining of gmap.py
@@ -144,8 +144,12 @@ def chains_from_device(segs, B: int, Q: int, k: int,
     transition penalties, strict-'>' first-wins ties); with <= S=192
     segments per row it is vectorized-numpy work measured in
     microseconds, far below the device-roundtrip cost of a 192-step
-    sequential scan.  Returns per-row chains
-    [(qstart, qend, gstart, diag)] ordered by query position."""
+    sequential scan.  Returns per-row lists of up to `npaths` chains
+    [(qstart, qend, gstart, diag)] ordered by query position; extra
+    chains (score order, segment-disjoint with earlier ones) model the
+    reference's multiple gregions (stage1.c Gregion_filter_unique keeps
+    the best non-overlapping candidate regions, each of which stage3
+    turns into a path)."""
     qstart = np.asarray(segs["qstart"]).astype(np.int64)
     qend = np.asarray(segs["qend"]).astype(np.int64)
     diag = np.asarray(segs["diag"]).astype(np.int64) - Q  # unbias
@@ -175,13 +179,28 @@ def chains_from_device(segs, B: int, Q: int, k: int,
             if cand[j] > score[i]:
                 score[i] = cand[j]
                 prev[i] = j
-        i = int(np.argmax(score))
-        chain = []
-        while i >= 0:
-            chain.append((int(qs[i]), int(qe[i]),
-                          int(d[i] + qs[i]), int(d[i])))
-            i = int(prev[i])
-        chains.append(chain[::-1])
+        row_chains = []
+        used = np.zeros(nv, bool)
+        best_score = int(score.max())
+        for e in np.argsort(-score, kind="stable"):
+            if len(row_chains) >= npaths:
+                break
+            if row_chains and score[int(e)] < best_score // 2:
+                break    # hopeless chains never survive path ranking
+            if used[int(e)]:
+                continue
+            idxs = []
+            i = int(e)
+            while i >= 0 and not used[i]:
+                idxs.append(i)
+                i = int(prev[i])
+            if i >= 0:       # ran into a segment claimed by a better chain
+                continue
+            used[idxs] = True
+            row_chains.append([
+                (int(qs[i]), int(qe[i]), int(d[i] + qs[i]), int(d[i]))
+                for i in reversed(idxs)])
+        chains.append(row_chains)
     return chains
 
 

@@ -28,6 +28,9 @@ def main(argv=None) -> int:
                    help="show alignment in three lines per exon")
     p.add_argument("-S", dest="summary_only", action="store_true",
                    help="summary output + exon table (no alignment rows)")
+    p.add_argument("-n", "--npaths", type=int, default=5,
+                   help="maximum number of paths to show (0: one path, "
+                        "or two if chimera detected)")
     p.add_argument("-Z", "--compress", action="store_true",
                    help="compressed output format")
     p.add_argument("-E", "--exons", default=None, choices=["cdna", "genomic"],
@@ -71,12 +74,19 @@ def main(argv=None) -> int:
     import numpy as _np
 
     chimera_ok = args.format in ("paths", "summary", "samse") and dbmode
+    maxpaths = 1 if args.npaths == 0 else args.npaths
     for path_in in args.input:
         for rec in fasta.read_fasta(path_in):
             chimera_pos = None
-            if chimera_ok:
-                cpaths, chimera_pos = gmap_mod.align_cdna_chimera(db, rec.seq)
-                path = cpaths[0] if cpaths else None
+            if dbmode:
+                allpaths = gmap_mod.align_cdna_paths(db, rec.seq)
+                path = allpaths[0] if allpaths else None
+                cpaths = allpaths
+                if chimera_ok and path is not None:
+                    ch, chimera_pos = gmap_mod.align_cdna_chimera(
+                        db, rec.seq, best=path)
+                    if chimera_pos is not None:
+                        cpaths = ch
             else:
                 path = gmap_mod.align_cdna(db, rec.seq)
                 cpaths = [path] if path is not None else []
@@ -105,20 +115,31 @@ def main(argv=None) -> int:
                             hardclip=True, extra=[xt],
                         ))
                 else:
-                    chrnum = int(_np.searchsorted(
-                        db.chr_ends, path.gstart, side="right"))
-                    line = gmap_out.sam_record(
-                        path, rec.label, rec.seq, None,
-                        db.chr_names[chrnum], int(db.chr_starts[chrnum]),
-                        qstr, gstr,
-                    )
-                    if args.format == "sampe":
-                        # sampe sets the paired-read bits on a single
-                        # end (gmap.c "setting paired_read bit")
-                        fields = line.split("\t")
-                        fields[1] = str(int(fields[1]) | 0x41)
-                        line = "\t".join(fields)
-                    sys.stdout.write(line)
+                    # one record per surviving path (up to -n), with
+                    # multimapper NH/HI/MAPQ/XQ/X2 (Stage3_recompute_
+                    # goodness softmax posterior, stage3.c:3657)
+                    mapqs, absmqs, second = gmap_mod.path_mapqs(cpaths)
+                    for hi_i, pt in enumerate(cpaths[:maxpaths]):
+                        chrnum = int(_np.searchsorted(
+                            db.chr_ends, pt.gstart, side="right"))
+                        pq = (rec.seq.upper() if pt.watsonp
+                              else dna.revcomp_str(rec.seq.upper()))
+                        line = gmap_out.sam_record(
+                            pt, rec.label, rec.seq, None,
+                            db.chr_names[chrnum],
+                            int(db.chr_starts[chrnum]), pq, gstr,
+                            nh=len(cpaths), hi=hi_i + 1,
+                            mapq=mapqs[hi_i], sm=40,
+                            xq=absmqs[hi_i], x2=second,
+                        )
+                        if args.format == "sampe":
+                            # sampe sets the paired-read bits on a
+                            # single end (gmap.c "setting paired_read
+                            # bit")
+                            fields = line.split("\t")
+                            fields[1] = str(int(fields[1]) | 0x41)
+                            line = "\t".join(fields)
+                        sys.stdout.write(line)
                 continue
             if path is None:
                 if args.format == "paths" and not args.compress:
@@ -173,15 +194,28 @@ def main(argv=None) -> int:
                 )
                 sys.stdout.write("###\n")
             else:
-                outpaths = cpaths if chimera_pos is not None else [path]
+                outpaths = cpaths
+                chrinfo = None
+                if dbmode and chimera_pos is None:
+                    chrinfo = []
+                    for pt in outpaths[:maxpaths]:
+                        pcn = int(_np.searchsorted(
+                            db.chr_ends, pt.gstart, side="right"))
+                        chrinfo.append((db.chr_names[pcn], int(
+                            db.chr_ends[pcn] - db.chr_starts[pcn])))
                 sys.stdout.write(
                     gmap_out.paths_output(
                         rec.header, outpaths, chrname, chrlength, qstr,
                         gstr, dbmode, chimera_pos=chimera_pos,
-                        read=rec.seq.upper() if chimera_pos is not None
-                        else None,
+                        read=rec.seq.upper(),
+                        maxpaths=None if chimera_pos is not None
+                        else maxpaths,
+                        chrinfo=chrinfo,
+                        dbname=db.dbname if dbmode else None,
                     )
                 )
+                if chimera_pos is None:
+                    outpaths = outpaths[:maxpaths]
                 if args.A or args.summary_only or args.continuous_by_exon:
                     from ..io import gmap_align_fmt as afmt
 

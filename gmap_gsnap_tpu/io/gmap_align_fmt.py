@@ -273,7 +273,10 @@ def alignment_body(path: Path, qstr: str, gstr: str, chr_start: int,
 
     # map aa letters onto display columns
     disp_q = lambda c: (L - 1 - c["qpos"]) if not path.watsonp else c["qpos"]
-    pre = f"{chrname}:" if chrname else ""
+    # dbmode genome rows label the signed chromosome (Pair_print_
+    # alignment via Chrnum_to_string_signed); usersegment rows are bare
+    sign = "+" if path.watsonp else "-"
+    pre = f"{sign}{chrname}:" if chrname else ""
 
     out = []
     for b0 in range(0, len(cols), 50):

@@ -183,7 +183,8 @@ def sam_record(path: Path | None, qname: str, seq: str, qual: str | None,
                chrname: str, chr_start: int, qstr: str, gstr: str,
                nh: int = 1, hi: int = 1, mapq: int = 40,
                hardclip: bool = False, sm: int | None = None,
-               extra: list | None = None) -> str:
+               extra: list | None = None,
+               xq: int = 40, x2: int = 0) -> str:
     """One SAM line for a GMAP path (gmap -f samse; Pair_print_sam,
     pair.c).  Query ends outside the path soft-clip.  Tag set matches
     gsnap: MD/NH/HI/NM/SM/XQ/X2 (+XS splice strand when introns
@@ -220,7 +221,7 @@ def sam_record(path: Path | None, qname: str, seq: str, qual: str | None,
         "*", "0", "0", out_seq, out_qual,
         "MD:Z:" + "".join(md),
         f"NH:i:{nh}", f"HI:i:{hi}", f"NM:i:{nm}",
-        f"SM:i:{mapq if sm is None else sm}", "XQ:i:40", "X2:i:0",
+        f"SM:i:{mapq if sm is None else sm}", f"XQ:i:{xq}", f"X2:i:{x2}",
     ]
     if has_intron:
         # cdna_direction is in aligned space: +1 <=> GT-AG on plus
@@ -503,8 +504,11 @@ def path_summary(
     dbmode: bool = True,
     translate: bool = True,
     trans_override: "tuple | None" = None,
+    dbname: str | None = None,
 ) -> str:
-    """One 'Path N:' block (gmap default output)."""
+    """One 'Path N:' block (gmap default output).  The 'Genomic pos:'
+    line prints the DB name, not the chromosome (Stage3_print_pathsummary);
+    dbname defaults to chrname (identical for single-chr test DBs)."""
     out = []
     gs, ge = path.gstart + 1, path.gend
     if not path.watsonp:
@@ -524,8 +528,9 @@ def path_summary(
         "antisense" if ddir < 0 else "indeterminate")
     out.append(f"    cDNA direction: {sense}\n")
     strand = "+" if path.watsonp else "-"
+    dbpfx = f"{dbname}:" if dbname else chrpfx
     out.append(
-        f"    Genomic pos: {chrpfx}{_commafmt(gs)}..{_commafmt(ge)} ({strand} strand)\n"
+        f"    Genomic pos: {dbpfx}{_commafmt(gs)}..{_commafmt(ge)} ({strand} strand)\n"
     )
     if dbmode:
         alo, ahi = min(gs, ge), max(gs, ge)
@@ -568,7 +573,14 @@ def paths_output(
     dbmode: bool = True,
     chimera_pos: int | None = None,
     read: str | None = None,
+    maxpaths: int | None = None,
+    chrinfo: "list[tuple[str, int]] | None" = None,
+    dbname: str | None = None,
 ) -> str:
+    """maxpaths limits the printed 'Path N:' blocks while the header
+    still reports the true path count (gmap -n; observed: -n 1 on a
+    2-path query prints 'Paths (2):' with one block).  chrinfo gives
+    per-path (chrname, chrlength) for multi-chromosome path lists."""
     out = [f">{header}\n"]
     if chimera_pos is not None:
         out.append(f"Paths ({len(paths)}): *** Possible chimera "
@@ -585,17 +597,19 @@ def paths_output(
             p = paths[part_i]
             toff = p.qstart if p.watsonp else p.querylength - p.qend
             overrides[part_i] = (l - toff, r - toff, aalen)
-    for i, p in enumerate(paths):
+    shown = paths if maxpaths is None else paths[:maxpaths]
+    for i, p in enumerate(shown):
         pq = qstr
         if read is not None:
             from ..utils import dna as _dna
             pq = read if p.watsonp else _dna.revcomp_str(read)
         if i > 0:
             out.append("\n")
+        cn, cl = (chrname, chrlength) if chrinfo is None else chrinfo[i]
         out.append(path_summary(
-            p, i + 1, chrname, chrlength, pq, gstr, dbmode,
+            p, i + 1, cn, cl, pq, gstr, dbmode,
             translate=False if chimera_pos is not None else True,
-            trans_override=overrides[i]))
+            trans_override=overrides[i], dbname=dbname))
     out.append("\n")
     return "".join(out)
 
