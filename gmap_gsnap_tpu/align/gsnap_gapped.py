@@ -166,13 +166,21 @@ def _gather_pair(arr, idx):
 
 # ----------------------------------------------------------------- indel solve
 
-def _solve_indels(top_d, mm, pref, ii, jj, pvalid, lengths, budget, lmax: int):
+def _solve_indels(top_d, mm, pref, ii, jj, pvalid, lengths, budget, lmax: int,
+                  qp5=None, qp3=None):
     """Vectorized solve_middle_insertion/deletion.
 
     Returns dict of [B, P] arrays: valid, is_del, nindels, split (query
     position where part 2 begins on dL for deletions / where the
     inserted bases begin for insertions, i.e. the reference indel_pos),
     nmm1, nmm2, left (dL), right (dR).
+
+    qp5/qp3 [B, K]: per-candidate-diagonal first/last seed query
+    positions; pairing requires the left piece's seeds to end before
+    the right piece's start (find_middle_indels, stage1hr.c:4559
+    "segmentj->querypos3 < segmenti->querypos5") — without this gate,
+    a diagonal seeded only far from the junction can fabricate a tiny
+    indel flank the reference cannot represent.
     """
     b, p = ii.shape
     di = _gather_pair(top_d, ii)      # left-part diagonal  [B, P] uint32
@@ -249,6 +257,10 @@ def _solve_indels(top_d, mm, pref, ii, jj, pvalid, lengths, budget, lmax: int):
         & (bestkey < BIG_SCORE)
         & (best_sum <= budget[:, None])
     )
+    if qp5 is not None:
+        qp3_i = _gather_pair(qp3, ii)   # left piece's last seed qpos
+        qp5_j = _gather_pair(qp5, jj)   # right piece's first seed qpos
+        valid = valid & (qp3_i < qp5_j)
     nmm1 = jnp.take_along_axis(pref_i, split[:, :, None], axis=2)[:, :, 0]
     return {
         "valid": valid,
@@ -654,7 +666,9 @@ def _strand_hits(genome, index, queries, codes, nflags, lengths, conv, alt,
         _convert_codes(codes, conv), nflags, lengths, index.k
     )
     diag, trunc = _seed_diagonals(index, oligos, valid, base)
-    top_d, votes, ndistinct = _top_diagonals(diag, base.ncand)
+    slots = (base.seed_cap // 8 + 1) * 8  # _seed_diagonals grid layout
+    top_d, votes, ndistinct, qp5, qp3 = _top_diagonals(
+        diag, base.ncand, slots_per_oligo=slots)
     overflow = trunc | (ndistinct > base.ncand)
 
     mm, pref = _prefix_mm(genome, queries, top_d, lengths, conv, alt)
@@ -684,7 +698,8 @@ def _strand_hits(genome, index, queries, codes, nflags, lengths, conv, alt,
         ),
         params.indel_pairs,
     )
-    indels = _solve_indels(top_d, mm, pref, ii, jj, pv, lengths, budget, queries.lmax)
+    indels = _solve_indels(top_d, mm, pref, ii, jj, pv, lengths, budget,
+                           queries.lmax, qp5=qp5, qp3=qp3)
 
     if params.novelsplicing or known is not None:
         si, sj, sv = _select_pairs(

@@ -270,6 +270,7 @@ class GsnapRunner:
             base=self.params, novelsplicing=novelsplicing
         )
         self.known = None
+        self._known_sites = None
         self._splice_labels = None
         self.splicing_on = novelsplicing
         if splicesdb is not None:
@@ -288,6 +289,7 @@ class GsnapRunner:
                 _IIT.read(path), db.chr_names, db.chr_starts
             )
             self.known = sites.device_bitmasks(len(db.codes))
+            self._known_sites = sites  # host arrays for the shortend lane
             self._splice_labels = sites.labels
             self.splicing_on = True
         self.genome = db.device_genome
@@ -789,6 +791,161 @@ class GsnapRunner:
                     out.append((h, score, (left, plusp)))
         return out
 
+    def _shortend_hits(self, rec: Record, hits, row: int, done: int):
+        """Stage 8 short-end known-site splicing (find_spliceends_
+        shortend stage1hr.c:8330 + find_splicepairs_shortend :10045):
+        a known splice site inside a candidate diagonal lets the read
+        splice even when the far side is too short to seed (down to
+        1 bp).  Partner sites of the opposite class within
+        shortsplicedist stand in for the reference's splicetrie: the
+        short end is matched after each partner; a unique best partner
+        with endlength >= min_shortend(2) gives a clean spliced hit,
+        otherwise an ambiguous one (long side only, soft-clipped but
+        XS-tagged, nmatches credited with amb_nmatches)."""
+        import dataclasses
+
+        from . import rescue
+
+        sites = self._known_sites
+        if sites is None:
+            return []
+        L = len(rec.seq)
+        max_mm = done  # localsplicing_penalty = 0 (gsnap.c:196)
+        if max_mm < 0:
+            return []
+        G = len(self._genome_bytes)
+        cl = np.asarray(hits["cand_left"][row]).astype(np.int64)
+        cp = np.asarray(hits["cand_plusp"][row])
+        valid = cl < np.iinfo(np.uint32).max
+        seen_diag = set()
+        out = []
+        seen_hit = set()
+        # (boundary class, partner class, long side, sense) configs:
+        # long-left pairs donor->acceptor / antiacceptor->antidonor to
+        # the right; long-right pairs acceptor<-donor / antidonor<-
+        # antiacceptor to the left (plus-text sense; both read strands
+        # use the same plus-genome class arrays, like the device scan)
+        configs = [
+            (sites.donors, sites.acceptors, "L", True),
+            (sites.antiacceptors, sites.antidonors, "L", False),
+            (sites.acceptors, sites.donors, "R", True),
+            (sites.antidonors, sites.antiacceptors, "R", False),
+        ]
+        # End 8 (antiacceptors_minus, stage1hr.c:10553) walks an
+        # acceptor site's donor trie with minus-query coordinates that
+        # never match, so (minus read, acceptor boundary, long-right)
+        # yields no splice in the reference — verified empirically
+        # (short-left minus reads over a sense intron stay soft-clipped)
+        minus_skip = {(id(sites.acceptors), "R", True)}
+        for ci in range(len(cl)):
+            if not valid[ci]:
+                continue
+            left, plusp = int(cl[ci]), bool(cp[ci])
+            if (left, plusp) in seen_diag:
+                continue
+            seen_diag.add((left, plusp))
+            if left < 0 or left + L > G:
+                continue
+            q = (rec.seq.upper() if plusp
+                 else dna.revcomp_str(rec.seq.upper()))
+            conv = self._conv_plus if plusp else self._conv_minus
+            mm_sel, _ = self._mismatch_masks(q, left, conv)
+            pref = np.concatenate([[0], np.cumsum(mm_sel)])
+            for bnd, partners, side, sense in configs:
+                if not len(bnd) or not len(partners):
+                    continue
+                if not plusp and (id(bnd), side, sense) in minus_skip:
+                    continue
+                j0 = int(np.searchsorted(bnd, left + 1))
+                j1 = int(np.searchsorted(bnd, left + L))
+                for c in bnd[j0:j1]:
+                    c = int(c)
+                    sp = c - left
+                    if side == "L":
+                        endlength, support = L - sp, sp
+                        nmm_long = int(pref[sp])
+                    else:
+                        endlength, support = sp, L - sp
+                        nmm_long = int(pref[L] - pref[sp])
+                    if endlength > support or nmm_long > max_mm:
+                        continue
+                    allowed = max_mm - nmm_long
+                    if side == "L":
+                        p0 = int(np.searchsorted(partners, c + 1))
+                        p1 = int(np.searchsorted(
+                            partners, c + SHORTSPLICEDIST, "right"))
+                        cand = partners[p0:p1]
+                    else:
+                        p0 = int(np.searchsorted(
+                            partners, c - SHORTSPLICEDIST))
+                        p1 = int(np.searchsorted(partners, c))
+                        cand = partners[p0:p1]
+                    best_mm, best = None, []
+                    for a in cand:
+                        a = int(a)
+                        left2 = a - sp
+                        if left2 < 0 or left2 + L > G:
+                            continue
+                        mm2, _ = self._mismatch_masks(q, left2, conv)
+                        nmm_s = int(mm2[sp:].sum() if side == "L"
+                                    else mm2[:sp].sum())
+                        if nmm_s > allowed:
+                            continue
+                        if best_mm is None or nmm_s < best_mm:
+                            best_mm, best = nmm_s, [a]
+                        elif nmm_s == best_mm:
+                            best.append(a)
+                    if best_mm is None:
+                        continue
+                    if endlength >= 2 and len(best) == 1:
+                        a = best[0]
+                        if side == "L":
+                            l1, rdiag = left, a - sp
+                        else:
+                            l1, rdiag = a - sp, left
+                        if rdiag <= l1:
+                            continue
+                        key = (l1, rdiag, sp, plusp)
+                        if key in seen_hit:
+                            continue
+                        seen_hit.add(key)
+                        d = self._hit_details(
+                            rec, KIND_SPLICE, l1, rdiag, sp, 0, sense,
+                            plusp)
+                        out.append((rescue.HostHit(
+                            d, "splice", d.nmatches_whole,
+                            np.array(d.mmpos, int), d.loglik),
+                            nmm_long + best_mm))
+                    else:
+                        # ambiguous: long side only, junction side
+                        # soft-clipped, amb_nmatches credited
+                        amb = endlength - best_mm
+                        if side == "L":
+                            t5, _ = trim_ends(mm_sel[:sp])
+                            t3 = endlength
+                        else:
+                            t5 = endlength
+                            _, t3 = trim_ends(mm_sel[sp:])
+                        key = (left, sp, side, plusp, "amb")
+                        if key in seen_hit:
+                            continue
+                        seen_hit.add(key)
+                        d = self._terminal_hit(rec, left, plusp, t5, t3)
+                        # amb_nmatches counts toward nmatches (Stage3end
+                        # _new_splice, stage3hr.c: ambiguous end credit)
+                        # so the splice outranks the equivalent sub/
+                        # terminal in hit_goodness_cmp
+                        d = dataclasses.replace(
+                            d, xs="+" if sense else "-",
+                            nmatches=d.nmatches + amb,
+                            nmatches_whole=d.nmatches_whole + amb,
+                            term_ends=None)
+                        out.append((rescue.HostHit(
+                            d, "splice", d.nmatches + amb,
+                            np.array(d.mmpos, int), d.loglik),
+                            nmm_long + best_mm))
+        return out
+
     def _distant_hits(self, rec: Record, hits, row: int, done: int):
         """Step 9 distant/translocation splicing (stage1hr.c:12218):
         runs only when the cascade found nothing and splicing is on."""
@@ -1157,6 +1314,16 @@ class GsnapRunner:
                 hhits.append(h)
                 end_used.add(anchor)
                 end_found = True
+                done = min(done, score + self.params.subopt_levels)
+
+        # 8. short-end known-site splicing (stage1hr.c:12134 gating:
+        # knownsplicingp && done_level >= localsplicing_penalty)
+        if self._known_sites is not None and done >= 0:
+            sh = self._shortend_hits(rec, hits, row, done)
+            for h, score in sh:
+                if score > done:
+                    continue
+                hhits.append(h)
                 done = min(done, score + self.params.subopt_levels)
 
         # 9. distant splicing: only when the cascade found NOTHING
