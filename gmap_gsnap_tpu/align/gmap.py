@@ -469,10 +469,14 @@ def align_cdna_batch(db: GenomeDB, queries: list[str],
     valid_d = jnp.asarray(valid)
     H = 8 * Q
     while True:
-        segs = gmap_engine.seed_segments_device(
+        segs_d = gmap_engine.seed_segments_device(
             index.offsets, index.positions, oligos_d, valid_d,
             k=k, H=H, S=192, threshold=100)
-        nhits = int(np.asarray(segs["nhits"]).max())
+        # one packed transfer for the whole segment pytree (tunnel RTTs)
+        keys = ("qstart", "qend", "diag", "valid", "nhits")
+        vals = gmap_engine.fetch_packed([segs_d[kk] for kk in keys])
+        segs = dict(zip(keys, vals))
+        nhits = int(segs["nhits"].max())
         if nhits <= H:
             break
         H *= 4  # overflow rescue: re-run at a larger hit budget

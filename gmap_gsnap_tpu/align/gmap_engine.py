@@ -135,6 +135,35 @@ def seed_segments_device(offsets, positions, oligos, valid,
                 valid=seg_valid, nhits=nhits)
 
 
+def fetch_packed(arrays):
+    """ONE device->host transfer for a list of integer arrays (each
+    round trip on a tunneled chip costs a full RTT; packing the result
+    pytree into a single buffer is the same trick as runner._pack_tree).
+    uint32 arrays ride as bitcast int32 and are viewed back on host."""
+    import jax
+
+    flat, metas = [], []
+    for a in arrays:
+        u32 = a.dtype == jnp.uint32
+        v = jax.lax.bitcast_convert_type(a, jnp.int32) if u32 else a
+        if v.dtype == jnp.bool_:
+            v = v.astype(jnp.int32)
+        flat.append(jnp.ravel(v.astype(jnp.int32)))
+        metas.append((a.shape, int(np.prod(a.shape, dtype=np.int64)),
+                      u32, a.dtype == jnp.bool_))
+    buf = np.asarray(jnp.concatenate(flat)) if flat else np.zeros(0, np.int32)
+    out, off = [], 0
+    for shape, sz, u32, boolean in metas:
+        v = buf[off : off + sz].reshape(shape)
+        if u32:
+            v = v.view(np.uint32)
+        elif boolean:
+            v = v.astype(bool)
+        out.append(v)
+        off += sz
+    return out
+
+
 def chains_from_device(segs, B: int, Q: int, k: int,
                        max_intronlen: int = 1_000_000, npaths: int = 1):
     """Host chain DP + backtrack over the device-extracted segments.
@@ -295,24 +324,30 @@ def solve_junctions_batch(gcodes, requests, cdna_direction,
     zR = jnp.zeros((nb, NR + 1), jnp.int32)
     reward = (dp.FINAL_CANONICAL_INTRON_HIGHQ if finalp
               else dp.CANONICAL_INTRON_HIGHQ)
-    fs, brL, brR, bcL, bcR, ityp = (np.asarray(x) for x in dp.bridge_intron(
+    # bridge results stay ON DEVICE and feed traceback directly; one
+    # packed transfer then fetches everything (fetch_packed) — the
+    # previous per-array np.asarray paid ~12 tunnel round trips plus a
+    # host bounce of the bridge row/col between the two kernels
+    fs_d, brL_d, brR_d, bcL_d, bcR_d, ityp_d = dp.bridge_intron(
         matsL[0], matsL[3], matsR[0], matsR[3], jnp.asarray(len1),
         jnp.asarray(len2L), jnp.asarray(len2R),
         jnp.asarray(lbandL), jnp.asarray(lbandR), leftdi, rightdi, zL, zR,
         jnp.asarray(loffs), jnp.asarray(roffs),
         M=Mb, W=W, open_=open_, extend=extend,
         canonical_reward=reward, cdna_direction=cdna_direction,
-        finalp=finalp, halfp=False))
+        finalp=finalp, halfp=False)
 
     T = Mb + max(NL, NR) + 2
-    opsL, oprL, opcL = (np.asarray(x) for x in dp.traceback(
-        matsL[0], matsL[1], matsL[2], jnp.asarray(brL.astype(np.int32)),
-        jnp.asarray(bcL.astype(np.int32)), jnp.asarray(lbandL), late,
-        T=T, W=W, open_=open_, extend=extend))
-    opsR, oprR, opcR = (np.asarray(x) for x in dp.traceback(
-        matsR[0], matsR[1], matsR[2], jnp.asarray(brR.astype(np.int32)),
-        jnp.asarray(bcR.astype(np.int32)), jnp.asarray(lbandR), later,
-        T=T, W=W, open_=open_, extend=extend))
+    tbL = dp.traceback(
+        matsL[0], matsL[1], matsL[2], brL_d.astype(jnp.int32),
+        bcL_d.astype(jnp.int32), jnp.asarray(lbandL), late,
+        T=T, W=W, open_=open_, extend=extend)
+    tbR = dp.traceback(
+        matsR[0], matsR[1], matsR[2], brR_d.astype(jnp.int32),
+        bcR_d.astype(jnp.int32), jnp.asarray(lbandR), later,
+        T=T, W=W, open_=open_, extend=extend)
+    (fs, ityp, opsL, oprL, opcL, opsR, oprR, opcR) = fetch_packed(
+        [fs_d, ityp_d, *tbL, *tbR])
 
     def pieces_from(bi, ops, opr, opc, rev, lo, hi, diagL, diagR):
         # convert diag-run ops into (qpos, gpos) pairs in aligned coords

@@ -52,6 +52,7 @@ from .gsnap_se import (
     _convert_codes,
     _extract_oligos,
     _pack_device,
+    _qpos_ranges,
     _revcomp_batch,
     _seed_diagonals,
     _top_diagonals,
@@ -666,9 +667,7 @@ def _strand_hits(genome, index, queries, codes, nflags, lengths, conv, alt,
         _convert_codes(codes, conv), nflags, lengths, index.k
     )
     diag, trunc = _seed_diagonals(index, oligos, valid, base)
-    slots = (base.seed_cap // 8 + 1) * 8  # _seed_diagonals grid layout
-    top_d, votes, ndistinct, qp5, qp3 = _top_diagonals(
-        diag, base.ncand, slots_per_oligo=slots)
+    top_d, votes, ndistinct = _top_diagonals(diag, base.ncand)
     overflow = trunc | (ndistinct > base.ncand)
 
     mm, pref = _prefix_mm(genome, queries, top_d, lengths, conv, alt)
@@ -698,6 +697,8 @@ def _strand_hits(genome, index, queries, codes, nflags, lengths, conv, alt,
         ),
         params.indel_pairs,
     )
+    slots = (base.seed_cap // 8 + 1) * 8  # _seed_diagonals grid layout
+    qp5, qp3 = _qpos_ranges(diag, top_d, slots)
     indels = _solve_indels(top_d, mm, pref, ii, jj, pv, lengths, budget,
                            queries.lmax, qp5=qp5, qp3=qp3)
 

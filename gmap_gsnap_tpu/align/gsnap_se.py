@@ -169,29 +169,12 @@ def _seed_diagonals(index: IndexArrays, oligos, valid, params: GsnapParams):
     return diag.reshape(b, s * nrows * row), trunc
 
 
-def _top_diagonals(diag, ncand: int, slots_per_oligo: int = 0):
+def _top_diagonals(diag, ncand: int):
     """Sort diagonals per read, run-length count votes, return the top
     ``ncand`` distinct diagonals ordered by (votes desc, diag asc).
-    Returns (diags uint32[B, ncand], votes int32[B, ncand], ndistinct,
-    qp5, qp3).
-
-    With slots_per_oligo > 0 the seed-grid slot layout (slot //
-    slots_per_oligo = oligo query position, _seed_diagonals) rides the
-    sort as a carried operand, yielding per-diagonal first/last seed
-    query positions qp5/qp3 — the reference Segment querypos5/querypos3
-    used to gate indel pairing (stage1hr.c:4559 "j5 j3 i5 i3")."""
-    n = diag.shape[1]
-    if slots_per_oligo:
-        qpos = (jnp.arange(n, dtype=jnp.int32)
-                // slots_per_oligo)[None, :]
-        qpos = jnp.broadcast_to(qpos, diag.shape)
-        # stable pair sort: within a diagonal run, slots (= query
-        # positions) stay ascending, so run start/end give qp5/qp3
-        d, qp = jax.lax.sort((diag, qpos), dimension=1, num_keys=1,
-                             is_stable=True)
-    else:
-        d = jnp.sort(diag, axis=1)  # uint32 ascending; INVALID at end
-        qp = None
+    Returns (diags uint32[B, ncand], votes int32[B, ncand], ndistinct)."""
+    d = jnp.sort(diag, axis=1)  # uint32 ascending; INVALID at the end
+    n = d.shape[1]
     first = jnp.concatenate(
         [jnp.ones_like(d[:, :1], dtype=bool), d[:, 1:] != d[:, :-1]], axis=1
     )
@@ -214,14 +197,23 @@ def _top_diagonals(diag, ncand: int, slots_per_oligo: int = 0):
     top_d = jnp.take_along_axis(d, order, axis=1)
     top_d = jnp.where(top_v > 0, top_d, INVALID_DIAG)
     ndistinct = jnp.sum(is_head, axis=1).astype(jnp.int32)
-    if qp is None:
-        z = jnp.zeros_like(top_v)
-        return top_d, top_v, ndistinct, z, z
-    qp5 = jnp.take_along_axis(qp, order, axis=1)
-    last_idx = jnp.take_along_axis(
-        jnp.clip(last, 0, n - 1), order, axis=1)
-    qp3 = jnp.take_along_axis(qp, last_idx, axis=1)
-    return top_d, top_v, ndistinct, qp5, qp3
+    return top_d, top_v, ndistinct
+
+
+def _qpos_ranges(diag_grid, d_sel, slots_per_oligo: int):
+    """First/last seed query position per selected diagonal — the
+    reference Segment querypos5/querypos3 (stage1hr.c:9000) used to
+    gate indel pairing.  Computed lazily against the UNSORTED seed grid
+    (slot // slots_per_oligo = oligo query position, _seed_diagonals
+    layout) only for the few diagonals the pair selector kept; a
+    broadcast compare + fused min/max reduce is far cheaper than
+    carrying qpos through the hot diagonal sort."""
+    n = diag_grid.shape[1]
+    qpos = (jnp.arange(n, dtype=jnp.int32) // slots_per_oligo)[None, None, :]
+    eq = diag_grid[:, None, :] == d_sel[:, :, None]          # [B, P, N]
+    qp5 = jnp.min(jnp.where(eq, qpos, jnp.int32(2**30)), axis=2)
+    qp3 = jnp.max(jnp.where(eq, qpos, jnp.int32(-1)), axis=2)
+    return qp5, qp3
 
 
 def _verify(genome, queries, diags, lengths, conversion=None, alt=None):
@@ -302,8 +294,8 @@ def align_batch(
     diag_f, trunc_f = _seed_diagonals(index, oligos_f, valid_f, params)
     diag_r, trunc_r = _seed_diagonals(index_minus, oligos_r, valid_r, params)
 
-    top_f, _, nd_f, _, _ = _top_diagonals(diag_f, params.ncand)
-    top_r, _, nd_r, _, _ = _top_diagonals(diag_r, params.ncand)
+    top_f, _, nd_f = _top_diagonals(diag_f, params.ncand)
+    top_r, _, nd_r = _top_diagonals(diag_r, params.ncand)
 
     nmm_f = _verify(genome, queries_fwd, top_f, lengths, conv_plus, alt)
     nmm_r = _verify(genome, queries_rev, top_r, lengths, conv_minus, alt)

@@ -1667,6 +1667,30 @@ class GsnapRunner:
         (invert_second_p, gsnap.c)."""
         return self.fetch_pairs(self.dispatch_pairs(recs5, recs3_inv))
 
+    def _align_wide_pe(self, recs5: list[Record], recs3_inv: list[Record]):
+        """PE overflow rescue: re-align flagged pairs at wide caps
+        (seed_cap = size_threshold, 4x candidates) — the paired-end
+        counterpart of _align_wide."""
+        import dataclasses
+
+        from . import gsnap_pe
+
+        base = dataclasses.replace(
+            self.params, seed_cap=self.params.size_threshold,
+            ncand=min(4 * self.params.ncand, 128))
+        gp = dataclasses.replace(self.gapped_params, base=base)
+        pairmax = (gsnap_pe.PAIRMAX_RNA if self.splicing_on
+                   else gsnap_pe.PAIRMAX_DNA)
+        params = gsnap_pe.PEParams(gapped=gp, pairmax=pairmax)
+        c5, f5, l5 = encode_batch(recs5, self.lmax)
+        c3, f3, l3 = encode_batch(recs3_inv, self.lmax)
+        c5, f5, l5, b = self._shard(c5, f5, l5)
+        c3, f3, l3, _ = self._shard(c3, f3, l3)
+        res = gsnap_pe.align_batch_pe(
+            self.genome, self.index, c5, f5, l5, c3, f3, l3, params,
+            index_minus=self.index_minus, alt=self.alt, known=self.known)
+        return self.fetch_pairs((self._pack_tree(res), b))
+
     def _end_hit(self, rec: Record, hits, row: int, col: int) -> PostHit:
         return self._hit_details(
             rec,
@@ -2270,6 +2294,17 @@ class GsnapRunner:
                 nxt = None
             res = self.fetch_pairs(disp)
             disp = nxt
+            # PE overflow rescue lane: pairs where EITHER end truncated
+            # its seed lists / candidate set re-run at wide caps
+            ovf = np.flatnonzero(
+                np.asarray(res["end5"].get("overflow", np.zeros(0)), bool)
+                | np.asarray(res["end3"].get("overflow", np.zeros(0)), bool))
+            wide_res, wide_row = None, {}
+            if len(ovf):
+                wide_res = self._align_wide_pe(
+                    [chunk5[int(j)] for j in ovf],
+                    [chunk3_inv[int(j)] for j in ovf])
+                wide_row = {int(j): wi for wi, j in enumerate(ovf)}
             # pass 1 collects GMAP-rescue requests; one batched device
             # call resolves them; affected pairs re-emit (pass 2)
             t_batch = _time.time()
@@ -2279,9 +2314,11 @@ class GsnapRunner:
             texts = []
             for j in range(len(chunk5)):
                 self._gmap_row = j
+                rres, rrow = ((wide_res, wide_row[j]) if j in wide_row
+                              else (res, j))
                 try:
                     texts.append(
-                        emit(chunk5[j], chunk3_inv[j], chunk3[j], res, j))
+                        emit(chunk5[j], chunk3_inv[j], chunk3[j], rres, rrow))
                 except Exception:
                     _offending_read(chunk5[j], chunk3[j])
                     raise
@@ -2291,9 +2328,11 @@ class GsnapRunner:
             if pending:
                 self.prefetch_gmap(pending)
                 for j in sorted(rows):
+                    rres, rrow = ((wide_res, wide_row[j]) if j in wide_row
+                                  else (res, j))
                     try:
                         texts[j] = emit(chunk5[j], chunk3_inv[j], chunk3[j],
-                                        res, j)
+                                        rres, rrow)
                     except Exception:
                         _offending_read(chunk5[j], chunk3[j])
                         raise

@@ -99,3 +99,42 @@ def test_overflow_rescue_lane(tmp_path):
         capture_output=True, text=True, check=True).stdout
     refl = [l for l in ref.splitlines() if not l.startswith("@")]
     assert mine == refl
+
+
+def test_overflow_rescue_lane_pe(tmp_path):
+    """Paired-end overflow rescue: a pair whose first end covers the
+    most frequent chr17test 12-mer re-runs at wide caps and matches the
+    reference byte-for-byte (run_pe wide lane)."""
+    import io
+    import subprocess
+
+    from gmap_gsnap_tpu.align import runner as runner_mod
+    from gmap_gsnap_tpu.db.datadir import GenomeDB
+    from gmap_gsnap_tpu.utils import dna
+
+    if not os.path.isdir("/tmp/refbuild/trytest/gdb"):
+        pytest.skip("oracle DB not built")
+    db = GenomeDB.open("/tmp/refbuild/trytest/gdb/chr17test", "chr17test")
+    cnt = np.diff(db.offsets.astype(np.int64))
+    big = np.flatnonzero((cnt > 32) & (cnt <= 100))
+    o = int(big[np.argmax(cnt[big])])
+    pos = int(db.positions[db.offsets[o]])
+    seq5 = db.genome_str[pos : pos + 100]
+    seq3 = dna.revcomp_str(db.genome_str[pos + 200 : pos + 300])
+    r5 = runner_mod.Record("ovp", "ovp", seq5, "I" * 100)
+    r3 = runner_mod.Record("ovp", "ovp", seq3, "I" * 100)
+    runner = runner_mod.GsnapRunner(db)
+    out = io.StringIO()
+    runner.run_pe([r5], [r3], out)
+    mine = [l for l in out.getvalue().splitlines() if not l.startswith("@")]
+
+    f1 = tmp_path / "p1.fq"
+    f2 = tmp_path / "p2.fq"
+    f1.write_text(f"@ovp\n{seq5}\n+\n{'I' * 100}\n")
+    f2.write_text(f"@ovp\n{seq3}\n+\n{'I' * 100}\n")
+    ref = subprocess.run(
+        ["/tmp/refbuild/src/gsnap", "-D", "/tmp/refbuild/trytest/gdb",
+         "-d", "chr17test", "--format=sam", str(f1), str(f2)],
+        capture_output=True, text=True, check=True).stdout
+    refl = [l for l in ref.splitlines() if not l.startswith("@")]
+    assert mine == refl
