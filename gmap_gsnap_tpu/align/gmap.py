@@ -792,6 +792,97 @@ def _extend_path_to_ends(gstr: str, qstr: str, path: Path) -> None:
         last.mismatches += mm
 
 
+def _microexon_int(gstr_a, qstr_a, lo, hi, dL, dR, cdna_direction, db,
+                   nindels, nmm, pvalue=0.01):
+    """Dynprog_microexon_int (dynprog.c:7131): when the intron bridge is
+    poor, look for a 3-12 bp exon between two canonical introns inside
+    the junction window.  The reference's Boyer-Moore scan of the middle
+    query segment (boyer-moore.c) becomes one vectorized sliding-window
+    compare.  Acceptance (stage3.c:5942-5958): both flank probs >= 0.95
+    when the rejected bridge was clean-ish (nindels == 0, nmm < 4),
+    else either >= 0.90.  Returns (qstart, middlelength, genome_start,
+    introntype) or None."""
+    import math
+
+    from ..ops import maxent as maxent_mod
+
+    L1 = hi - lo
+    span = (dR + hi - 1) - (dL + lo)
+    if L1 <= 0 or span <= 0:
+        return None
+    min_len = math.ceil(
+        -math.log(1.0 - (1.0 - pvalue) ** (1.0 / span)) / math.log(4.0)) - 8
+    if min_len > 12:           # MAX_MICROEXON_LENGTH (dynprog.c:137)
+        return None
+    min_len = max(min_len, 3)  # MIN_MICROEXON_LENGTH
+    if cdna_direction > 0:
+        i1, i2, i3, i4 = ord("G"), ord("T"), ord("A"), ord("G")
+        kinds = ("acceptor", "donor")
+        itype = "canonical"
+    else:
+        i1, i2, i3, i4 = ord("C"), ord("T"), ord("A"), ord("C")
+        kinds = ("antidonor", "antiacceptor")
+        itype = "canonical"
+    G = len(gstr_a)
+    eqL = _match_vec(gstr_a, qstr_a, lo, hi, dL)
+    eqR = _match_vec(gstr_a, qstr_a, lo, hi, dR)
+
+    def bound_scan(eq):
+        nmis, b = 0, 0
+        while b < L1 - 1 and nmis <= 1:
+            if not eq[b]:
+                nmis += 1
+            b += 1
+        return b - 1
+
+    leftbound = bound_scan(eqL)
+    rightbound = bound_scan(eqR[::-1])
+    best, bestprob = None, 0.0
+    for cL in range(1, leftbound + 1):
+        gl = dL + lo + cL
+        if gl + 1 >= G or gstr_a[gl] != i1 or gstr_a[gl + 1] != i2:
+            continue
+        mincR = max(1, L1 - 12 - cL)
+        maxcR = min(rightbound, L1 - min_len - cL)
+        for cR in range(mincR, maxcR + 1):
+            gr = dR + hi - 1 - cR
+            if gr - 1 < 0 or gr >= G or gstr_a[gr - 1] != i3 \
+                    or gstr_a[gr] != i4:
+                continue
+            mlen = L1 - cL - cR
+            textleft = gl + 9      # MICROINTRON_LENGTH
+            textright = gr - 9
+            nw = textright - textleft - mlen
+            if nw < 0 or textleft < 2 or textright + mlen + 2 > G:
+                continue
+            pat = qstr_a[lo + cL : lo + cL + mlen]
+            win = gstr_a[textleft:textright]
+            idx = np.flatnonzero(
+                (win[np.arange(nw + 1)[:, None]
+                     + np.arange(mlen)[None, :]] == pat).all(1))
+            for c0 in idx:
+                c = textleft + int(c0)
+                if (gstr_a[c - 2] == i3 and gstr_a[c - 1] == i4
+                        and gstr_a[c + mlen] == i1
+                        and gstr_a[c + mlen + 1] == i2):
+                    p2 = float(maxent_mod.splice_prob_np(
+                        db.codes, np.array([c]), kinds[0])[0])
+                    p3 = float(maxent_mod.splice_prob_np(
+                        db.codes, np.array([c + mlen]), kinds[1])[0])
+                    if p2 + p3 > bestprob:
+                        bestprob = p2 + p3
+                        best = (cL, mlen, c, p2, p3)
+    if best is None:
+        return None
+    cL, mlen, c, p2, p3 = best
+    if nindels == 0 and nmm < 4:
+        if not (p2 >= 0.95 and p3 >= 0.95):
+            return None
+    elif not (p2 >= 0.90 or p3 >= 0.90):
+        return None
+    return lo + cL, mlen, c, itype
+
+
 def _build_path(gstr, qstr, chain, watsonp, db, jx=None) -> Path | None:
     L = len(qstr)
     # merge chained segments into exons, resolving junctions
@@ -852,7 +943,40 @@ def _build_path(gstr, qstr, chain, watsonp, db, jx=None) -> Path | None:
                         sol = gmap_engine.solve_junction_dynprog(
                             _codes_of(gstr), _codes_of(qstr), lo, hi,
                             dL, dR, cdna_direction)
-                    if sol is not None and sol[0] > scan_score and sol[1]:
+                    sol_ok = (sol is not None and sol[0] > scan_score
+                              and sol[1])
+                    # microexon trigger (traverse_genome_gap,
+                    # stage3.c:5903): bridge noncanonical, or too many
+                    # mismatches/opens/indels in the junction window
+                    if sol_ok:
+                        pieces = sol[1]
+                        diffs = [pieces[k + 1][2] - pieces[k][2]
+                                 for k in range(len(pieces) - 1)]
+                        small = [abs(dd) for dd in diffs
+                                 if abs(dd) < MIN_INTRONLENGTH]
+                        nind_j, nopen_j = sum(small), len(small)
+                        nmm_j = sum(
+                            int((~_match_vec(gstr_a, qstr_a, pqs, pqe,
+                                             pd)).sum())
+                            for pqs, pqe, pd in pieces)
+                        poor = (introntype == "noncanonical"
+                                or nmm_j > 2 or nopen_j > 1 or nind_j > 3)
+                    else:
+                        nind_j, nmm_j = 0, nmmL + nmmR
+                        poor = (introntype == "noncanonical" or nmm_j > 2)
+                    if poor and lo >= prev_split:
+                        micro = _microexon_int(
+                            gstr_a, qstr_a, lo, hi, dL, dR,
+                            cdna_direction, db, nind_j, nmm_j)
+                        if micro is not None:
+                            mqs, mlen, mc, mitype = micro
+                            exon_bounds.append(
+                                (prev_split, mqs, dL, mitype))
+                            exon_bounds.append(
+                                (mqs, mqs + mlen, mc - mqs, mitype))
+                            prev_split = mqs + mlen
+                            continue
+                    if sol_ok:
                         # emit the DP pieces as bounds; neighbors merge
                         # on equal diagonals downstream
                         fs, pieces, _ = sol
@@ -864,6 +988,21 @@ def _build_path(gstr, qstr, chain, watsonp, db, jx=None) -> Path | None:
                                  introntype if pi + 1 < len(pieces)
                                  else None))
                         prev_split = pieces[-1][1]
+                        continue
+                if (introntype == "noncanonical" and nmmL + nmmR < 2
+                        and lo >= prev_split):
+                    # clean split but no canonical intron: the reference
+                    # still tries a microexon (introntype == NONINTRON
+                    # alone triggers stage3.c:5903)
+                    micro = _microexon_int(gstr_a, qstr_a, lo, hi, dL, dR,
+                                           cdna_direction, db, 0,
+                                           nmmL + nmmR)
+                    if micro is not None:
+                        mqs, mlen, mc, mitype = micro
+                        exon_bounds.append((prev_split, mqs, dL, mitype))
+                        exon_bounds.append(
+                            (mqs, mqs + mlen, mc - mqs, mitype))
+                        prev_split = mqs + mlen
                         continue
             else:
                 r = _solve_indel_junction(gstr, qstr, qeL, qsR, dL, dR)

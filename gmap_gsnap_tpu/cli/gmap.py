@@ -221,6 +221,9 @@ def main(argv=None) -> int:
 
                     cname = chrname if dbmode else None
                     codes = db.codes if dbmode else None
+                    aa_maps = None
+                    if chimera_pos is not None and len(outpaths) > 1:
+                        aa_maps = gmap_out.chimera_aa_maps(outpaths, gstr)
                     sys.stdout.write("Alignments:\n")
                     for pi, part in enumerate(outpaths):
                         pq = (rec.seq.upper() if part.watsonp
@@ -241,7 +244,9 @@ def main(argv=None) -> int:
                         elif args.A:
                             sys.stdout.write(afmt.alignment_body(
                                 part, pq, gstr, pcs,
-                                pcname if dbmode else cname))
+                                pcname if dbmode else cname,
+                                aa_override=(aa_maps[pi] if aa_maps
+                                             else None)))
     return 0
 
 

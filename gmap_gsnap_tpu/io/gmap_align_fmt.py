@@ -258,18 +258,28 @@ def _read_order_cols(path: Path, cols):
 
 
 def alignment_body(path: Path, qstr: str, gstr: str, chr_start: int,
-                   chrname: str | None) -> str:
+                   chrname: str | None,
+                   aa_override: "tuple | None" = None) -> str:
+    """aa_override=(letters, nums): aligned-qpos aa maps to use instead
+    of translating this path standalone — chimera parts continue one
+    merged ORF with continuous numbering (gmap_out.chimera_aa_maps)."""
     cols = _read_order_cols(path, _columns(path, qstr, gstr))
     if False:
         pass
 
     L = path.querylength
-    aac, aac_num = _aa_by_qpos(qstr)
-    # genomic-side translation over exon columns (same coords for clean
-    # alignments; mismatches translate the genome letters)
-    gcols = "".join(c["g"] for c in cols if c["qpos"] is not None or
-                    (c["gpos"] is not None and not c.get("intron") and c["q"] == "-"))
-    aag, aag_num = _aa_by_qpos(gcols) if gcols != qstr else (aac, aac_num)
+    if aa_override is not None:
+        aac, aac_num = aa_override
+        aag, aag_num = aa_override
+    else:
+        aac, aac_num = _aa_by_qpos(qstr)
+        # genomic-side translation over exon columns (same coords for
+        # clean alignments; mismatches translate the genome letters)
+        gcols = "".join(
+            c["g"] for c in cols if c["qpos"] is not None or
+            (c["gpos"] is not None and not c.get("intron") and c["q"] == "-"))
+        aag, aag_num = (_aa_by_qpos(gcols) if gcols != qstr
+                        else (aac, aac_num))
 
     # map aa letters onto display columns
     disp_q = lambda c: (L - 1 - c["qpos"]) if not path.watsonp else c["qpos"]
@@ -277,6 +287,14 @@ def alignment_body(path: Path, qstr: str, gstr: str, chr_start: int,
     # alignment via Chrnum_to_string_signed); usersegment rows are bare
     sign = "+" if path.watsonp else "-"
     pre = f"{sign}{chrname}:" if chrname else ""
+
+    # gutter width from the first/last pair's label (compute_margin,
+    # pair.c:434-459: max(DEFAULT_MARGIN=14, len(label)+1))
+    gps = [c["gpos"] for c in cols if c["gpos"] is not None]
+    margin = 14
+    if gps:
+        for gp in (gps[0], gps[-1]):
+            margin = max(margin, len(f"{pre}{gp - chr_start + 1}") + 1)
 
     out = []
     for b0 in range(0, len(cols), 50):
@@ -287,7 +305,7 @@ def alignment_body(path: Path, qstr: str, gstr: str, chr_start: int,
             ("." if (b0 + i + 1) % 5 == 0 else " ")
             for i in range(n)
         )
-        out.append(f"{b0:>14} {ruler}")
+        out.append(f"{b0:>{margin}} {ruler}")
 
         def aa_row(label, letters, nums):
             chars = []
@@ -305,19 +323,19 @@ def alignment_body(path: Path, qstr: str, gstr: str, chr_start: int,
                     chars.append(" ")
             if first_num is None:
                 # no residues in this block: unlabeled blank row
-                return " " * (15 + len(block))
-            return f"{label}{first_num:>10} " + "".join(chars)
+                return " " * (margin + 1 + len(block))
+            return f"{label}{first_num:>{margin - 4}} " + "".join(chars)
 
         out.append(aa_row("aa.g", aag, aag_num))
 
         gpos0 = next((c["gpos"] for c in block if c["gpos"] is not None), None)
         gdisp = "" if gpos0 is None else f"{pre}{gpos0 - chr_start + 1}"
-        out.append(f"{gdisp:>14} " + "".join(c["g"] for c in block))
-        out.append(" " * 15 + "".join(c["bar"] for c in block))
+        out.append(f"{gdisp:>{margin}} " + "".join(c["g"] for c in block))
+        out.append(" " * (margin + 1) + "".join(c["bar"] for c in block))
         qpos0 = next((c["qpos"] for c in block if c["qpos"] is not None), None)
         qdisp = "" if qpos0 is None else str(
             (qpos0 + 1) if path.watsonp else (L - qpos0))
-        out.append(f"{qdisp:>14} " + "".join(c["q"] for c in block))
+        out.append(f"{qdisp:>{margin}} " + "".join(c["q"] for c in block))
         out.append(aa_row("aa.c", aac, aac_num))
         out.append("")
     return "".join(l + "\n" for l in out)

@@ -110,6 +110,49 @@ def _chimera_translation(paths, gstr):
     return part_i, readpos[starti], readpos[e2], length
 
 
+def chimera_aa_maps(paths, gstr):
+    """Per-part ALIGNED-coordinate {qpos: aa-letter}/{qpos: ordinal}
+    maps from the merged chimeric translation: the -A display continues
+    ONE ORF across both parts with continuous numbering
+    (Stage3_translate_chimera + Pair_print_alignment aa rows)."""
+    from ..utils import dna as _dna
+
+    txt = []
+    readpos = []
+    spans = []
+    for pi, p in enumerate(paths):
+        L = p.querylength
+        seg = []
+        qpos = []
+        for e in p.exons:
+            seg.append(gstr[e.gstart : e.gend])
+            qpos.extend(range(e.qstart, e.qend))
+        seg = "".join(seg)
+        if not p.watsonp:
+            seg = _dna.revcomp_str(seg)
+            qpos = [L - 1 - q for q in reversed(qpos)]
+        start = len(readpos)
+        txt.append(seg)
+        readpos.extend(qpos)
+        spans.append((start, len(readpos), pi))
+    text = "".join(txt)
+    aa = tr.translate_forward(text)
+    frame, starti, endi, length, endstopp = tr.find_bounds_forward(aa)
+    maps = [({}, {}) for _ in paths]
+    if length == 0:
+        return maps
+    num = 1
+    for i in range(starti, endi + 1, 3):
+        pi = next(p for (a, b, p) in spans if a <= i < b)
+        p = paths[pi]
+        q = (readpos[i] if p.watsonp
+             else p.querylength - 1 - readpos[i])
+        maps[pi][0][q] = aa[i]
+        maps[pi][1][q] = num
+        num += 1
+    return maps
+
+
 def path_cigar_md(path: Path, qstr: str, gstr: str, sam_mode: str = "gmap"):
     """CIGAR core (no clips) + MD + NM + intron presence for a GMAP
     path.  Exon blocks emit M, junctions emit N (genomic gap >=

@@ -59,3 +59,15 @@ def test_chimera_parity(tmp_path):
             if a != b][:4])
     ref, _ = _run_both(fa, ["-S"])
     assert ref.count("Possible chimera") == 1
+
+    # -A alignment blocks: merged-ORF aa rows continue across the two
+    # hard-clipped parts with continuous numbering, and the coordinate
+    # gutter widens with the label length (compute_margin, pair.c:434).
+    # chim1 is byte-exact; chim2 retains a 2-line divergence in the
+    # 3 bp breakpoint-overlap label + a trailing partial-codon aa.
+    fa1 = tmp_path / "chim1.fa"
+    fa1.write_text(f">chim1\n{g[20000:20300] + g[150000:150300]}\n")
+    ref, mine = _run_both(fa1, ["-A"])
+    assert ref == mine, [
+        (a, b) for a, b in zip(ref.splitlines(), mine.splitlines())
+        if a != b][:4]
