@@ -796,11 +796,23 @@ def _strand_hits(genome, index, queries, codes, nflags, lengths, conv, alt,
         "prob_d2": prob_d2, "prob_a2": prob_a2,
     }, {
         # unfiltered diagonal candidates (terminal/rescue lanes); the
-        # selection mismatch matrix rides along so host lanes consume
-        # the device verify output instead of re-deriving masks
+        # selection mismatch matrix rides along BITPACKED (the tunnel
+        # moves ~1-10 MB/s, so the raw [B, K, L] mask dominated the
+        # per-batch device->host transfer) — host lanes unpack with
+        # np.unpackbits(..., bitorder="little")
         "cand_left": top_d, "cand_votes": votes, "cand_nmm": nmm_raw,
-        "cand_mm": mm, "overflow": overflow,
+        "cand_mm": _bitpack_mask(mm), "overflow": overflow,
     }
+
+
+def _bitpack_mask(mm):
+    """bool[B, K, L] -> uint8[B, K, ceil(L/8)], little-endian bits."""
+    b, k, L = mm.shape
+    nby = (L + 7) // 8
+    mmp = jnp.pad(mm, ((0, 0), (0, 0), (0, nby * 8 - L)))
+    mmp = mmp.reshape(b, k, nby, 8).astype(jnp.uint8)
+    return (mmp << jnp.arange(8, dtype=jnp.uint8)).sum(
+        axis=-1, dtype=jnp.uint8)
 
 
 def gather_candidates(

@@ -480,12 +480,31 @@ class GsnapRunner:
     def align_records(self, records: list[Record]):
         return self.fetch_records(self.dispatch_records(records))
 
+    @staticmethod
+    def _pad_bucket(records: list[Record]) -> list[Record]:
+        """Pad a rescue-lane record list to a small set of bucket
+        sizes: overflow counts vary per chunk, and every distinct batch
+        dimension would otherwise trigger a fresh XLA compile (~10 s
+        each on the tunneled chip — measured dominating run_pe)."""
+        n = len(records)
+        for bsz in (8, 32, 128, 256):
+            if n <= bsz:
+                return records + [records[0]] * (bsz - n)
+        return records + [records[0]] * (-n % 256)
+
     def _align_wide(self, records: list[Record]):
         """Overflow rescue: re-align a (rare) subset at wide caps —
         seed_cap = size_threshold so no in-threshold position list
         truncates, and 4x the candidate-diagonal budget."""
+        return self.fetch_records(self._dispatch_wide(records))
+
+    def _dispatch_wide(self, records: list[Record]):
+        """Async dispatch of the SE overflow rescue (fetch with
+        fetch_records) — lets the wide device work queue behind the
+        next chunk instead of paying its round trips synchronously."""
         import dataclasses
 
+        records = self._pad_bucket(records)
         base = dataclasses.replace(
             self.params, seed_cap=self.params.size_threshold,
             ncand=min(4 * self.params.ncand, 128))
@@ -495,7 +514,7 @@ class GsnapRunner:
         res = gsnap_gapped.align_batch_gapped(
             self.genome, self.index, c, f, l, gp,
             index_minus=self.index_minus, alt=self.alt, known=self.known)
-        return self.fetch_records((self._pack_tree(res), b))
+        return self._pack_tree(res), b
 
     # ------------------------------------------------------------------ host
     @staticmethod
@@ -1104,9 +1123,12 @@ class GsnapRunner:
         if cand_mm is not None:
             cl = hits["cand_left"][row]
             cp = hits["cand_plusp"][row]
+            # bitpacked uint8[K, ceil(L/8)] (gsnap_gapped._bitpack_mask)
+            bits = np.unpackbits(
+                np.asarray(cand_mm[row], np.uint8), axis=-1,
+                bitorder="little")[:, :L].astype(bool)
             for i in range(len(cl)):
-                cache.setdefault(
-                    (int(cl[i]), bool(cp[i])), cand_mm[row, i, :L])
+                cache.setdefault((int(cl[i]), bool(cp[i])), bits[i])
 
         def mm_fn(left, plusp):
             v = cache.get((left, plusp))
@@ -1671,10 +1693,18 @@ class GsnapRunner:
         """PE overflow rescue: re-align flagged pairs at wide caps
         (seed_cap = size_threshold, 4x candidates) — the paired-end
         counterpart of _align_wide."""
+        return self.fetch_pairs(self._dispatch_wide_pe(recs5, recs3_inv))
+
+    def _dispatch_wide_pe(self, recs5, recs3_inv):
+        """Async dispatch of the PE overflow rescue (fetch with
+        fetch_pairs)."""
         import dataclasses
 
         from . import gsnap_pe
 
+        n = len(recs5)
+        recs5 = self._pad_bucket(recs5)
+        recs3_inv = recs3_inv + [recs3_inv[0]] * (len(recs5) - n)
         base = dataclasses.replace(
             self.params, seed_cap=self.params.size_threshold,
             ncand=min(4 * self.params.ncand, 128))
@@ -1689,7 +1719,7 @@ class GsnapRunner:
         res = gsnap_pe.align_batch_pe(
             self.genome, self.index, c5, f5, l5, c3, f3, l3, params,
             index_minus=self.index_minus, alt=self.alt, known=self.known)
-        return self.fetch_pairs((self._pack_tree(res), b))
+        return self._pack_tree(res), b
 
     def _end_hit(self, rec: Record, hits, row: int, col: int) -> PostHit:
         return self._hit_details(
@@ -2295,13 +2325,16 @@ class GsnapRunner:
             res = self.fetch_pairs(disp)
             disp = nxt
             # PE overflow rescue lane: pairs where EITHER end truncated
-            # its seed lists / candidate set re-run at wide caps
+            # its seed lists / candidate set re-run at wide caps; the
+            # wide batch is DISPATCHED first and fetched only after the
+            # non-overflow rows emit, so its device work and round
+            # trips overlap host emission
             ovf = np.flatnonzero(
                 np.asarray(res["end5"].get("overflow", np.zeros(0)), bool)
                 | np.asarray(res["end3"].get("overflow", np.zeros(0)), bool))
-            wide_res, wide_row = None, {}
+            wide_disp, wide_res, wide_row = None, None, {}
             if len(ovf):
-                wide_res = self._align_wide_pe(
+                wide_disp = self._dispatch_wide_pe(
                     [chunk5[int(j)] for j in ovf],
                     [chunk3_inv[int(j)] for j in ovf])
                 wide_row = {int(j): wi for wi, j in enumerate(ovf)}
@@ -2311,17 +2344,27 @@ class GsnapRunner:
             self._gmap_collect = []
             self._gmap_rows = set()
             self._categories = {}
-            texts = []
+            texts = [None] * len(chunk5)
             for j in range(len(chunk5)):
+                if j in wide_row:
+                    continue
                 self._gmap_row = j
-                rres, rrow = ((wide_res, wide_row[j]) if j in wide_row
-                              else (res, j))
                 try:
-                    texts.append(
-                        emit(chunk5[j], chunk3_inv[j], chunk3[j], rres, rrow))
+                    texts[j] = emit(chunk5[j], chunk3_inv[j], chunk3[j],
+                                    res, j)
                 except Exception:
                     _offending_read(chunk5[j], chunk3[j])
                     raise
+            if wide_disp is not None:
+                wide_res = self.fetch_pairs(wide_disp)
+                for j, wi in wide_row.items():
+                    self._gmap_row = j
+                    try:
+                        texts[j] = emit(chunk5[j], chunk3_inv[j],
+                                        chunk3[j], wide_res, wi)
+                    except Exception:
+                        _offending_read(chunk5[j], chunk3[j])
+                        raise
             pending = self._gmap_collect
             rows = self._gmap_rows
             self._gmap_collect = None
@@ -2375,27 +2418,39 @@ class GsnapRunner:
             # diagonals exceeded ncand re-run at wider caps so
             # repetitive-region candidates are not silently lost
             ovf = np.flatnonzero(res.get("overflow", np.zeros(0, bool)))
-            wide_res, wide_row = None, {}
+            wide_disp, wide_res, wide_row = None, None, {}
             if len(ovf):
-                wide_res = self._align_wide([chunk[int(j)] for j in ovf])
+                wide_disp = self._dispatch_wide(
+                    [chunk[int(j)] for j in ovf])
                 wide_row = {int(j): wi for wi, j in enumerate(ovf)}
-            # pass 1: GMAP-rescue requests are collected, not solved
+            # pass 1: GMAP-rescue requests are collected, not solved;
+            # wide-lane rows emit after their async fetch below
             t_batch = _time.time()
             self._gmap_collect = []
             self._gmap_rows = set()
             self._categories = {}
-            texts = []
+            texts = [None] * len(chunk)
             for j, rec in enumerate(chunk):
+                if j in wide_row:
+                    continue
                 self._gmap_row = j
-                rres, rrow = ((wide_res, wide_row[j]) if j in wide_row
-                              else (res, j))
                 try:
-                    texts.append(emit(rec, rres, rrow,
-                                      int(rres["npaths"][rrow]),
-                                      self.params.maxpaths))
+                    texts[j] = emit(rec, res, j, int(res["npaths"][j]),
+                                    self.params.maxpaths)
                 except Exception:
                     _offending_read(rec)
                     raise
+            if wide_disp is not None:
+                wide_res = self.fetch_records(wide_disp)
+                for j, wi in wide_row.items():
+                    self._gmap_row = j
+                    try:
+                        texts[j] = emit(chunk[j], wide_res, wi,
+                                        int(wide_res["npaths"][wi]),
+                                        self.params.maxpaths)
+                    except Exception:
+                        _offending_read(chunk[j])
+                        raise
             pending = self._gmap_collect
             rows = self._gmap_rows
             self._gmap_collect = None

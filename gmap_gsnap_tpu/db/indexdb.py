@@ -104,6 +104,26 @@ def write_offsets_gamma(
     if blocksize == 1:
         offsets.astype("<u4").tofile(offsetscomp_path)
         return
+
+    from ..native import get_lib
+
+    lib = get_lib()
+    if lib is not None:
+        import ctypes
+
+        off32 = np.ascontiguousarray(offsets, dtype=np.uint32)
+        nblocks = oligospace // blocksize
+        gp = np.empty(nblocks + 1, np.uint32)
+        cap = nblocks * (2 + ((blocksize - 1) * 65 + 31) // 32) + 2
+        words = np.empty(cap, np.uint32)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        nw = lib.gamma_write_offsets(
+            off32.ctypes.data_as(u32p), ctypes.c_uint64(oligospace),
+            ctypes.c_uint32(blocksize), gp.ctypes.data_as(u32p),
+            words.ctypes.data_as(u32p))
+        gp.astype("<u4").tofile(gammaptrs_path)
+        words[:nw].astype("<u4").tofile(offsetscomp_path)
+        return
     gammaptrs = []
     words: list[int] = []
     off = offsets.astype(np.uint64)

@@ -38,6 +38,14 @@ def get_lib():
             ctypes.c_uint64,
             ctypes.c_uint32,
         ]
+        lib.gamma_write_offsets.restype = ctypes.c_int64
+        lib.gamma_write_offsets.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_uint64,
+            ctypes.c_uint32,
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint32),
+        ]
         _lib = lib
     except Exception:
         _lib = None

@@ -9,7 +9,7 @@ import pytest
 
 
 @pytest.mark.skipif(not os.environ.get("GMAP_TPU_RUN_SLOW"),
-                    reason="~10 min: k=15 build is 4^15-entry offsets; "
+                    reason="~4 min: k=15 build is 4^15-entry offsets; "
                            "set GMAP_TPU_RUN_SLOW=1 (verified on 16 and "
                            "64 Mbp synthetic genomes)")
 def test_k15_gamma_roundtrip_large(tmp_path):
