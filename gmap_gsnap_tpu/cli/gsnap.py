@@ -59,6 +59,23 @@ def main(argv=None) -> int:
     p.add_argument("--time", action="store_true", dest="timing",
                    help="print per-batch alignment runtimes to stderr "
                         "(gsnap.c:581-599 --time)")
+    p.add_argument("--gunzip", action="store_true",
+                   help="accepted for compatibility (gzip inputs are "
+                        "auto-detected)")
+    p.add_argument("-O", "--ordered", action="store_true",
+                   help="accepted for compatibility (output is always "
+                        "in input order)")
+    p.add_argument("--input-buffer-size", type=int, default=1000,
+                   help="accepted for compatibility (chunking is "
+                        "--batch-size)")
+    p.add_argument("--barcode-length", type=int, default=0,
+                   help="strip this many bases from the start of every "
+                        "read (gsnap.c barcode_length)")
+    p.add_argument("--filter-chastity", default="off",
+                   choices=["off", "either", "both"],
+                   help="skip reads whose FASTQ header carries the "
+                        "Illumina chastity-failed flag "
+                        "(<read>:Y:<control>:<index>)")
     p.add_argument("input", nargs="+", help="FASTQ/FASTA file(s)")
     args = p.parse_args(argv)
 
@@ -96,6 +113,45 @@ def main(argv=None) -> int:
         else:
             records = records[i::n]
 
+    bcmap: dict = {}
+    if args.barcode_length > 0:
+        bl = args.barcode_length
+
+        def _chop(r, end):
+            bcmap[(r.label, end)] = r.seq[:bl]
+            return fasta.Record(r.label, r.header, r.seq[bl:],
+                                r.quality[bl:] if r.quality else r.quality)
+
+        if paired:
+            records5 = [_chop(r, 1) for r in records5]
+            records3 = [_chop(r, 2) for r in records3]
+            records = records5
+        else:
+            records = [_chop(r, 0) for r in records]
+
+    if args.filter_chastity != "off":
+        # Illumina casava header: <acc> <read>:<filtered Y/N>:...
+        def _flagged(r):
+            parts = r.header.split(None, 1)
+            if len(parts) < 2:
+                return False
+            q = parts[1]
+            i = q.find(":")
+            return 0 <= i < len(q) - 1 and q[i + 1] == "Y"
+
+        if paired:
+            keep = [
+                not (_flagged(a) and _flagged(b))
+                if args.filter_chastity == "both"
+                else not (_flagged(a) or _flagged(b))
+                for a, b in zip(records5, records3)
+            ]
+            records5 = [r for r, k in zip(records5, keep) if k]
+            records3 = [r for r, k in zip(records3, keep) if k]
+            records = records5
+        else:
+            records = [r for r in records if not _flagged(r)]
+
     mm = int(args.max_mismatches) if args.max_mismatches >= 0 else -1
     params = gsnap_se.GsnapParams(maxpaths=args.npaths, max_mismatches=mm,
                                   mode=args.mode)
@@ -112,7 +168,8 @@ def main(argv=None) -> int:
     qshift = args.quality_print_shift
     if args.quality_protocol == "illumina":
         qshift -= 31  # gsnap.c:287 (illumina qualities are +64-based)
-    transform = outbuffer.SamTransform(args.read_group_id, qshift)
+    transform = outbuffer.SamTransform(args.read_group_id, qshift,
+                                       barcodes=bcmap or None)
     router = None
     needs_router = (args.split_output or args.fails_as_input
                     or args.failsonly or args.nofails

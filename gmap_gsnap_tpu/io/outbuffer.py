@@ -31,13 +31,19 @@ class SamTransform:
     --quality-protocol / -j shift, src/gsnap.c:286-292)."""
 
     def __init__(self, read_group_id: str | None = None,
-                 quality_shift: int = 0):
+                 quality_shift: int = 0,
+                 barcodes: "dict | None" = None):
         self.read_group_id = read_group_id
         self.quality_shift = quality_shift
+        # (label, end) -> stripped barcode; end 0 = SE, 1/2 = PE mates
+        # (samprint.c XB:Z tag, printed right after QUAL on every line
+        # incl. nomapping)
+        self.barcodes = barcodes
 
     @property
     def identity(self) -> bool:
-        return self.read_group_id is None and self.quality_shift == 0
+        return (self.read_group_id is None and self.quality_shift == 0
+                and not self.barcodes)
 
     def apply(self, text: str) -> str:
         if self.identity or not text:
@@ -54,6 +60,12 @@ class SamTransform:
                     fields[10] = "".join(
                         chr(max(33, min(126, ord(c) + self.quality_shift)))
                         for c in fields[10])
+                if self.barcodes is not None:
+                    flag = int(fields[1])
+                    end = 1 if flag & 0x40 else (2 if flag & 0x80 else 0)
+                    bc = self.barcodes.get((fields[0], end))
+                    if bc:
+                        fields.insert(11, f"XB:Z:{bc}")
                 if self.read_group_id is not None:
                     fields.append(f"RG:Z:{self.read_group_id}")
             out.append("\t".join(fields) + ("\n" if nl else ""))

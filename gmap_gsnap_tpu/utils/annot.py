@@ -24,6 +24,8 @@ class Transcript:
     chrom: str
     strand: str
     exons: list[tuple[int, int]] = field(default_factory=list)  # 1-based lo, hi
+    tid: str = ""         # bare transcript id (genes map headers)
+    gene: str = ""        # gene name/id (genes map second line)
 
     def ordered_exons(self) -> list[tuple[int, int]]:
         """Exons in transcript order (5' -> 3')."""
@@ -50,7 +52,8 @@ def parse_gtf(lines) -> list[Transcript]:
         gname = _gtf_attr(f[8], "gene_name") or gid
         key = tid
         if key not in out:
-            out[key] = Transcript(f"{gname}.{tid}", f[0], f[6])
+            out[key] = Transcript(f"{gname}.{tid}", f[0], f[6],
+                                  tid=tid, gene=gname)
             order.append(key)
         out[key].exons.append((int(f[3]), int(f[4])))
     return [out[k] for k in order]
@@ -85,7 +88,8 @@ def parse_gff3(lines) -> list[Transcript]:
                 if parent not in out:
                     gene = mrna_gene.get(parent, "")
                     label = f"{gene}.{parent}" if gene else parent
-                    out[parent] = Transcript(label, f[0], f[6])
+                    out[parent] = Transcript(label, f[0], f[6],
+                                             tid=parent, gene=gene)
                     order.append(parent)
                 out[parent].exons.append((int(f[3]), int(f[4])))
     return [out[k] for k in order]
@@ -108,7 +112,8 @@ def parse_psl(lines, start_col: int = 0) -> list[Transcript]:
         strand = f[2]
         if strand == "-":
             exons = exons[::-1]  # transcript order
-        out.append(Transcript(f[0], f[1], strand, exons))
+        out.append(Transcript(f[0], f[1], strand, exons,
+                              tid=f[0], gene=f[0]))
     return out
 
 
@@ -130,6 +135,35 @@ def splicesites_text(transcripts: list[Transcript]) -> str:
                 d = lo_n - hi_i - 1
                 out.append(f">{t.label}.exon{i+1}/{n} {t.chrom}:{hi_i}..{hi_i+1} donor {d}")
                 out.append(f">{t.label}.exon{i+2}/{n} {t.chrom}:{lo_n-1}..{lo_n} acceptor {d}")
+    return "\n".join(out) + ("\n" if out else "")
+
+
+def genes_text(transcripts: list[Transcript], min_exons: int = 1) -> str:
+    """Genes map format (util/gtf_genes.pl.in, gff3_genes.pl.in,
+    psl_genes.pl.in):
+
+      >transcript_id chr:start..end     (minus: descending)
+      gene_name
+      s1 e1                             (per exon, transcript order;
+      ...                                minus exons print "end start")
+
+    min_exons: gff3_genes skips single-exon transcripts (its
+    '$#exons > 0' gate); the gtf/psl variants print everything."""
+    out = []
+    for t in transcripts:
+        if not t.exons or len(t.exons) < min_exons:
+            continue
+        ex = sorted(t.exons)
+        name = t.tid or t.label
+        gene = t.gene or t.label
+        if t.strand == "+":
+            out.append(f">{name} {t.chrom}:{ex[0][0]}..{ex[-1][1]}")
+            out.append(gene)
+            out.extend(f"{a} {b}" for a, b in ex)
+        elif t.strand == "-":
+            out.append(f">{name} {t.chrom}:{ex[-1][1]}..{ex[0][0]}")
+            out.append(gene)
+            out.extend(f"{b} {a}" for a, b in reversed(ex))
     return "\n".join(out) + ("\n" if out else "")
 
 

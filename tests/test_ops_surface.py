@@ -105,3 +105,57 @@ def test_time_flag(tmp_path):
     _make_fq(str(fq), n=5, seed=9)
     r = _run(["--time", str(fq)])
     assert "ms/read" in r.stderr
+
+
+@needs_db
+def test_input_options_barcode_chastity_gunzip(tmp_path):
+    """--barcode-length strips read prefixes, --filter-chastity skips
+    Illumina chastity-failed reads, --gunzip accepts gzipped input
+    (shortread.c:307 chastity parse; gsnap.c:131 barcode_length)."""
+    import gzip
+    import subprocess as sp
+
+    seq = _genome_seq()
+    fq = tmp_path / "opt.fq"
+    with open(fq, "w") as f:
+        f.write(f"@r1 1:N:0:ACGT\nCCCCC{seq[30000:30095]}\n+\n{'I' * 100}\n")
+        f.write(f"@r2 1:Y:0:ACGT\nCCCCC{seq[31000:31095]}\n+\n{'I' * 100}\n")
+    with open(fq, "rb") as f:
+        gz = tmp_path / "opt.fq.gz"
+        with gzip.open(gz, "wb") as g:
+            g.write(f.read())
+    common = ["--format=sam", "--barcode-length=5",
+              "--filter-chastity=either", "--gunzip", str(gz)]
+    mine = [l for l in _run(common).stdout.splitlines()
+            if not l.startswith("@")]
+    ref = sp.run(
+        ["/tmp/refbuild/src/gsnap", "-D", ORACLE_DB, "-d", "chr17test",
+         *common], capture_output=True, text=True, check=True).stdout
+    refl = [l for l in ref.splitlines() if not l.startswith("@")]
+    assert mine == refl
+    assert len(mine) == 1 and mine[0].split("\t")[5] == "95M"
+
+
+def test_gmapindex_compress_uncompress(tmp_path):
+    """gmapindex -C / -U round the genomecomp codec through text,
+    byte-identical to the reference actions (gmapindex.c:986-1008)."""
+    import subprocess as sp
+
+    raw = tmp_path / "raw.txt"
+    raw.write_text(_genome_seq()[:100000] + "NNXN" + _genome_seq()[:37])
+    env = dict(os.environ, PYTHONPATH=str(REPO))
+    mine = sp.run(
+        [sys.executable, "-m", "gmap_gsnap_tpu.cli.gmapindex", "-C",
+         str(raw)], capture_output=True, env=env, check=True).stdout
+    if os.path.exists("/tmp/refbuild/src/gmapindex"):
+        ref = sp.run(["/tmp/refbuild/src/gmapindex", "-C", str(raw)],
+                     capture_output=True, check=True).stdout
+        assert mine == ref
+    back = sp.run(
+        [sys.executable, "-m", "gmap_gsnap_tpu.cli.gmapindex", "-U",
+         "-w", "60"], input=mine, capture_output=True, env=env,
+        check=True).stdout.decode()
+    flat = back.replace("\n", "")
+    orig = raw.read_text().replace("N", "N").upper()
+    # trailing block pads as X
+    assert flat[: len(orig)].replace("X", "N") == orig.replace("X", "N")

@@ -63,6 +63,7 @@ def _perl(tool: str, stdin: str) -> str:
     ("gtf_splicesites", GTF), ("gtf_introns", GTF),
     ("gff3_splicesites", GFF3), ("gff3_introns", GFF3),
     ("psl_splicesites", TRACK), ("psl_introns", TRACK),
+    ("gtf_genes", GTF), ("gff3_genes", GFF3), ("psl_genes", TRACK),
 ])
 def test_extractor_parity(tool, stdin):
     assert _ours(tool, stdin) == _perl(tool, stdin)
