@@ -99,10 +99,23 @@ def main(argv=None) -> int:
         )
         records = records5
     else:
-        records = []
-        for path in args.input:
-            records.extend(fasta.read_seqfile(path))
-        lmax = max((len(r.seq) for r in records), default=100)
+        # a single FASTA whose records carry TWO sequence lines is
+        # GSNAP's paired input format (shortread.c extended FASTA)
+        with fasta._open(args.input[0]) as _f:
+            first = _f.read(1)
+        if first == b">" and len(args.input) == 1:
+            records5, maybe3 = fasta.read_fasta_paired(args.input[0])
+            if maybe3 and all(r is not None for r in maybe3):
+                paired = True
+                records3 = maybe3
+                lmax = max((len(r.seq)
+                            for r in records5 + records3), default=100)
+                records = records5
+        if not paired:
+            records = []
+            for path in args.input:
+                records.extend(fasta.read_seqfile(path))
+            lmax = max((len(r.seq) for r in records), default=100)
 
     if args.part:
         i, n = (int(x) for x in args.part.split("/"))

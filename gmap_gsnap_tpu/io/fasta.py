@@ -82,3 +82,36 @@ def read_seqfile(path: str) -> Iterator[Record]:
     if first == b"@":
         return read_fastq(path)
     return read_fasta(path)
+
+
+def read_fasta_paired(path: str):
+    """GSNAP's extended paired FASTA: a record whose header is followed
+    by TWO sequence lines is a read pair (Shortread_read_fasta_
+    shortreads, shortread.c: input_oneline per end).  Returns
+    (records5, records3) where records3 entries are None for
+    single-end records."""
+    recs5, recs3 = [], []
+    label = header = None
+    seqs: list[str] = []
+
+    def flush():
+        if header is None:
+            return
+        r1 = Record(label, header, seqs[0] if seqs else "")
+        r2 = (Record(label, header, seqs[1]) if len(seqs) > 1 else None)
+        recs5.append(r1)
+        recs3.append(r2)
+
+    with _open(path) as f:
+        for raw in f:
+            line = raw.decode("latin-1").rstrip("\r\n")
+            if line.startswith(">"):
+                flush()
+                header = line[1:].strip()
+                label = header.split()[0] if header else ""
+                seqs = []
+            elif line.strip() and header is not None:
+                seqs.append("".join(
+                    c for c in line.strip() if c.isalpha()))
+        flush()
+    return recs5, recs3

@@ -200,6 +200,42 @@ def window_margin_width(kind: str) -> tuple[int, int]:
 
 # ----------------------------------------------------------------- host path
 
+_CODE_OF = np.full(256, 0, np.uint8)
+for _i, _c in enumerate(b"ACGT"):
+    _CODE_OF[_c] = _i
+
+
+def prob_from_str(window: str, kind: str) -> float:
+    """String-form maxent probability (Maxent_donor/acceptor_prob,
+    maxent.h:12-32): ``window`` is the model window itself (donor:
+    3 exonic + GT + 4 intronic = 9 nt; acceptor: 20 intronic incl AG +
+    3 exonic = 23 nt)."""
+    w = np.frombuffer(window.upper().encode("latin-1"), np.uint8)
+    if len(w) != _WIDTH[kind]:
+        raise ValueError(f"{kind} window must be {_WIDTH[kind]} nt")
+    codes = _CODE_OF[w][None, :]
+    return float(_prob_from_window(codes, kind, _tables_np())[0])
+
+
+def donor_prob(window: str) -> float:
+    return prob_from_str(window, "donor")
+
+
+def acceptor_prob(window: str) -> float:
+    return prob_from_str(window, "acceptor")
+
+
+def donor_prob_revcomp(window: str) -> float:
+    """Maxent_donor_prob_revcomp: the window read on the other strand."""
+    comp = str.maketrans("ACGTacgt", "TGCAtgca")
+    return donor_prob(window.translate(comp)[::-1])
+
+
+def acceptor_prob_revcomp(window: str) -> float:
+    comp = str.maketrans("ACGTacgt", "TGCAtgca")
+    return acceptor_prob(window.translate(comp)[::-1])
+
+
 def splice_prob_np(codes: np.ndarray, positions: np.ndarray, kind: str) -> np.ndarray:
     """Host float64 implementation over an unpacked 2-bit code array
     (exact double-precision parity with the reference)."""

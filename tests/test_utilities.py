@@ -151,3 +151,76 @@ def test_get_genome_snp_modes():
                 capture_output=True, text=True, env=env, check=True,
             ).stdout
             assert ref == mine, (opts, q)
+
+
+def test_stats_module():
+    """pbinom (gsl_cdf_binomial_P lower tail) against direct summation;
+    orderstat_pct (quickselect ceil(pct*n)) against sorting."""
+    import math
+
+    import numpy as np
+
+    from gmap_gsnap_tpu.utils import stats
+
+    rng = np.random.default_rng(3)
+    for n, p in ((10, 0.3), (40, 0.05), (100, 0.7)):
+        for k in (0, 1, n // 2, n - 1, n):
+            direct = sum(
+                math.comb(n, j) * p**j * (1 - p) ** (n - j)
+                for j in range(0, k + 1))
+            assert abs(stats.pbinom(k, n, p) - direct) < 1e-10, (k, n, p)
+    for _ in range(5):
+        a = rng.integers(0, 1000, 37)
+        for pct in (0.5, 0.9, 0.98):
+            cutoff = min(int(pct * len(a) + 1), len(a))
+            assert stats.orderstat_pct(a, pct) == sorted(a)[cutoff - 1]
+
+
+def test_maxent_string_form():
+    """String-form maxent API matches the code-array path at a real
+    chr17test donor/acceptor site."""
+    import numpy as np
+
+    from gmap_gsnap_tpu.ops import maxent
+
+    seq = (
+        "".join(l.strip() for l in open(FIXTURE) if not l.startswith(">"))
+        .upper())
+    codes = np.frombuffer(seq.encode(), np.uint8)
+    lut = np.zeros(256, np.uint8)
+    for i, c in enumerate(b"ACGT"):
+        lut[c] = i
+    codes = lut[codes]
+    pos = np.arange(1000, 5000)
+    pd = maxent.splice_prob_np(codes, pos, "donor")
+    d = int(pos[np.argmax(pd)])
+    win = seq[d - maxent.DONOR_LEFT_MARGIN:
+              d - maxent.DONOR_LEFT_MARGIN + maxent.DONOR_WIDTH]
+    assert abs(maxent.donor_prob(win) - pd.max()) < 1e-12
+    pa = maxent.splice_prob_np(codes, pos, "acceptor")
+    a = int(pos[np.argmax(pa)])
+    win = seq[a - maxent.ACCEPTOR_LEFT_MARGIN:
+              a - maxent.ACCEPTOR_LEFT_MARGIN + maxent.ACCEPTOR_WIDTH]
+    assert abs(maxent.acceptor_prob(win) - pa.max()) < 1e-12
+
+
+@needs_oracle
+def test_paired_fasta_input(tmp_path):
+    """GSNAP's extended paired FASTA (two sequence lines per record) is
+    detected from a single input file and aligned as pairs."""
+    seq = "".join(
+        l.strip() for l in open(FIXTURE) if not l.startswith(">")).upper()
+    comp = str.maketrans("ACGT", "TGCA")
+    fa = tmp_path / "pe.fa"
+    with open(fa, "w") as f:
+        for i, p in enumerate((40000, 42000)):
+            f.write(f">p{i}\n{seq[p : p + 100]}\n"
+                    f"{seq[p + 250 : p + 350].translate(comp)[::-1]}\n")
+    ref = subprocess.run(
+        ["/tmp/refbuild/src/gsnap", "-D", ORACLE_DB, "-d", "chr17test",
+         "--format=sam", str(fa)],
+        capture_output=True, text=True, check=True).stdout
+    mine = _ours("gsnap", "", "-D", ORACLE_DB, "-d", "chr17test",
+                 "--format=sam", str(fa))
+    body = lambda s: [l for l in s.splitlines() if not l.startswith("@")]
+    assert body(mine) == body(ref)
