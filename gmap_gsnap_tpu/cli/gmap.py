@@ -161,7 +161,8 @@ def main(argv=None) -> int:
             if args.compress:
                 sys.stdout.write(gmap_out.compressed_output(
                     path, rec.label, 1, 1, chrname, chr_start,
-                    qstr=qstr, gstr=gstr))
+                    qstr=qstr, gstr=gstr,
+                    dbname=db.dbname if dbmode else None))
             elif args.exons:
                 sys.stdout.write(afmt.exons_output(
                     path, rec.header, qstr, gstr, args.exons == "genomic"))
@@ -178,18 +179,20 @@ def main(argv=None) -> int:
             elif args.format in ("map_genes", "map_exons"):
                 sys.stdout.write(gmap_out.map_output(
                     path, rec.label, rec.header, chrname,
-                    args.format == "map_exons"))
+                    args.format == "map_exons", chr_start=chr_start))
             elif args.format in ("gff3_match_cdna", "gff3_match_est"):
                 sys.stdout.write(gmap_out.gff3_match(
                     path, 1, rec.label, chrname, db.dbname, qstr, gstr,
-                    est=args.format == "gff3_match_est"))
+                    est=args.format == "gff3_match_est",
+                    chr_start=chr_start))
             elif args.format == "coords":
                 sys.stdout.write(gmap_out.coords_output(
                     path, rec.header, qstr, gstr, chrname, chr_start))
             elif args.format == "gff3_gene":
                 sys.stdout.write(
                     gmap_out.gff3_gene(
-                        path, 1, rec.label, chrname, db.dbname, qstr, gstr
+                        path, 1, rec.label, chrname, db.dbname, qstr,
+                        gstr, chr_start=chr_start
                     )
                 )
                 sys.stdout.write("###\n")
@@ -202,7 +205,8 @@ def main(argv=None) -> int:
                         pcn = int(_np.searchsorted(
                             db.chr_ends, pt.gstart, side="right"))
                         chrinfo.append((db.chr_names[pcn], int(
-                            db.chr_ends[pcn] - db.chr_starts[pcn])))
+                            db.chr_ends[pcn] - db.chr_starts[pcn]),
+                            int(db.chr_starts[pcn])))
                 sys.stdout.write(
                     gmap_out.paths_output(
                         rec.header, outpaths, chrname, chrlength, qstr,
@@ -212,6 +216,7 @@ def main(argv=None) -> int:
                         else maxpaths,
                         chrinfo=chrinfo,
                         dbname=db.dbname if dbmode else None,
+                        chr_start=chr_start,
                     )
                 )
                 if chimera_pos is None:

@@ -59,6 +59,9 @@ def main(argv=None) -> int:
     p.add_argument("--time", action="store_true", dest="timing",
                    help="print per-batch alignment runtimes to stderr "
                         "(gsnap.c:581-599 --time)")
+    p.add_argument("-M", "--suboptimal-levels", type=int, default=0,
+                   help="report suboptimal hits within this score "
+                        "of the best (Stage3end_optimal_score)")
     p.add_argument("--gunzip", action="store_true",
                    help="accepted for compatibility (gzip inputs are "
                         "auto-detected)")
@@ -167,7 +170,8 @@ def main(argv=None) -> int:
 
     mm = int(args.max_mismatches) if args.max_mismatches >= 0 else -1
     params = gsnap_se.GsnapParams(maxpaths=args.npaths, max_mismatches=mm,
-                                  mode=args.mode)
+                                  mode=args.mode,
+                                  subopt_levels=args.suboptimal_levels)
     r = runner_mod.GsnapRunner(db, params, lmax=lmax, snpsdb=args.use_snps,
                                novelsplicing=bool(args.novelsplicing),
                                splicesdb=args.use_splicing)

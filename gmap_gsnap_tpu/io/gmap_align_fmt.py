@@ -176,17 +176,20 @@ def exons_output(path: Path, header: str, qstr: str, gstr: str,
             qs = L - e.qend
             seq = (dna.revcomp_str(gstr[e.gstart : e.gend]) if genomic
                    else dna.revcomp_str(qstr[e.qstart : e.qend]))
-        # phase omitted outside the translation: the cDNA phase
-        # (aaphase_e) is undefined anywhere outside the ORF, the
-        # genomic phase (aaphase_g) only beyond its 3' end
+        # phase omitted outside the translation: aaphase is assigned
+        # over the ORF's frame run, which begins up to 2 positions
+        # before the first full codon (find_bounds_* start), so exons
+        # starting within that fringe still annotate (HER2 exon 1,
+        # phase 2) while exons well before the ORF do not
         a0, b0 = (tb[0], tb[1]) if tb else (0, -1)
+        fringe = 2 if genomic else 0  # aaphase_e is strict (mark_cdna_*)
         if desc:
             beyond_end = qs < b0
-            outside = qs > a0 or beyond_end
+            outside = qs > a0 + fringe or beyond_end
         else:
             beyond_end = qs > b0
-            outside = qs < a0 or beyond_end
-        omit = (outside if not genomic else beyond_end) or not length
+            outside = qs < a0 - fringe or beyond_end
+        omit = outside or not length
         if omit:
             out.append(f"<exon {i+1}>")
         else:

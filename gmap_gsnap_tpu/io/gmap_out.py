@@ -46,14 +46,20 @@ def _translation_bounds(path: Path, qstr: str, gstr: str):
     if stop:
         length -= 1
         e2 = min(starti + 3 * (length + 1) - 1, n - 1)
-    elif (path.cdna_direction >= 0) == path.watsonp:
-        # READ-forward ORF truncated at the cDNA end: the trailing
-        # partial codon counts as a residue (Translation_via_genomic
-        # forward; the backward translation truncates instead)
-        length = -(-(n - starti) // 3)
-        e2 = n - 1
     else:
-        e2 = min(starti + 3 * length - 1, n - 1)
+        # truncated ORFs: a 2-base trailing partial codon emits iff it
+        # resolves WITHOUT the third base, i.e. a 4-fold codon family
+        # (Translation_get_codon with c='X' — translate_pairs_* roll an
+        # 'X' through the missing base and suppress 'X' codons at the
+        # boundary); 1-base leftovers never emit
+        leftover = n - starti - 3 * length
+        pair2 = aa_text[starti + 3 * length : starti + 3 * length + 2]
+        fourfold = {"CT", "GT", "TC", "CC", "AC", "GC", "CG", "GG"}
+        if leftover == 2 and pair2 in fourfold:
+            length += 1
+            e2 = n - 1
+        else:
+            e2 = min(starti + 3 * length - 1, n - 1)
     if path.cdna_direction >= 0:
         col_s, col_e = starti, e2
     else:
@@ -104,6 +110,8 @@ def _chimera_translation(paths, gstr):
         e2 = min(starti + 3 * (length + 1) - 1, n - 1)
     else:
         # truncated at the cDNA end: count the partial codon
+        # (chimera merged translation keeps it, unlike the single-path
+        # Translation_via_genomic rightpos)
         length = -(-(n - starti) // 3)
         e2 = n - 1
     part_i = next((pi for (a, b, pi) in spans if a <= starti < b), 0)
@@ -319,9 +327,11 @@ def introns_output(path: Path, label: str, chrname: str) -> str:
 
 
 def map_output(path: Path, label: str, header: str, chrname: str,
-               with_exons: bool) -> str:
-    """gmap -f map_genes / map_exons (IIT FASTA map format)."""
-    exons = _transcript_exons(path)
+               with_exons: bool, chr_start: int = 0) -> str:
+    """gmap -f map_genes / map_exons (IIT FASTA map format);
+    chromosome-relative coordinates."""
+    exons = [(a - chr_start, b - chr_start)
+             for a, b in _transcript_exons(path)]
     lo, hi = exons[0][0], exons[-1][1]
     out = [f">{label} {chrname}:{lo}..{hi}", header]
     if with_exons:
@@ -369,7 +379,7 @@ _INTRON_CHAR_REV = {"canonical": "<", "gcag": "(", "atac": "[", "noncanonical": 
 
 def compressed_output(path: Path, label: str, pathnum: int, npaths: int,
                       chrname: str, chr_start: int, qstr: str = "",
-                      gstr: str = "") -> str:
+                      gstr: str = "", dbname: str | None = None) -> str:
     """gmap -Z compressed format (Pair_print_compressed, pair.c:6203).
 
     Exon blocks are intron-delimited; mismatches ({run}x{base}),
@@ -382,6 +392,8 @@ def compressed_output(path: Path, label: str, pathnum: int, npaths: int,
     cov = path.coverage()
     g1 = path.gstart - chr_start + 1
     g2 = path.gend - chr_start
+    ug1, ug2 = path.gstart + 1, path.gend
+    dbn = dbname or chrname
     fwd_disp = (path.cdna_direction >= 0) == path.watsonp
     has_intron = False
 
@@ -419,14 +431,16 @@ def compressed_output(path: Path, label: str, pathnum: int, npaths: int,
     if not path.watsonp and sense != "indet":
         sense = "antisense" if sense == "sense" else "sense"
     if path.watsonp:
-        hdr = (f">{label} {chrname} {pathnum}/{npaths} {L} ")
+        hdr = (f">{label} {dbn} {pathnum}/{npaths} {L} ")
         qh = f"{path.qstart+1}..{path.qend}"
         gh = f"{g1}..{g2}"
+        ugh = f"{ug1}..{ug2}"
         strand = "+"
     else:
-        hdr = (f">{label} {chrname} {pathnum}/{npaths} {L} ")
+        hdr = (f">{label} {dbn} {pathnum}/{npaths} {L} ")
         qh = f"{L-path.qend+1}..{L-path.qstart}"
         gh = f"{g2}..{g1}"
+        ugh = f"{ug2}..{ug1}"
         strand = "-"
 
     comp = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
@@ -446,7 +460,7 @@ def compressed_output(path: Path, label: str, pathnum: int, npaths: int,
     regions.append(cur)
 
     nexons_hdr = len(regions)
-    hdr += (f"{nexons_hdr} {cov:.1f} {pct:.1f} {qh} {gh} "
+    hdr += (f"{nexons_hdr} {cov:.1f} {pct:.1f} {qh} {ugh} "
             f"{chrname}:{gh} {strand} dir:{sense}")
     out = [hdr]
 
@@ -548,14 +562,18 @@ def path_summary(
     translate: bool = True,
     trans_override: "tuple | None" = None,
     dbname: str | None = None,
+    chr_start: int = 0,
 ) -> str:
-    """One 'Path N:' block (gmap default output).  The 'Genomic pos:'
-    line prints the DB name, not the chromosome (Stage3_print_pathsummary);
-    dbname defaults to chrname (identical for single-chr test DBs)."""
+    """One 'Path N:' block (gmap default output).  'Path N:' and
+    'Accessions:' print CHROMOSOME-relative coordinates; 'Genomic pos:'
+    prints the DB name with UNIVERSAL coordinates
+    (Stage3_print_pathsummary); dbname defaults to chrname."""
     out = []
-    gs, ge = path.gstart + 1, path.gend
+    ugs, uge = path.gstart + 1, path.gend
+    gs, ge = ugs - chr_start, uge - chr_start
     if not path.watsonp:
         gs, ge = ge, gs
+        ugs, uge = uge, ugs
     # genomiclength prints signed: minus-strand displays descend
     span = ge - gs + (1 if path.watsonp else -1)
     chrpfx = f"{chrname}:" if dbmode else ""
@@ -573,7 +591,7 @@ def path_summary(
     strand = "+" if path.watsonp else "-"
     dbpfx = f"{dbname}:" if dbname else chrpfx
     out.append(
-        f"    Genomic pos: {dbpfx}{_commafmt(gs)}..{_commafmt(ge)} ({strand} strand)\n"
+        f"    Genomic pos: {dbpfx}{_commafmt(ugs)}..{_commafmt(uge)} ({strand} strand)\n"
     )
     if dbmode:
         alo, ahi = min(gs, ge), max(gs, ge)
@@ -617,8 +635,9 @@ def paths_output(
     chimera_pos: int | None = None,
     read: str | None = None,
     maxpaths: int | None = None,
-    chrinfo: "list[tuple[str, int]] | None" = None,
+    chrinfo: "list[tuple] | None" = None,
     dbname: str | None = None,
+    chr_start: int = 0,
 ) -> str:
     """maxpaths limits the printed 'Path N:' blocks while the header
     still reports the true path count (gmap -n; observed: -n 1 on a
@@ -648,11 +667,15 @@ def paths_output(
             pq = read if p.watsonp else _dna.revcomp_str(read)
         if i > 0:
             out.append("\n")
-        cn, cl = (chrname, chrlength) if chrinfo is None else chrinfo[i]
+        if chrinfo is None:
+            cn, cl, cs = chrname, chrlength, chr_start
+        else:
+            cn, cl = chrinfo[i][0], chrinfo[i][1]
+            cs = chrinfo[i][2] if len(chrinfo[i]) > 2 else 0
         out.append(path_summary(
             p, i + 1, cn, cl, pq, gstr, dbmode,
             translate=False if chimera_pos is not None else True,
-            trans_override=overrides[i], dbname=dbname))
+            trans_override=overrides[i], dbname=dbname, chr_start=cs))
     out.append("\n")
     return "".join(out)
 
@@ -667,11 +690,13 @@ def gff3_gene(
     dbname: str,
     qstr: str,
     gstr: str,
+    chr_start: int = 0,
 ) -> str:
-    """gff3_gene format (pair.c Pair_print_gff3 gene/mRNA/exon/CDS)."""
+    """gff3_gene format (pair.c Pair_print_gff3 gene/mRNA/exon/CDS);
+    coordinates are chromosome-relative."""
     out = []
     strand = "+" if path.watsonp else "-"
-    gs, ge = path.gstart + 1, path.gend
+    gs, ge = path.gstart - chr_start + 1, path.gend - chr_start
     gene_id = f"{accession}.path{pathnum}"
     mrna_id = f"{accession}.mrna{pathnum}"
     out.append(
@@ -693,12 +718,13 @@ def gff3_gene(
         else:
             tq1, tq2 = path.querylength - e.qend + 1, path.querylength - e.qstart
         out.append(
-            f"{chrname}\t{dbname}\texon\t{e.gstart + 1}\t{e.gend}\t{pct}\t{strand}\t.\t"
+            f"{chrname}\t{dbname}\texon\t{e.gstart - chr_start + 1}\t"
+            f"{e.gend - chr_start}\t{pct}\t{strand}\t.\t"
             f"ID={mrna_id}.exon{i + 1};Name={accession};Parent={mrna_id};"
             f"Target={accession} {tq1} {tq2} {qstrand}\n"
         )
     # CDS from translation bounds
-    tb = _translation_bounds(path, qstr, gstr) if translate else None
+    tb = _translation_bounds(path, qstr, gstr)
     if tb is not None:
         left, right, _ = tb
         cdsnum = 0
@@ -709,8 +735,8 @@ def gff3_gene(
             if lo >= hi:
                 continue
             cdsnum += 1
-            g1 = e.gstart + (lo - e.qstart) + 1
-            g2 = e.gstart + (hi - e.qstart)
+            g1 = e.gstart - chr_start + (lo - e.qstart) + 1
+            g2 = e.gstart - chr_start + (hi - e.qstart)
             pct = round(100.0 * e.matches / max(1, e.matches + e.mismatches))
             # the reference prints the codon carry (cds_phase), not the
             # GFF3-spec "bases to remove" phase
@@ -759,7 +785,8 @@ def _junction_runs(path: Path, qstr: str, gstr: str):
 
 
 def gff3_match(path: Path, pathnum: int, accession: str, chrname: str,
-               dbname: str, qstr: str, gstr: str, est: bool) -> str:
+               dbname: str, qstr: str, gstr: str, est: bool,
+               chr_start: int = 0) -> str:
     """gff3_match_cdna / gff3_match_est (Pair_print_gff3 cDNA_match /
     EST_match): match regions with CIGAR-style Gap attributes.
 
@@ -793,8 +820,8 @@ def gff3_match(path: Path, pathnum: int, accession: str, chrname: str,
                 merged[-1] = f"M{int(merged[-1][1:]) + int(r[1:])}"
             else:
                 merged.append(r)
-        glo = path.exons[0].gstart + 1
-        ghi = path.exons[-1].gend
+        glo = path.exons[0].gstart - chr_start + 1
+        ghi = path.exons[-1].gend - chr_start
         tstrand = "+" if path.watsonp else "-"
         sc = pct(path.matches, path.mismatches, extra)
         # strand column carries the cDNA direction sign (plus-text
@@ -848,8 +875,8 @@ def gff3_match(path: Path, pathnum: int, accession: str, chrname: str,
                 merged[-1] = f"M{int(merged[-1][1:]) + int(r[1:])}"
             else:
                 merged.append(r)
-        glo = min(e.gstart for e in res) + 1
-        ghi = max(e.gend for e in res)
+        glo = min(e.gstart for e in res) - chr_start + 1
+        ghi = max(e.gend for e in res) - chr_start
         if path.watsonp:
             q1 = res[0].qstart + 1
             q2 = res[-1].qend
