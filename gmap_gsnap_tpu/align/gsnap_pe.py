@@ -196,3 +196,43 @@ def align_batch_pe(
         "cands5": cands5,
         "cands3": cands3,
     }
+
+
+# the per-end hit fields SAM emission reads through _end_hit
+PAIR_EMIT_FIELDS = ("kind", "left", "right", "split", "nindels",
+                    "sense", "plusp", "mid", "split2")
+
+
+@partial(jax.jit, static_argnames=("ktop",))
+def compact_pe(res, ktop: int = 8):
+    """Emission-compact view of an align_batch_pe result.
+
+    Transfer-volume design (the tunneled-TPU lesson generalized to any
+    host<->device link): the full result tree is ~6.5 MB per 256-pair
+    batch, but the SAM success path reads only the top-ranked pairs'
+    hit fields.  This gathers those into [B, ktop] arrays (~0.2 MB);
+    the full tree stays ON DEVICE and rows that need rescue lanes
+    (non-concordant / unmapped / npairs > ktop) are fetched later as a
+    row subset (runner.fetch_pair_rows)."""
+    i5 = res["i5"][:, :ktop]
+    i3 = res["i3"][:, :ktop]
+    top5 = {k: jnp.take_along_axis(res["end5_pairing"][k], i5, axis=1)
+            for k in PAIR_EMIT_FIELDS}
+    top3 = {k: jnp.take_along_axis(res["end3_pairing"][k], i3, axis=1)
+            for k in PAIR_EMIT_FIELDS}
+    b = i5.shape[0]
+    ar = jnp.broadcast_to(
+        jnp.arange(ktop, dtype=res["i5"].dtype)[None, :], (b, ktop))
+    return {
+        "npairs": res["npairs"],
+        "pair_concordant": res["pair_concordant"],
+        "pairtype": res["pairtype"][:, :ktop],
+        "insert": res["insert"][:, :ktop],
+        "pscore": res["pscore"][:, :ktop],
+        "i5": ar,
+        "i3": ar,
+        "end5_pairing": top5,
+        "end3_pairing": top3,
+        "end5": {"overflow": res["cands5"]["overflow"]},
+        "end3": {"overflow": res["cands3"]["overflow"]},
+    }

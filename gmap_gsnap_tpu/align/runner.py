@@ -71,7 +71,7 @@ def _pack_leaves(leaves):
 
     ints, bools = [], []
     for l in leaves:
-        if l.dtype == jnp.bool_:
+        if l.dtype in (jnp.bool_, jnp.uint8):
             bools.append(l.reshape(-1).astype(jnp.uint8))
         elif l.dtype in (jnp.float32, jnp.uint32):
             ints.append(
@@ -92,6 +92,13 @@ def _make_pack_jit():
 
 
 _pack_leaves_jit = None
+
+# PE emission-compact view width: success-path SAM emission reads at
+# most this many top-ranked pairs per read; rows with npairs > PAIR_KTOP
+# (or needing rescue lanes) fall back to a per-row full fetch.
+PAIR_KTOP = 8
+
+_gather_rows_jit = None
 
 
 def trim_ends(mm: np.ndarray, trim_mismatch_score: int = -3) -> tuple[int, int]:
@@ -443,6 +450,9 @@ class GsnapRunner:
             n = int(np.prod(l.shape)) if l.ndim else 1
             if l.dtype == np.bool_:
                 out.append(bnp[boff : boff + n].astype(bool).reshape(l.shape))
+                boff += n
+            elif l.dtype == np.uint8:
+                out.append(bnp[boff : boff + n].reshape(l.shape))
                 boff += n
             else:
                 v = inp[ioff : ioff + n]
@@ -1664,12 +1674,18 @@ class GsnapRunner:
             alt=self.alt,
             known=self.known,
         )
-        return self._pack_tree(res), b
+        compact = gsnap_pe.compact_pe(res, PAIR_KTOP)
+        return self._pack_tree(compact), res, b
 
     @classmethod
     def fetch_pairs(cls, dispatched):
-        """Device -> host transfer of a dispatch_pairs result."""
-        packed, b = dispatched
+        """Device -> host transfer of a dispatch_pairs result.
+
+        Fetches only the emission-compact view (gsnap_pe.compact_pe);
+        the full result tree stays on device under ``out["_full"]`` —
+        rows needing the rescue lanes are fetched as a row subset with
+        fetch_pair_rows."""
+        packed, res_dev, b = dispatched
         host = cls._fetch_tree(packed)
 
         def tohost(d):
@@ -1679,9 +1695,43 @@ class GsnapRunner:
                if not isinstance(v, dict)}
         for k in ("end5", "end3", "end5_pairing", "end3_pairing"):
             out[k] = tohost(host[k])
-        # candidate diagonals feed the per-end terminal/GMAP rescue lanes
+        out["_full"] = (res_dev, b)
+        return out
+
+    @classmethod
+    def fetch_pair_rows(cls, res, rows):
+        """Fetch the FULL per-row result data (ranked end hits +
+        candidate diagonals for the terminal/GMAP rescue lanes) for a
+        subset of rows, as one small packed transfer.  Returns a dict
+        shaped like the pre-compaction fetch_pairs output with
+        ``row_of[global_row] -> subset row``."""
+        import jax
+
+        res_dev, b = res["_full"]
+        global _gather_rows_jit
+        if _gather_rows_jit is None:
+            _gather_rows_jit = jax.jit(
+                lambda tree, r: jax.tree_util.tree_map(
+                    lambda a: a[r], tree))
+        rows = [int(r) for r in rows]
+        npad = 8
+        while npad < len(rows):
+            npad *= 2
+        rpad = np.asarray(rows + [rows[-1]] * (npad - len(rows)), np.int32)
+        sub = _gather_rows_jit(res_dev, rpad)
+        host = cls._fetch_tree(cls._pack_tree(sub))
+        n = len(rows)
+
+        def tohost(d):
+            return {k: v[:n] for k, v in d.items()}
+
+        out = {k: v[:n] for k, v in host.items()
+               if not isinstance(v, dict)}
+        for k in ("end5", "end3", "end5_pairing", "end3_pairing"):
+            out[k] = tohost(host[k])
         for ek, ck in (("end5", "cands5"), ("end3", "cands3")):
             out[ek].update(tohost(host[ck]))
+        out["row_of"] = {r: i for i, r in enumerate(rows)}
         return out
 
     def align_pairs(self, recs5: list[Record], recs3_inv: list[Record]):
@@ -1719,7 +1769,8 @@ class GsnapRunner:
         res = gsnap_pe.align_batch_pe(
             self.genome, self.index, c5, f5, l5, c3, f3, l3, params,
             index_minus=self.index_minus, alt=self.alt, known=self.known)
-        return self._pack_tree(res), b
+        compact = gsnap_pe.compact_pe(res, PAIR_KTOP)
+        return self._pack_tree(compact), res, b
 
     def _end_hit(self, rec: Record, hits, row: int, col: int) -> PostHit:
         return self._hit_details(
@@ -2345,23 +2396,61 @@ class GsnapRunner:
             self._gmap_rows = set()
             self._categories = {}
             texts = [None] * len(chunk5)
+            # rows whose emission needs the rescue lanes (full per-row
+            # hit + candidate data): fetch those rows' full trees as one
+            # small subset transfer; everything else emits from the
+            # compact view alone
+            npair_a = np.asarray(res["npairs"])
+            conc_a = np.asarray(res["pair_concordant"], bool)
+            if fmt == "sam":
+                need_full = (npair_a == 0) | ~conc_a | (npair_a > PAIR_KTOP)
+            else:
+                need_full = np.ones(len(chunk5), bool)
+            full_rows = [j for j in np.flatnonzero(need_full[:len(chunk5)])
+                         if int(j) not in wide_row]
+            sub = (self.fetch_pair_rows(res, full_rows)
+                   if full_rows else None)
+
+            def route(j):
+                if sub is not None and j in sub["row_of"]:
+                    return sub, sub["row_of"][j]
+                return res, j
+
             for j in range(len(chunk5)):
                 if j in wide_row:
                     continue
                 self._gmap_row = j
+                rres, rrow = route(j)
                 try:
                     texts[j] = emit(chunk5[j], chunk3_inv[j], chunk3[j],
-                                    res, j)
+                                    rres, rrow)
                 except Exception:
                     _offending_read(chunk5[j], chunk3[j])
                     raise
+            wide_sub = None
             if wide_disp is not None:
                 wide_res = self.fetch_pairs(wide_disp)
+                wn = np.asarray(wide_res["npairs"])
+                wc = np.asarray(wide_res["pair_concordant"], bool)
+                if fmt == "sam":
+                    wneed = (wn == 0) | ~wc | (wn > PAIR_KTOP)
+                else:
+                    wneed = np.ones(len(wn), bool)
+                wrows = [wi for j, wi in wide_row.items() if wneed[wi]]
+                wide_sub = (self.fetch_pair_rows(wide_res, wrows)
+                            if wrows else None)
+
+                def wroute(wi):
+                    if wide_sub is not None and wi in wide_sub["row_of"]:
+                        return wide_sub, wide_sub["row_of"][wi]
+                    return wide_res, wi
+
                 for j, wi in wide_row.items():
                     self._gmap_row = j
+                    rres, rrow = wroute(wi)
                     try:
                         texts[j] = emit(chunk5[j], chunk3_inv[j],
-                                        chunk3[j], wide_res, wi)
+                                        chunk3[j], rres, rrow)
                     except Exception:
                         _offending_read(chunk5[j], chunk3[j])
                         raise
@@ -2371,8 +2460,8 @@ class GsnapRunner:
             if pending:
                 self.prefetch_gmap(pending)
                 for j in sorted(rows):
-                    rres, rrow = ((wide_res, wide_row[j]) if j in wide_row
-                                  else (res, j))
+                    rres, rrow = (wroute(wide_row[j]) if j in wide_row
+                                  else route(j))
                     try:
                         texts[j] = emit(chunk5[j], chunk3_inv[j], chunk3[j],
                                         rres, rrow)
