@@ -149,6 +149,86 @@ def trim_ends(mm: np.ndarray, trim_mismatch_score: int = -3) -> tuple[int, int]:
     return trim5, trim3
 
 
+def trim_ends_batch(mm: np.ndarray, trim_mismatch_score: int = -3):
+    """Vectorized trim_ends over a [F, L] mismatch matrix.
+
+    Same per-row semantics as trim_ends (substring.c trim_left_end +
+    trim_right_end); the sequential scan over mismatch positions runs
+    over the mismatch ORDINAL (max per-row count iterations, typically
+    <= ~6), each step vectorized across all F rows.
+    Returns (trim5[F], trim3[F]) int64 arrays."""
+    F, L = mm.shape
+    counts = mm.sum(1).astype(np.int64)
+    K = int(counts.max()) if F else 0
+    P = np.zeros((F, max(K, 1)), np.int64)
+    r, c = np.nonzero(mm)
+    if len(r):
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        ordinal = np.arange(len(r)) - np.repeat(starts, counts)
+        P[r, ordinal] = c
+    rowsel = np.arange(F)
+
+    # trim_left_end: mismatch positions right-to-left
+    score = np.zeros(F, np.int64)
+    best = np.zeros(F, np.int64)
+    trim5 = np.zeros(F, np.int64)
+    prevpos = np.full(F, L, np.int64)
+    for t in range(K):
+        idx = counts - 1 - t
+        act = idx >= 0
+        pos = P[rowsel, np.clip(idx, 0, None)] + 1
+        s2 = score + (prevpos - pos) * TRIM_MATCH_SCORE
+        upd = act & (s2 >= best)
+        best = np.where(upd, s2, best)
+        trim5 = np.where(upd, pos, trim5)
+        score = np.where(act, np.maximum(s2 + trim_mismatch_score, 0), score)
+        prevpos = np.where(act, pos - 1, prevpos)
+    fin = score + prevpos * TRIM_MATCH_SCORE
+    trim5 = np.where(fin >= best, 0, trim5)
+
+    # trim_right_end: mismatch positions left-to-right
+    score = np.zeros(F, np.int64)
+    best = np.zeros(F, np.int64)
+    trim3 = np.zeros(F, np.int64)
+    prevpos = np.full(F, -1, np.int64)
+    for t in range(K):
+        act = t < counts
+        pos = P[:, t] - 1
+        s2 = score + (pos - prevpos) * TRIM_MATCH_SCORE
+        upd = act & (s2 >= best)
+        best = np.where(upd, s2, best)
+        trim3 = np.where(upd, L - pos - 1, trim3)
+        score = np.where(act, np.maximum(s2 + trim_mismatch_score, 0), score)
+        prevpos = np.where(act, pos + 1, prevpos)
+    fin = score + (L - 1 - prevpos) * TRIM_MATCH_SCORE
+    trim3 = np.where(fin >= best, 0, trim3)
+    return trim5, trim3
+
+
+def _md_from_positions(pos, refch: str, span_len: int) -> str:
+    """MD string from ascending span-relative mismatch positions and the
+    genome chars at them — exact sam.md_gapped single-part formatting
+    (leading 0 printed, interior zero runs omitted, trailing run > 0)."""
+    if len(pos) == 0:
+        return str(span_len)
+    out = [str(pos[0]), refch[0]]
+    for k in range(1, len(pos)):
+        gap = pos[k] - pos[k - 1] - 1
+        if gap > 0:
+            out.append(str(gap))
+        out.append(refch[k])
+    rem = span_len - 1 - pos[-1]
+    if rem > 0:
+        out.append(str(rem))
+    return "".join(out)
+
+
+_COMP_LUT = np.arange(256, dtype=np.uint8)
+for _a, _b in zip(b"ACGTNacgtn", b"TGCANtgcan"):
+    _COMP_LUT[_a] = _b
+del _a, _b
+
+
 def _substring_bounds(d: "PostHit", L: int):
     """Per-substring (proj_start, proj_end) whole-read projections in
     query direction (Substring genomicstart/genomicend), in the
@@ -312,6 +392,7 @@ class GsnapRunner:
         self._gmap_collect = None
         self._gmap_rows: set = set()
         self._gmap_row = -1
+        self.pe_fast = True  # vectorized PE SAM fast path (tests may disable)
         self._categories: dict = {}
         self.batch_times: list = []
         mode = self.params.mode
@@ -1452,7 +1533,7 @@ class GsnapRunner:
 
         qual = rec.quality if rec.quality else None
         final = self._rescued_hits(rec, hits, row, npaths, maxpaths)
-        self._categories[row] = self._se_category(final)
+        self._categories[self._cat_key(row)] = self._se_category(final)
         mapqs = []
         if final:
             mapqs, _, _ = self._end_mapqs([h.d for h in final], qual)
@@ -1479,7 +1560,7 @@ class GsnapRunner:
                     maxpaths: int = 100) -> str:
         qual = rec.quality if rec.quality else None
         final = self._rescued_hits(rec, hits, row, npaths, maxpaths)
-        self._categories[row] = self._se_category(final)
+        self._categories[self._cat_key(row)] = self._se_category(final)
         if not final:
             return sam.se_record(rec.label, rec.seq.upper(), qual, None)
         details = [h.d for h in final]
@@ -1771,6 +1852,17 @@ class GsnapRunner:
             index_minus=self.index_minus, alt=self.alt, known=self.known)
         compact = gsnap_pe.compact_pe(res, PAIR_KTOP)
         return self._pack_tree(compact), res, b
+
+    def _cat_row(self, j: int) -> None:
+        """Record the GLOBAL chunk row about to emit — resulttype
+        categories (--split-output routing) key on it, not on the
+        res-local row (which differs inside the wide/overflow lane)."""
+        self._gmap_row = j
+        self._catkey = j
+
+    def _cat_key(self, row: int) -> int:
+        k = getattr(self, "_catkey", None)
+        return row if k is None else k
 
     def _end_hit(self, rec: Record, hits, row: int, col: int) -> PostHit:
         return self._hit_details(
@@ -2112,6 +2204,210 @@ class GsnapRunner:
         return rescue.HostHit(d, kind, d.nmatches_whole,
                               np.array(d.mmpos, int), d.loglik)
 
+    def _sub_batch(self, seqs, lefts, plusps):
+        """Vectorized KIND_SUB hit details for a group of same-length
+        oriented (end, read) jobs: mismatch masks, trims, NM, MD.
+
+        seqs: read strings (original orientation, pre-upper);
+        lefts/plusps: int64/bool arrays.  Returns dict of per-job
+        arrays; md is a list of strings.  Exactly mirrors the scalar
+        _mismatch_masks -> trim_ends -> sam.md_gapped chain of
+        _hit_details for the single-part KIND_SUB case."""
+        n = len(seqs)
+        L = len(seqs[0])
+        qb = np.frombuffer("".join(s.upper() for s in seqs)
+                           .encode("latin-1"), np.uint8).reshape(n, L)
+        minus = ~plusps
+        if minus.any():
+            qb = qb.copy()
+            qb[minus] = _COMP_LUT[qb[minus, ::-1]]
+        gb = self._genome_bytes[lefts[:, None] + np.arange(L)]
+        qn = qb == ord("N")
+        if self._conv_plus is None and self._conv_minus is None:
+            diff = qb != gb
+        else:
+            lut_p = self._conv_lut(self._conv_plus)
+            lut_m = self._conv_lut(self._conv_minus)
+            dp_ = lut_p[qb] != lut_p[gb]
+            dm_ = lut_m[qb] != lut_m[gb]
+            diff = np.where(plusps[:, None], dp_, dm_)
+        mm_ref = ~qn & (~self._ACGT_SET[gb] | diff)
+        if self._alt_bytes is not None:
+            ab = self._alt_bytes[lefts[:, None] + np.arange(L)]
+            mm_sel = mm_ref & (qb != ab)
+        else:
+            mm_sel = mm_ref
+        trim5, trim3 = trim_ends_batch(mm_sel)
+        ar = np.arange(L)[None, :]
+        span = (ar >= trim5[:, None]) & (ar < (L - trim3)[:, None])
+        mm_span = mm_ref & span
+        nm = mm_span.sum(1).astype(np.int64)
+        r, c = np.nonzero(mm_span)
+        starts = np.concatenate([[0], np.cumsum(nm)[:-1]])
+        chars = gb[r, c].tobytes().decode("latin-1")
+        mds = []
+        for i in range(n):
+            lo, hi = starts[i], starts[i] + nm[i]
+            mds.append(_md_from_positions(
+                (c[lo:hi] - trim5[i]).tolist(), chars[lo:hi],
+                int(L - trim5[i] - trim3[i])))
+        return {"trim5": trim5, "trim3": trim3, "nm": nm, "md": mds}
+
+    @staticmethod
+    def _pairlength_sub_batch(l5, p5, L5, t55, t35, l3, p3, L3, t53, t33):
+        """Vectorized reference_pairlength for SUB/SUB pairs (single
+        full-length part, ndel=0, span == read length)."""
+        q = L5 + L3
+        gs5 = np.where(p5, l5, l5 + L5)
+        ge5 = np.where(p5, l5 + L5, l5)
+        gs3 = np.where(p3, l3, l3 + L3)
+        ge3 = np.where(p3, l3 + L3, l3)
+        # trimmed aligned spans (strand-independent intervals)
+        lo5, hi5 = l5 + t55, l5 + L5 - t35
+        lo3, hi3 = l3 + t53, l3 + L3 - t33
+        overlap = ~((hi3 < lo5) | (lo3 > hi5))
+        # pair_insert_length projection distance on overlap
+        pr50 = np.where(p5, l5, l5 + L5)
+        pr31 = np.where(p3, l3 + L3, l3)
+        ov = np.abs(pr50 - pr31)
+
+        opp1 = p5 & ~p3
+        t_opp1 = np.where(ge5 < ge3, ge3 - ge5 + q,
+                          np.where(gs3 < gs5, gs5 - gs3 + q, 0))
+        opp2 = ~p5 & p3
+        t_opp2 = np.where(gs5 < gs3, gs3 - gs5 + q,
+                          np.where(ge3 < ge5, ge5 - ge3 + q, 0))
+        # same strand: gapped -> span distance; overlapping -> projection;
+        # else the no-overlap fallback
+        t_pp = np.where(ge5 < gs3, gs3 - ge5 + q,
+                        np.where(overlap, ov,
+                                 np.where(ge5 > gs3 + q, 0, gs3 - ge5 + q)))
+        t_mm_ = np.where(gs3 < ge5, ge5 - gs3 + q,
+                         np.where(overlap, ov,
+                                  np.where(gs3 > ge5 + q, 0, ge5 - gs3 + q)))
+        return np.where(opp1, t_opp1,
+                        np.where(opp2, t_opp2,
+                                 np.where(p5, t_pp, t_mm_)))
+
+    def _pe_sam_fast(self, recs5, recs3_inv, res, rows) -> dict:
+        """Batched SAM emission for the dominant PE success shape:
+        concordant, npairs == 1, both ends KIND_SUB.  recs5[i] /
+        recs3_inv[i] correspond to res row rows[i].  Returns
+        {row: sam_text}; rows it declines (non-SUB hits, genome-edge
+        overruns, non-ACGTN reads) are omitted and must go through
+        sam_pe_records.  Byte-identical to the scalar path
+        (tests/test_pe_fastpath.py)."""
+        if not len(rows):
+            return {}
+        h5, h3 = res["end5_pairing"], res["end3_pairing"]
+        rows_a = np.asarray(rows, np.int64)
+        i5 = np.asarray(res["i5"])[rows_a, 0].astype(np.int64)
+        i3 = np.asarray(res["i3"])[rows_a, 0].astype(np.int64)
+        f5 = {k: np.asarray(v)[rows_a, i5] for k, v in h5.items()}
+        f3 = {k: np.asarray(v)[rows_a, i3] for k, v in h3.items()}
+        l5 = f5["left"].astype(np.int64)
+        l3 = f3["left"].astype(np.int64)
+        p5 = f5["plusp"].astype(bool)
+        p3 = f3["plusp"].astype(bool)
+        L5 = np.array([len(r.seq) for r in recs5], np.int64)
+        L3 = np.array([len(r.seq) for r in recs3_inv], np.int64)
+        G = len(self._genome_bytes)
+        elig = ((f5["kind"] == KIND_SUB) & (f3["kind"] == KIND_SUB)
+                & (l5 >= 0) & (l3 >= 0)
+                & (l5 + L5 <= G) & (l3 + L3 <= G))
+        idx = np.flatnonzero(elig)
+        if not len(idx):
+            return {}
+
+        # per-end detail jobs, grouped by read length
+        njobs = 2 * len(idx)
+        t5a = np.zeros(njobs, np.int64)
+        t3a = np.zeros(njobs, np.int64)
+        nma = np.zeros(njobs, np.int64)
+        mda = [None] * njobs
+        jobs = {}
+        for k, i in enumerate(idx):
+            jobs.setdefault(int(L5[i]), []).append(
+                (2 * k, recs5[i].seq, l5[i], p5[i]))
+            jobs.setdefault(int(L3[i]), []).append(
+                (2 * k + 1, recs3_inv[i].seq, l3[i], p3[i]))
+        for L, grp in jobs.items():
+            slots = [g[0] for g in grp]
+            d = self._sub_batch([g[1] for g in grp],
+                                np.array([g[2] for g in grp], np.int64),
+                                np.array([g[3] for g in grp], bool))
+            t5a[slots] = d["trim5"]
+            t3a[slots] = d["trim3"]
+            nma[slots] = d["nm"]
+            for s, m in zip(slots, d["md"]):
+                mda[s] = m
+
+        ev = np.arange(len(idx)) * 2
+        t55, t35, nm5 = t5a[ev], t3a[ev], nma[ev]
+        t53, t33, nm3 = t5a[ev + 1], t3a[ev + 1], nma[ev + 1]
+        le5, le3 = l5[idx], l3[idx]
+        pl5, pl3 = p5[idx], p3[idx]
+        rl5, rl3 = L5[idx], L3[idx]
+
+        chr5 = np.searchsorted(self.db.chr_ends, le5, side="right")
+        chr3 = np.searchsorted(self.db.chr_ends, le3, side="right")
+        pos5 = le5 - self.db.chr_starts[chr5] + 1 + t55
+        pos3 = le3 - self.db.chr_starts[chr3] + 1 + t53
+        tlen = self._pairlength_sub_batch(le5, pl5, rl5, t55, t35,
+                                          le3, pl3, rl3, t53, t33)
+        # TLEN sign by POS; ties -> first read + (samprint.c:754-762)
+        t5sgn = np.where(pos5 > pos3, -tlen, tlen)
+        t3sgn = np.where(pos5 > pos3, tlen, -tlen)
+        # _pair_flag(p5, p3, first, inv=False, minv=True, proper) /
+        # (p3, p5, second, inv=True, minv=False, proper)
+        flag5 = (0x43 | sam.FLAG_PROPER
+                 | np.where(pl5, 0, sam.FLAG_REVCOMP)
+                 | np.where(pl3, sam.FLAG_MATE_REVCOMP, 0))
+        flag3 = (0x83 | sam.FLAG_PROPER
+                 | np.where(pl3, sam.FLAG_REVCOMP, 0)
+                 | np.where(pl5, 0, sam.FLAG_MATE_REVCOMP))
+
+        names = self.db.chr_names
+        out = {}
+        for k, i in enumerate(idx):
+            rec5, rec3 = recs5[i], recs3_inv[i]
+            qual5 = rec5.quality or None
+            qual3i = rec3.quality or None
+            if qual5 or qual3i:
+                both = (qual5 or "") + (qual3i or "")
+                mq = max(1, min(MAX_QUALITY_SCORE,
+                                ord(max(both)) - QUALITY_ADJ))
+            else:
+                mq = MAX_QUALITY_SCORE
+            cn5, cn3 = names[chr5[k]], names[chr3[k]]
+            same = cn5 == cn3
+            c5 = ((f"{t55[k]}S" if t55[k] else "")
+                  + f"{rl5[k] - t55[k] - t35[k]}M"
+                  + (f"{t35[k]}S" if t35[k] else ""))
+            c3 = ((f"{t53[k]}S" if t53[k] else "")
+                  + f"{rl3[k] - t53[k] - t33[k]}M"
+                  + (f"{t33[k]}S" if t33[k] else ""))
+            hit5 = sam.SEHit(chrname=cn5, chrpos=int(pos5[k]),
+                             plusp=bool(pl5[k]), cigar=c5, md=mda[2 * k],
+                             nm=int(nm5[k]), mapq=mq,
+                             absmq=MAPQ_MAXIMUM_SCORE, second_absmq=0)
+            hit3 = sam.SEHit(chrname=cn3, chrpos=int(pos3[k]),
+                             plusp=bool(pl3[k]), cigar=c3,
+                             md=mda[2 * k + 1], nm=int(nm3[k]), mapq=mq,
+                             absmq=MAPQ_MAXIMUM_SCORE, second_absmq=0)
+            out[int(rows[i])] = (
+                sam.pe_record(rec5.label, rec5.seq.upper(), qual5,
+                              int(flag5[k]), hit5,
+                              rnext="=" if same else cn3,
+                              pnext=int(pos3[k]), tlen=int(t5sgn[k]),
+                              nh=1, hi=1)
+                + sam.pe_record(rec3.label, rec3.seq.upper(), qual3i,
+                                int(flag3[k]), hit3,
+                                rnext="=" if same else cn5,
+                                pnext=int(pos5[k]), tlen=int(t3sgn[k]),
+                                nh=1, hi=1))
+        return out
+
     def sam_pe_records(self, rec5: Record, rec3_inv: Record, rec3_orig: Record,
                        res, row: int) -> str:
         """SAM lines for one read pair (both ends)."""
@@ -2161,7 +2457,7 @@ class GsnapRunner:
                 pt = int(res["pairtype"][row, 0])
                 cat = {1: "paired_uniq_inv", 2: "paired_uniq_scr",
                        3: "paired_uniq_long"}.get(pt, "concordant_uniq")
-            self._categories[row] = cat
+            self._categories[self._cat_key(row)] = cat
 
             # pair MAPQ (stage3hr.c Stage3pair_eval_and_sort)
             if n == 1:
@@ -2230,22 +2526,22 @@ class GsnapRunner:
         n5 = len(f5) if f5 else 0
         n3 = len(f3) if f3 else 0
         if n5 == 0 and n3 == 0:
-            self._categories[row] = "nomapping"
+            self._categories[self._cat_key(row)] = "nomapping"
         elif n5 > 0 and n3 > 0:
             if f5[0].hittype == "distant" or f3[0].hittype == "distant":
-                self._categories[row] = "unpaired_transloc"
+                self._categories[self._cat_key(row)] = "unpaired_transloc"
             elif n5 == 1 and n3 == 1:
-                self._categories[row] = "unpaired_uniq"
+                self._categories[self._cat_key(row)] = "unpaired_uniq"
             else:
-                self._categories[row] = "unpaired_mult"
+                self._categories[self._cat_key(row)] = "unpaired_mult"
         else:
             mapped = f5 if n5 > 0 else f3
             if mapped[0].hittype == "distant":
-                self._categories[row] = "halfmapping_transloc"
+                self._categories[self._cat_key(row)] = "halfmapping_transloc"
             elif len(mapped) == 1:
-                self._categories[row] = "halfmapping_uniq"
+                self._categories[self._cat_key(row)] = "halfmapping_uniq"
             else:
-                self._categories[row] = "halfmapping_mult"
+                self._categories[self._cat_key(row)] = "halfmapping_mult"
         for (rec, qual, fh, other_f, first, inv, minv, rec_orig) in (
             (rec5, qual5, f5, f3, True, False, True, rec5),
             (rec3_inv, qual3i, f3, f5, False, True, False, rec3_orig),
@@ -2395,6 +2691,7 @@ class GsnapRunner:
             self._gmap_collect = []
             self._gmap_rows = set()
             self._categories = {}
+            self._catkey = None
             texts = [None] * len(chunk5)
             # rows whose emission needs the rescue lanes (full per-row
             # hit + candidate data): fetch those rows' full trees as one
@@ -2416,10 +2713,22 @@ class GsnapRunner:
                     return sub, sub["row_of"][j]
                 return res, j
 
+            # vectorized emission for the dominant success shape
+            if fmt == "sam" and self.params.maxpaths >= 1 and self.pe_fast:
+                fast_cand = [j for j in range(len(chunk5))
+                             if npair_a[j] == 1 and conc_a[j]
+                             and not need_full[j] and j not in wide_row]
+                for j, t in self._pe_sam_fast(
+                        [chunk5[j] for j in fast_cand],
+                        [chunk3_inv[j] for j in fast_cand],
+                        res, fast_cand).items():
+                    texts[j] = t
+                    self._categories[j] = "concordant_uniq"
+
             for j in range(len(chunk5)):
-                if j in wide_row:
+                if j in wide_row or texts[j] is not None:
                     continue
-                self._gmap_row = j
+                self._cat_row(j)
                 rres, rrow = route(j)
                 try:
                     texts[j] = emit(chunk5[j], chunk3_inv[j], chunk3[j],
@@ -2445,8 +2754,24 @@ class GsnapRunner:
                         return wide_sub, wide_sub["row_of"][wi]
                     return wide_res, wi
 
+                if (fmt == "sam" and self.params.maxpaths >= 1
+                        and self.pe_fast):
+                    w_fast = [(j, wi) for j, wi in wide_row.items()
+                              if wn[wi] == 1 and wc[wi] and not wneed[wi]]
+                    if w_fast:
+                        ft = self._pe_sam_fast(
+                            [chunk5[j] for j, _ in w_fast],
+                            [chunk3_inv[j] for j, _ in w_fast],
+                            wide_res, [wi for _, wi in w_fast])
+                        for j, wi in w_fast:
+                            if wi in ft:
+                                texts[j] = ft[wi]
+                                self._categories[j] = "concordant_uniq"
+
                 for j, wi in wide_row.items():
-                    self._gmap_row = j
+                    if texts[j] is not None:
+                        continue
+                    self._cat_row(j)
                     rres, rrow = wroute(wi)
                     try:
                         texts[j] = emit(chunk5[j], chunk3_inv[j],
@@ -2462,6 +2787,7 @@ class GsnapRunner:
                 for j in sorted(rows):
                     rres, rrow = (wroute(wide_row[j]) if j in wide_row
                                   else route(j))
+                    self._cat_row(j)
                     try:
                         texts[j] = emit(chunk5[j], chunk3_inv[j], chunk3[j],
                                         rres, rrow)
@@ -2518,11 +2844,12 @@ class GsnapRunner:
             self._gmap_collect = []
             self._gmap_rows = set()
             self._categories = {}
+            self._catkey = None
             texts = [None] * len(chunk)
             for j, rec in enumerate(chunk):
                 if j in wide_row:
                     continue
-                self._gmap_row = j
+                self._cat_row(j)
                 try:
                     texts[j] = emit(rec, res, j, int(res["npaths"][j]),
                                     self.params.maxpaths)
@@ -2532,7 +2859,7 @@ class GsnapRunner:
             if wide_disp is not None:
                 wide_res = self.fetch_records(wide_disp)
                 for j, wi in wide_row.items():
-                    self._gmap_row = j
+                    self._cat_row(j)
                     try:
                         texts[j] = emit(chunk[j], wide_res, wi,
                                         int(wide_res["npaths"][wi]),
@@ -2550,6 +2877,7 @@ class GsnapRunner:
                 for j in sorted(rows):
                     rres, rrow = ((wide_res, wide_row[j]) if j in wide_row
                                   else (res, j))
+                    self._cat_row(j)
                     try:
                         texts[j] = emit(chunk[j], rres, rrow,
                                         int(rres["npaths"][rrow]),
