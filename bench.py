@@ -151,6 +151,20 @@ def main() -> int:
     mapped = int(np.asarray(outs[-1]["npaths"] > 0).sum())
     assert mapped > 0.95 * 2048, f"only {mapped}/2048 reads mapped"
 
+    # ------------------------------------------ end-to-end SE (FASTQ -> SAM)
+    lut = np.frombuffer(b"ACGT", np.uint8)
+    se_recs = [
+        runner_mod.Record(f"s{i}", f"s{i}", bytes(lut[row]).decode(), "I" * L)
+        for i, row in enumerate(codes[:4096])
+    ]
+    out = io.StringIO()
+    runner.run(se_recs[:BATCH], out)  # warmup / compile
+    t0 = time.time()
+    out = io.StringIO()
+    n = runner.run(se_recs, out, batch_size=BATCH)
+    se_e2e_qps = len(se_recs) / (time.time() - t0)
+    assert n == len(se_recs)
+
     # ---------------------------------------------- batched GMAP cDNA
     rng = np.random.default_rng(7)
     queries = make_gmap_workload(seq, 64, rng)
@@ -196,6 +210,9 @@ def main() -> int:
         "extra": {
             "gsnap_se_device_reads_per_sec": round(se_qps, 1),
             "gsnap_se_device_vs_baseline": round(se_qps / BASELINE_SE_QPS, 2),
+            "gsnap_se_end_to_end_reads_per_sec": round(se_e2e_qps, 1),
+            "gsnap_se_end_to_end_vs_baseline": round(
+                se_e2e_qps / BASELINE_SE_QPS, 2),
             "gmap_cdna_per_sec": round(gmap_qps, 1),
             "gmap_cdna_vs_baseline": round(gmap_qps / BASELINE_GMAP_QPS, 2),
             "dynprog_banded_gaps_per_sec": round(dyn_per_sec, 1),

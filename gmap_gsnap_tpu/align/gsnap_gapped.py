@@ -961,3 +961,23 @@ def align_batch_gapped(
     final = rank_hits(out, params.base)
     final.update(cands)
     return final
+
+
+# the ranked per-hit fields SAM/native emission reads through
+# runner._end_hit (+ score for the rescue-lane gating decision)
+SE_EMIT_FIELDS = ("kind", "left", "right", "split", "nindels", "sense",
+                  "plusp", "mid", "split2", "score", "nmm")
+
+
+def compact_se(res, ktop: int = 8):
+    """Emission-compact view of an align_batch_gapped result: the
+    top-ktop ranked hit fields plus npaths/overflow.  The full tree
+    (incl. the cand_* arrays the terminal/end-indel rescue lanes need)
+    stays on device; rows whose emission needs it are fetched as a row
+    subset (runner.fetch_record_rows).  Same transfer-volume design as
+    gsnap_pe.compact_pe."""
+    out = {k: res[k][:, :ktop] for k in SE_EMIT_FIELDS if k in res}
+    out["npaths"] = res["npaths"]
+    if "overflow" in res:
+        out["overflow"] = res["overflow"]
+    return out

@@ -33,6 +33,7 @@ from ..io.fasta import Record
 from ..ops import maxent  # noqa: F401  (future: splice stats)
 from ..utils import dna
 from . import gsnap_gapped, gsnap_se
+from . import rescue as rescue_mod
 from .gsnap_gapped import (
     KIND_DEL,
     KIND_SHORTEXON,
@@ -548,7 +549,10 @@ class GsnapRunner:
         return jax.tree_util.tree_unflatten(treedef, out)
 
     def dispatch_records(self, records: list[Record]):
-        """Async-dispatch the device SE pipeline for a chunk."""
+        """Async-dispatch the device SE pipeline for a chunk.  Packs
+        only the emission-compact view (gsnap_gapped.compact_se) for
+        transfer; the full tree stays on device for row-subset fetches
+        (fetch_record_rows)."""
         codes, nflags, lengths = encode_batch(records, self.lmax)
         c, f, l, b = self._shard(codes, nflags, lengths)
         res = gsnap_gapped.align_batch_gapped(
@@ -560,16 +564,50 @@ class GsnapRunner:
             alt=self.alt,
             known=self.known,
         )
-        return self._pack_tree(res), b
+        compact = gsnap_gapped.compact_se(res, PAIR_KTOP)
+        return self._pack_tree(compact), res, b
 
     @classmethod
     def fetch_records(cls, dispatched):
-        packed, b = dispatched
+        """Device -> host transfer of the emission-compact SE view;
+        the full tree stays on device under ``out["_full"]``."""
+        packed, res_dev, b = dispatched
         host = cls._fetch_tree(packed)
-        return {k: v[:b] for k, v in host.items()}
+        out = {k: v[:b] for k, v in host.items()}
+        out["_full"] = (res_dev, b)
+        return out
+
+    @classmethod
+    def fetch_record_rows(cls, res, rows):
+        """Fetch the FULL per-row SE result (all ranked hits + cand_*
+        rescue-lane arrays) for a subset of rows as one packed
+        transfer, with ``row_of[global_row] -> subset row``."""
+        import jax
+
+        res_dev, b = res["_full"]
+        global _gather_rows_jit
+        if _gather_rows_jit is None:
+            _gather_rows_jit = jax.jit(
+                lambda tree, r: jax.tree_util.tree_map(
+                    lambda a: a[r], tree))
+        rows = [int(r) for r in rows]
+        npad = 8
+        while npad < len(rows):
+            npad *= 2
+        rpad = np.asarray(rows + [rows[-1]] * (npad - len(rows)), np.int32)
+        sub = _gather_rows_jit(res_dev, rpad)
+        host = cls._fetch_tree(cls._pack_tree(sub))
+        n = len(rows)
+        out = {k: v[:n] for k, v in host.items()}
+        out["row_of"] = {r: i for i, r in enumerate(rows)}
+        return out
 
     def align_records(self, records: list[Record]):
-        return self.fetch_records(self.dispatch_records(records))
+        """Full-tree SE alignment (compat surface for uniqscan / tests):
+        fetches every row's complete result."""
+        packed, res_dev, b = self.dispatch_records(records)
+        host = self._fetch_tree(self._pack_tree(res_dev))
+        return {k: v[:b] for k, v in host.items()}
 
     @staticmethod
     def _pad_bucket(records: list[Record]) -> list[Record]:
@@ -605,7 +643,8 @@ class GsnapRunner:
         res = gsnap_gapped.align_batch_gapped(
             self.genome, self.index, c, f, l, gp,
             index_minus=self.index_minus, alt=self.alt, known=self.known)
-        return self._pack_tree(res), b
+        compact = gsnap_gapped.compact_se(res, PAIR_KTOP)
+        return self._pack_tree(compact), res, b
 
     # ------------------------------------------------------------------ host
     @staticmethod
@@ -2408,6 +2447,85 @@ class GsnapRunner:
                                 nh=1, hi=1))
         return out
 
+    def _se_done_level(self, recs, res, rows=None):
+        """Per-row done level = min(budget, best score) — the gate the
+        SE rescue lanes key on (_rescued_hits; stage1hr.c done_level).
+        rows maps recs[i] -> res row (default: identity)."""
+        spansize = -(-self.db.k // self.db.interval) * self.db.interval
+        L = np.array([len(r.seq) for r in recs], np.int64)
+        budget = np.maximum((L + self.db.interval - 1) // spansize - 2, 0)
+        np_all = np.asarray(res["npaths"])
+        sc_all = np.asarray(res["score"])[:, 0]
+        if rows is None:
+            npaths, score0 = np_all[:len(recs)], sc_all[:len(recs)]
+        else:
+            r = np.asarray(rows, np.int64)
+            npaths, score0 = np_all[r], sc_all[r]
+        best = np.where(npaths > 0, score0.astype(np.int64), 10**6)
+        return np.minimum(budget, best)
+
+    def _se_sam_fast(self, recs, res, rows) -> dict:
+        """Batched SAM emission for the dominant SE success shape:
+        npaths == 1, KIND_SUB, rescue lanes gated off (done level <
+        INDEL_PENALTY_END/TERMINAL_THRESHOLD — the caller checks).
+        recs[i] corresponds to res row rows[i].  Returns {row: text};
+        declined rows fall through to sam_records."""
+        if not len(rows):
+            return {}
+        rows_a = np.asarray(rows, np.int64)
+        kind = np.asarray(res["kind"])[rows_a, 0]
+        left = np.asarray(res["left"])[rows_a, 0].astype(np.int64)
+        plusp = np.asarray(res["plusp"])[rows_a, 0].astype(bool)
+        L_a = np.array([len(r.seq) for r in recs], np.int64)
+        G = len(self._genome_bytes)
+        elig = ((kind == KIND_SUB) & (left >= 0) & (left + L_a <= G))
+        idx = np.flatnonzero(elig)
+        if not len(idx):
+            return {}
+
+        t5a = np.zeros(len(idx), np.int64)
+        t3a = np.zeros(len(idx), np.int64)
+        nma = np.zeros(len(idx), np.int64)
+        mda = [None] * len(idx)
+        jobs = {}
+        for k, i in enumerate(idx):
+            jobs.setdefault(int(L_a[i]), []).append(
+                (k, recs[i].seq, left[i], plusp[i]))
+        for L, grp in jobs.items():
+            slots = [g[0] for g in grp]
+            d = self._sub_batch([g[1] for g in grp],
+                                np.array([g[2] for g in grp], np.int64),
+                                np.array([g[3] for g in grp], bool))
+            t5a[slots] = d["trim5"]
+            t3a[slots] = d["trim3"]
+            nma[slots] = d["nm"]
+            for s, m in zip(slots, d["md"]):
+                mda[s] = m
+
+        le, pl, rl = left[idx], plusp[idx], L_a[idx]
+        chrn = np.searchsorted(self.db.chr_ends, le, side="right")
+        pos = le - self.db.chr_starts[chrn] + 1 + t5a
+        names = self.db.chr_names
+        out = {}
+        for k, i in enumerate(idx):
+            rec = recs[i]
+            qual = rec.quality or None
+            if qual is None:
+                mq = MAX_QUALITY_SCORE
+            else:
+                mq = max(1, min(MAX_QUALITY_SCORE,
+                                ord(max(qual)) - QUALITY_ADJ))
+            cig = ((f"{t5a[k]}S" if t5a[k] else "")
+                   + f"{rl[k] - t5a[k] - t3a[k]}M"
+                   + (f"{t3a[k]}S" if t3a[k] else ""))
+            hit = sam.SEHit(chrname=names[chrn[k]], chrpos=int(pos[k]),
+                            plusp=bool(pl[k]), cigar=cig, md=mda[k],
+                            nm=int(nma[k]), mapq=mq,
+                            absmq=MAPQ_MAXIMUM_SCORE, second_absmq=0)
+            out[int(rows[i])] = sam.se_record(
+                rec.label, rec.seq.upper(), qual, hit, nh=1, hi=1)
+        return out
+
     def sam_pe_records(self, rec5: Record, rec3_inv: Record, rec3_orig: Record,
                        res, row: int) -> str:
         """SAM lines for one read pair (both ends)."""
@@ -2846,23 +2964,96 @@ class GsnapRunner:
             self._categories = {}
             self._catkey = None
             texts = [None] * len(chunk)
+            # rows whose emission needs the rescue lanes (end indels /
+            # terminals / known-site shortends / distant — gated by the
+            # done level, stage1hr.c align_end) or more than the compact
+            # top-ktop hits: fetch their full trees as one row subset
+            np_a = np.asarray(res["npaths"])[:len(chunk)]
+            done_a = self._se_done_level(chunk, res)
+            if fmt == "sam":
+                need_full = ((np_a == 0) | (np_a > PAIR_KTOP)
+                             | (done_a >= rescue_mod.INDEL_PENALTY_END)
+                             | (self._known_sites is not None))
+            else:
+                need_full = np.ones(len(chunk), bool)
+            full_rows = [j for j in np.flatnonzero(need_full)
+                         if int(j) not in wide_row]
+            sub = (self.fetch_record_rows(res, full_rows)
+                   if full_rows else None)
+
+            def route(j):
+                if sub is not None and j in sub["row_of"]:
+                    return sub, sub["row_of"][j]
+                return res, j
+
+            if fmt == "sam" and self.params.maxpaths >= 1 and self.pe_fast:
+                fast_cand = [j for j in range(len(chunk))
+                             if np_a[j] == 1 and not need_full[j]
+                             and j not in wide_row]
+                for j, t in self._se_sam_fast(
+                        [chunk[j] for j in fast_cand],
+                        res, fast_cand).items():
+                    texts[j] = t
+                    self._categories[j] = "unpaired_uniq"
+
             for j, rec in enumerate(chunk):
-                if j in wide_row:
+                if j in wide_row or texts[j] is not None:
                     continue
                 self._cat_row(j)
+                rres, rrow = route(j)
                 try:
-                    texts[j] = emit(rec, res, j, int(res["npaths"][j]),
+                    texts[j] = emit(rec, rres, rrow,
+                                    int(rres["npaths"][rrow]),
                                     self.params.maxpaths)
                 except Exception:
                     _offending_read(rec)
                     raise
+            wide_sub = None
             if wide_disp is not None:
                 wide_res = self.fetch_records(wide_disp)
+                wjs = [j for j, _ in wide_row.items()]
+                wn = np.asarray(wide_res["npaths"])
+                wdone = self._se_done_level([chunk[j] for j in wjs],
+                                            wide_res,
+                                            [wide_row[j] for j in wjs])
+                wneed_by_j = {}
+                for t, j in enumerate(wjs):
+                    wi = wide_row[j]
+                    if fmt == "sam":
+                        wneed_by_j[j] = (wn[wi] == 0 or wn[wi] > PAIR_KTOP
+                                         or wdone[t] >= rescue_mod.INDEL_PENALTY_END
+                                         or self._known_sites is not None)
+                    else:
+                        wneed_by_j[j] = True
+                wrows = sorted({wide_row[j] for j in wjs if wneed_by_j[j]})
+                wide_sub = (self.fetch_record_rows(wide_res, wrows)
+                            if wrows else None)
+
+                def wroute(wi):
+                    if wide_sub is not None and wi in wide_sub["row_of"]:
+                        return wide_sub, wide_sub["row_of"][wi]
+                    return wide_res, wi
+
+                if fmt == "sam" and self.params.maxpaths >= 1 and self.pe_fast:
+                    w_fast = [(j, wide_row[j]) for j in wjs
+                              if wn[wide_row[j]] == 1 and not wneed_by_j[j]]
+                    if w_fast:
+                        ft = self._se_sam_fast(
+                            [chunk[j] for j, _ in w_fast],
+                            wide_res, [wi for _, wi in w_fast])
+                        for j, wi in w_fast:
+                            if wi in ft:
+                                texts[j] = ft[wi]
+                                self._categories[j] = "unpaired_uniq"
+
                 for j, wi in wide_row.items():
+                    if texts[j] is not None:
+                        continue
                     self._cat_row(j)
+                    rres, rrow = wroute(wi)
                     try:
-                        texts[j] = emit(chunk[j], wide_res, wi,
-                                        int(wide_res["npaths"][wi]),
+                        texts[j] = emit(chunk[j], rres, rrow,
+                                        int(rres["npaths"][rrow]),
                                         self.params.maxpaths)
                     except Exception:
                         _offending_read(chunk[j])
@@ -2875,8 +3066,8 @@ class GsnapRunner:
                 # only the affected reads re-emit (pass 2)
                 self.prefetch_gmap(pending)
                 for j in sorted(rows):
-                    rres, rrow = ((wide_res, wide_row[j]) if j in wide_row
-                                  else (res, j))
+                    rres, rrow = (wroute(wide_row[j]) if j in wide_row
+                                  else route(j))
                     self._cat_row(j)
                     try:
                         texts[j] = emit(chunk[j], rres, rrow,

@@ -116,3 +116,39 @@ def test_pe_fast_path_byte_identical(runner):
     assert len(fast_lines) == len(slow_lines)
     for fl, sl in zip(fast_lines, slow_lines):
         assert fl == sl
+
+
+def test_se_fast_path_byte_identical(runner):
+    """run() with the SE fast path on vs off: mixed mismatch loads
+    (0-3, so the done-level gate routes 2-3-mismatch rows through the
+    full-fetch scalar path), strands, indels, unmapped reads."""
+    from gmap_gsnap_tpu.align.runner import Record
+
+    seq = _genome_seq()
+    rng = np.random.default_rng(31)
+    L = 100
+    recs = []
+    for i in range(96):
+        p = int(rng.integers(0, len(seq) - 300))
+        a = seq[p : p + L]
+        mode = i % 8
+        if mode < 5:
+            a = _mutate(a, int(rng.integers(0, 4)), rng)
+        elif mode == 5:
+            a = seq[p : p + 50] + seq[p + 53 : p + 53 + 50]
+        elif mode == 6:
+            a = "".join("ACGT"[int(x)] for x in rng.integers(0, 4, L))
+        else:
+            a = a[:30] + "N" * 3 + a[33:]
+        if i % 2:
+            a = _rc(a)
+        recs.append(Record(f"s{i}", f"s{i}", a, "I" * L if i % 3 else None))
+
+    outs = {}
+    for fast in (True, False):
+        runner.pe_fast = fast
+        buf = io.StringIO()
+        runner.run(recs, buf, batch_size=32)
+        outs[fast] = buf.getvalue()
+    runner.pe_fast = True
+    assert outs[True] == outs[False]
