@@ -157,13 +157,15 @@ class DistantPair:
         return self.right_end if self.donor_left else self.left_end
 
 
-def _min_endlength(nmm: int) -> int:
+def _min_endlength(nmm: int, min_end: int = MIN_END_MATCHES) -> int:
     nonid = 1.0 - MIN_IDENTITY
-    return max(MIN_END_MATCHES, int(round(nmm / nonid)))
+    return max(min_end, int(round(nmm / nonid)))
 
 
 def find_pairs(ends, L: int, max_mm_total: int, shortsplicedist: int,
-               chrnum_of=None):
+               chrnum_of=None, distant_penalty: int = DISTANT_PENALTY,
+               local_penalty: int = LOCAL_PENALTY,
+               min_end_matches: int = MIN_END_MATCHES):
     """Pair splice ends level-by-level; the first mismatch level with
     pairs sets found_score and ends the search (subopt_levels=0).
 
@@ -198,9 +200,9 @@ def find_pairs(ends, L: int, max_mm_total: int, shortsplicedist: int,
                         if el.left == er.left:
                             continue  # really a continuous match
                         s = el.split
-                        if s < _min_endlength(el.nmm):
+                        if s < _min_endlength(el.nmm, min_end_matches):
                             continue
-                        if L - s < _min_endlength(er.nmm):
+                        if L - s < _min_endlength(er.nmm, min_end_matches):
                             continue
                         if (chrnum_of is not None
                                 and chrnum_of(el.left) != chrnum_of(er.left)):
@@ -219,7 +221,7 @@ def find_pairs(ends, L: int, max_mm_total: int, shortsplicedist: int,
                         level.append(DistantPair(
                             s, plusp, sensep, el, er, donor_left,
                             stype, dist, shortp,
-                            LOCAL_PENALTY if shortp else DISTANT_PENALTY,
+                            local_penalty if shortp else distant_penalty,
                             total, donor_kind=dk, acceptor_kind=ak))
                         count += 1
 
@@ -254,10 +256,13 @@ def find_pairs(ends, L: int, max_mm_total: int, shortsplicedist: int,
                         continue
                     if el.nmm + er.nmm != total:
                         continue
-                    if s < _min_endlength(el.nmm if donor_left else er.nmm):
+                    if s < _min_endlength(
+                            el.nmm if donor_left else er.nmm,
+                            min_end_matches):
                         continue
                     if L - s < _min_endlength(er.nmm if donor_left
-                                              else el.nmm):
+                                              else el.nmm,
+                                              min_end_matches):
                         continue
                     gs_l = el.left if lp else el.left + L
                     gs_r = er.left if rp else er.left + L
@@ -277,7 +282,7 @@ def find_pairs(ends, L: int, max_mm_total: int, shortsplicedist: int,
                         stype = "inversion"
                     level.append(DistantPair(
                         s, lp, sensep, el, er, donor_left,
-                        stype, dist, False, DISTANT_PENALTY, total,
+                        stype, dist, False, distant_penalty, total,
                         inversion=True, donor_kind=dkind,
                         acceptor_kind=akind))
                     count += 1

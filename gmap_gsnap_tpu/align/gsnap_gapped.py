@@ -168,7 +168,9 @@ def _gather_pair(arr, idx):
 # ----------------------------------------------------------------- indel solve
 
 def _solve_indels(top_d, mm, pref, ii, jj, pvalid, lengths, budget, lmax: int,
-                  qp5=None, qp3=None):
+                  qp5=None, qp3=None, max_ins: int = MAX_MIDDLE_INSERTIONS,
+                  max_del: int = MAX_MIDDLE_DELETIONS,
+                  min_end: int = MIN_INDEL_END_MATCHES):
     """Vectorized solve_middle_insertion/deletion.
 
     Returns dict of [B, P] arrays: valid, is_del, nindels, split (query
@@ -198,8 +200,8 @@ def _solve_indels(top_d, mm, pref, ii, jj, pvalid, lengths, budget, lmax: int,
 
     ndel = (dj - di).astype(jnp.int32)   # >0 for deletions
     nins = (di - dj).astype(jnp.int32)   # >0 for insertions
-    is_del = (ndel >= 1) & (ndel <= MAX_MIDDLE_DELETIONS)
-    is_ins = (nins >= 1) & (nins <= MAX_MIDDLE_INSERTIONS)
+    is_del = (ndel >= 1) & (ndel <= max_del)
+    is_ins = (nins >= 1) & (nins <= max_ins)
     n = jnp.where(is_del, ndel, nins)[:, :, None]  # [B, P, 1]
 
     s = jnp.arange(lmax + 1, dtype=jnp.int32)[None, None, :]  # [1, 1, L+1]
@@ -209,8 +211,8 @@ def _solve_indels(top_d, mm, pref, ii, jj, pvalid, lengths, budget, lmax: int,
     # shifts are expressed as a one-hot contraction over a static stack
     # of shifted slices — the MXU path; a take_along_axis gather here
     # runs elementwise and dominated the profile.
-    nsh = MAX_MIDDLE_INSERTIONS + 1  # shifts 0..9
-    n_eff = jnp.where(is_del, 0, jnp.clip(nins, 0, MAX_MIDDLE_INSERTIONS))
+    nsh = max_ins + 1  # shifts 0..max_ins
+    n_eff = jnp.where(is_del, 0, jnp.clip(nins, 0, max_ins))
     oh_sh = jax.nn.one_hot(n_eff, nsh, dtype=jnp.float32)  # [B, P, nsh]
 
     pref_pad = jnp.pad(pref_j, ((0, 0), (0, 0), (0, nsh - 1)), mode="edge")
@@ -241,7 +243,7 @@ def _solve_indels(top_d, mm, pref, ii, jj, pvalid, lengths, budget, lmax: int,
 
     # bounds: indel_pos in [4, L-4]; insertions also need s + n <= L - 4
     hi = jnp.where(is_del[:, :, None], L[:, :, None], L[:, :, None] - n)
-    inb = (s >= MIN_INDEL_END_MATCHES) & (s <= hi - MIN_INDEL_END_MATCHES)
+    inb = (s >= min_end) & (s <= hi - min_end)
 
     # pack (mismatch_sum, split) into one sortable key; radix derived
     # from lmax so reads longer than a fixed constant can't corrupt
@@ -689,25 +691,28 @@ def _strand_hits(genome, index, queries, codes, nflags, lengths, conv, alt,
         votes,
         lambda di, dj: (
             ((dj - di).astype(jnp.int32) >= 1)
-            & ((dj - di).astype(jnp.int32) <= MAX_MIDDLE_DELETIONS)
+            & ((dj - di).astype(jnp.int32) <= base.max_middle_deletions)
         )
         | (
             ((di - dj).astype(jnp.int32) >= 1)
-            & ((di - dj).astype(jnp.int32) <= MAX_MIDDLE_INSERTIONS)
+            & ((di - dj).astype(jnp.int32) <= base.max_middle_insertions)
         ),
         params.indel_pairs,
     )
     slots = (base.seed_cap // 8 + 1) * 8  # _seed_diagonals grid layout
     qp5, qp3 = _qpos_ranges(diag, top_d, slots)
     indels = _solve_indels(top_d, mm, pref, ii, jj, pv, lengths, budget,
-                           queries.lmax, qp5=qp5, qp3=qp3)
+                           queries.lmax, qp5=qp5, qp3=qp3,
+                           max_ins=base.max_middle_insertions,
+                           max_del=base.max_middle_deletions,
+                           min_end=base.min_indel_end_matches)
 
     if params.novelsplicing or known is not None:
         si, sj, sv = _select_pairs(
             top_d,
             votes,
             lambda di, dj: ((dj - di) >= jnp.uint32(1))
-            & ((dj - di) <= jnp.uint32(SHORTSPLICEDIST)),
+            & ((dj - di) <= jnp.uint32(base.shortsplicedist)),
             params.splice_pairs,
         )
         splices = _solve_splices(
@@ -715,7 +720,7 @@ def _strand_hits(genome, index, queries, codes, nflags, lengths, conv, alt,
             novel=params.novelsplicing, known=known,
         )
         ti, tm, tj, tv = _select_triples(
-            top_d, votes, SHORTSPLICEDIST, params.shortexon_triples)
+            top_d, votes, base.shortsplicedist, params.shortexon_triples)
         shortex = _solve_doublesplices(
             genome, top_d, pref, ti, tm, tj, tv, lengths, budget,
             queries.lmax, novel=params.novelsplicing, known=known,
@@ -758,9 +763,9 @@ def _strand_hits(genome, index, queries, codes, nflags, lengths, conv, alt,
     shx_nmm = shortex["nmm1"] + shortex["nmm2"] + shortex["nmm3"]
     score = cat(
         nmm_sub,
-        jnp.where(indels["valid"], ind_nmm + INDEL_PENALTY_MIDDLE, BIG_NMM),
-        jnp.where(splices["valid"], spl_nmm + LOCALSPLICING_PENALTY, BIG_NMM),
-        jnp.where(shortex["valid"], shx_nmm + 2 * LOCALSPLICING_PENALTY,
+        jnp.where(indels["valid"], ind_nmm + base.indel_penalty_middle, BIG_NMM),
+        jnp.where(splices["valid"], spl_nmm + base.localsplicing_penalty, BIG_NMM),
+        jnp.where(shortex["valid"], shx_nmm + 2 * base.localsplicing_penalty,
                   BIG_NMM),
     )
     nmm = cat(jnp.where(nmm_sub < BIG_NMM, nmm_sub, 0), ind_nmm, spl_nmm,

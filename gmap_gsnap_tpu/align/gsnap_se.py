@@ -97,6 +97,26 @@ class GsnapParams:
     mode: str = "standard"     # standard | cmet-stranded | atoi-stranded
     snp_tolerant: bool = False # verify against ref AND alt genomes
 
+    # scoring/window knobs, defaults = gsnap.c:83-212 (all static: part
+    # of the jit cache key, so changing one recompiles once)
+    indel_penalty_middle: int = 2       # gsnap.c:185 (-i)
+    indel_penalty_end: int = 2          # gsnap.c:186 (-i)
+    min_indel_end_matches: int = 4      # gsnap.c:193 (--indel-endlength)
+    max_middle_insertions: int = 9      # gsnap.c:189 (-y)
+    max_middle_deletions: int = 30      # gsnap.c:190 (-z)
+    max_end_insertions: int = 3         # gsnap.c:191 (-Y)
+    max_end_deletions: int = 6          # gsnap.c:192 (-Z)
+    localsplicing_penalty: int = 0      # gsnap.c:196 (-e)
+    distantsplicing_penalty: int = 1    # gsnap.c:197 (-E)
+    min_distant_end_matches: int = 16   # gsnap.c:198 (-K)
+    min_shortend: int = 2               # gsnap.c:200 (-l)
+    shortsplicedist: int = 200_000      # gsnap.c:194 (-w)
+    pairmax_dna: int = 1_000            # gsnap.c:162 (--pairmax-dna)
+    pairmax_rna: int = 200_000          # gsnap.c:163 (--pairmax-rna)
+    terminal_threshold: int = 2         # gsnap.c:182
+    trim_mismatch_score: int = -3       # gsnap.c:146
+    trim_indel_score: int = -4          # gsnap.c:147
+
 
 def _extract_oligos(codes: jax.Array, nflags: jax.Array, lengths: jax.Array, k: int):
     """Pack every k-mer of each read MSB-first.  codes uint8[B, L].

@@ -313,7 +313,10 @@ INDEL_PENALTY_END = 2
 
 
 def compute_end_indels_left(long_desc, shift_of, breakpoint: int, L: int,
-                            max_mm_short: int):
+                            max_mm_short: int,
+                            min_end: int = MIN_INDEL_END_MATCHES,
+                            max_end_ins: int = MAX_END_INSERTIONS,
+                            max_end_del: int = MAX_END_DELETIONS):
     """compute_end_indels_left (stage1hr.c:5259, non-OLD branch).
 
     long_desc: DESCENDING mismatch positions of the full read at the
@@ -322,9 +325,8 @@ def compute_end_indels_left(long_desc, shift_of, breakpoint: int, L: int,
     descending and ties overridden (<=), so deletions and smaller seps
     win ties (genomic-low preference).  Returns (indel_pos, indels,
     nmm_longcont, nmm_shift) or None."""
-    min_end = MIN_INDEL_END_MATCHES
-    max_ins = MAX_END_INSERTIONS
-    max_del = MAX_END_DELETIONS
+    max_ins = max_end_ins
+    max_del = max_end_del
     if max_ins > breakpoint - min_end:
         max_ins = breakpoint - min_end
     best = [None, 250]  # (result, best_sum)
@@ -384,16 +386,18 @@ def compute_end_indels_left(long_desc, shift_of, breakpoint: int, L: int,
 
 
 def compute_end_indels_right(long_asc, shift_of, breakpoint: int, L: int,
-                             max_mm_short: int):
+                             max_mm_short: int,
+                             min_end: int = MIN_INDEL_END_MATCHES,
+                             max_end_ins: int = MAX_END_INSERTIONS,
+                             max_end_del: int = MAX_END_DELETIONS):
     """compute_end_indels_right (stage1hr.c:4819, non-OLD branch).
 
     long_asc: ASCENDING mismatch positions at the main diagonal.
     shift_of(delta) -> DESCENDING mismatch positions at left+delta.
     Deletions first with sep ascending and strict (<) comparisons, so
     the FIRST best wins (genomic-low preference on the high side)."""
-    min_end = MIN_INDEL_END_MATCHES
-    max_ins = MAX_END_INSERTIONS
-    max_del = MAX_END_DELETIONS
+    max_ins = max_end_ins
+    max_del = max_end_del
     length1 = L - breakpoint
     if max_del > length1 - min_end:
         max_del = length1 - min_end

@@ -40,7 +40,6 @@ from .gsnap_gapped import (
     KIND_INS,
     KIND_SPLICE,
     KIND_SUB,
-    SHORTSPLICEDIST,
 )
 
 MAX_QUALITY_SCORE = 40
@@ -394,6 +393,7 @@ class GsnapRunner:
         self._gmap_rows: set = set()
         self._gmap_row = -1
         self.pe_fast = True  # vectorized PE SAM fast path (tests may disable)
+        self.quiet_if_excessive = False  # gsnap -Q (quiet_if_excessive_p)
         self._categories: dict = {}
         self.batch_times: list = []
         mode = self.params.mode
@@ -713,10 +713,10 @@ class GsnapRunner:
         # end trimming: outer ends only (substring.c trim_left_p /
         # trim_right_p are false at indel/splice inner ends)
         if kind == KIND_SUB:
-            trim5, trim3 = trim_ends(masks[0])
+            trim5, trim3 = trim_ends(masks[0], self.params.trim_mismatch_score)
         else:
-            trim5 = trim_ends(masks[0])[0]
-            trim3 = trim_ends(masks[-1])[1]
+            trim5 = trim_ends(masks[0], self.params.trim_mismatch_score)[0]
+            trim3 = trim_ends(masks[-1], self.params.trim_mismatch_score)[1]
             trim5 = min(trim5, len(masks[0]) - 1)
             trim3 = min(trim3, len(masks[-1]) - 1)
 
@@ -853,7 +853,7 @@ class GsnapRunner:
         from . import rescue
 
         L = len(rec.seq)
-        max_mm = done - rescue.INDEL_PENALTY_END
+        max_mm = done - self.params.indel_penalty_end
         if max_mm < 0:
             return []
         k, iv = self.db.k, self.db.interval
@@ -892,10 +892,13 @@ class GsnapRunner:
                 r = rescue.compute_end_indels_left(
                     long_desc,
                     lambda d: list(np.flatnonzero(mask(left + d))),
-                    breakpoint, L, max_mm - i + 1)
+                    breakpoint, L, max_mm - i + 1,
+                    min_end=self.params.min_indel_end_matches,
+                    max_end_ins=self.params.max_end_insertions,
+                    max_end_del=self.params.max_end_deletions)
                 if r is not None:
                     pos, indels, nmm_lc, nmm_sh = r
-                    score = nmm_lc + nmm_sh + rescue.INDEL_PENALTY_END
+                    score = nmm_lc + nmm_sh + self.params.indel_penalty_end
                     if indels > 0:
                         d = self._hit_details(
                             rec, KIND_INS, left + indels, left, pos,
@@ -921,10 +924,13 @@ class GsnapRunner:
                 r = rescue.compute_end_indels_right(
                     long_asc,
                     lambda d: list(np.flatnonzero(mask(left - d))[::-1]),
-                    breakpoint, L, max_mm - i + 1)
+                    breakpoint, L, max_mm - i + 1,
+                    min_end=self.params.min_indel_end_matches,
+                    max_end_ins=self.params.max_end_insertions,
+                    max_end_del=self.params.max_end_deletions)
                 if r is not None:
                     pos, indels, nmm_lc, nmm_sh = r
-                    score = nmm_lc + nmm_sh + rescue.INDEL_PENALTY_END
+                    score = nmm_lc + nmm_sh + self.params.indel_penalty_end
                     if indels > 0:
                         d = self._hit_details(
                             rec, KIND_INS, left, left - indels, pos,
@@ -1022,11 +1028,11 @@ class GsnapRunner:
                     if side == "L":
                         p0 = int(np.searchsorted(partners, c + 1))
                         p1 = int(np.searchsorted(
-                            partners, c + SHORTSPLICEDIST, "right"))
+                            partners, c + self.params.shortsplicedist, "right"))
                         cand = partners[p0:p1]
                     else:
                         p0 = int(np.searchsorted(
-                            partners, c - SHORTSPLICEDIST))
+                            partners, c - self.params.shortsplicedist))
                         p1 = int(np.searchsorted(partners, c))
                         cand = partners[p0:p1]
                     best_mm, best = None, []
@@ -1046,7 +1052,8 @@ class GsnapRunner:
                             best.append(a)
                     if best_mm is None:
                         continue
-                    if endlength >= 2 and len(best) == 1:
+                    if (endlength >= self.params.min_shortend
+                            and len(best) == 1):
                         a = best[0]
                         if side == "L":
                             l1, rdiag = left, a - sp
@@ -1070,11 +1077,11 @@ class GsnapRunner:
                         # soft-clipped, amb_nmatches credited
                         amb = endlength - best_mm
                         if side == "L":
-                            t5, _ = trim_ends(mm_sel[:sp])
+                            t5, _ = trim_ends(mm_sel[:sp], self.params.trim_mismatch_score)
                             t3 = endlength
                         else:
                             t5 = endlength
-                            _, t3 = trim_ends(mm_sel[sp:])
+                            _, t3 = trim_ends(mm_sel[sp:], self.params.trim_mismatch_score)
                         key = (left, sp, side, plusp, "amb")
                         if key in seen_hit:
                             continue
@@ -1116,14 +1123,17 @@ class GsnapRunner:
 
         mm_sel = self._cand_mm_fn(rec, hits, row, L)
 
-        max_mm = done - distant_mod.DISTANT_PENALTY
+        max_mm = done - self.params.distantsplicing_penalty
         ends = distant_mod.find_spliceends(
             diags, mm_sel, L, self._genome_str,
             self.db.codes, max_mm, self.db.k)
         pairs = distant_mod.find_pairs(
-            ends, L, max_mm, SHORTSPLICEDIST,
+            ends, L, max_mm, self.params.shortsplicedist,
             chrnum_of=lambda left: int(np.searchsorted(
-                self.db.chr_ends, left, side="right")))
+                self.db.chr_ends, left, side="right")),
+            distant_penalty=self.params.distantsplicing_penalty,
+            local_penalty=self.params.localsplicing_penalty,
+            min_end_matches=self.params.min_distant_end_matches)
 
         qual = rec.quality if rec.quality else None
         g = self._genome_str
@@ -1287,7 +1297,7 @@ class GsnapRunner:
             self._gmap_collect.append(rec)
             self._gmap_rows.add(self._gmap_row)
             return None
-        max_il = SHORTSPLICEDIST if self.splicing_on else 30
+        max_il = self.params.shortsplicedist if self.splicing_on else 30
         path = gmap_mod.align_cdna(self.db, rec.seq, max_intronlen=max_il,
                                    extend_ends=True)
         hit = self._gmap_path_to_hit(rec, path)
@@ -1306,7 +1316,7 @@ class GsnapRunner:
                 todo.append(r)
         if not todo:
             return
-        max_il = SHORTSPLICEDIST if self.splicing_on else 30
+        max_il = self.params.shortsplicedist if self.splicing_on else 30
         paths = gmap_mod.align_cdna_batch(
             self.db, [r.seq for r in todo], max_intronlen=max_il,
             extend_ends=True)
@@ -1423,7 +1433,7 @@ class GsnapRunner:
             for qp in range(qs, qe):
                 if qp in mset:
                     mmvec[off + qp - qs] = True
-        tg5, tg3 = trim_ends(mmvec)
+        tg5, tg3 = trim_ends(mmvec, self.params.trim_mismatch_score)
         post = covered - tg5 - tg3 - int(
             mmvec[tg5 : covered - tg3].sum())
         d = PostHit(path.gstart - path.qstart, path.watsonp, t5, t3, nm,
@@ -1459,7 +1469,7 @@ class GsnapRunner:
         # 6. end indels (host lane; the device covers middle indels)
         end_used = set()
         end_found = False
-        if done >= rescue.INDEL_PENALTY_END:
+        if done >= self.params.indel_penalty_end:
             for h, score, anchor in self._end_indel_hits(rec, hits, row, done):
                 if score > done:
                     continue
@@ -1483,7 +1493,7 @@ class GsnapRunner:
         from . import distant as distant_mod
 
         if (n == 0 and not end_found and self.splicing_on
-                and done > distant_mod.DISTANT_PENALTY):
+                and done > self.params.distantsplicing_penalty):
             dh = self._distant_hits(rec, hits, row, done)
             if dh:
                 hhits.extend(dh)
@@ -1499,7 +1509,7 @@ class GsnapRunner:
                 gmap_cache[1] = self._gmap_hosthit(rec)
             return gmap_cache[1]
 
-        if done >= rescue.TERMINAL_THRESHOLD:
+        if done >= self.params.terminal_threshold:
             mm_fn = self._cand_mm_fn(rec, hits, row, L)
 
             # every reported hit marks its diagonals usedp on the
@@ -1539,7 +1549,7 @@ class GsnapRunner:
                 # _with_gmap windows of hit +- (shortsplicedist +
                 # querylength)); a global alignment outside every
                 # anchor window would not have been found
-                win = (SHORTSPLICEDIST if self.splicing_on else 0) + 2 * L
+                win = (self.params.shortsplicedist if self.splicing_on else 0) + 2 * L
                 if g is not None and any(
                     g.nmatches > t.nmatches
                     and abs(int(g.d.left) - int(t.d.left)) <= win
@@ -1550,7 +1560,7 @@ class GsnapRunner:
         if not hhits:
             return []
 
-        win = (SHORTSPLICEDIST if self.splicing_on else 0) + 2 * L
+        win = (self.params.shortsplicedist if self.splicing_on else 0) + 2 * L
 
         def gmap_for_anchor(anchor):
             g = gmap_once()
@@ -1598,6 +1608,11 @@ class GsnapRunner:
     def sam_records(self, rec: Record, hits, row: int, npaths,
                     maxpaths: int = 100) -> str:
         qual = rec.quality if rec.quality else None
+        if self.quiet_if_excessive and int(npaths) > maxpaths:
+            # -Q: excessive multimappers print as nomapping
+            # (gsnap.c quiet_if_excessive_p)
+            self._categories[self._cat_key(row)] = "nomapping"
+            return sam.se_record(rec.label, rec.seq.upper(), qual, None)
         final = self._rescued_hits(rec, hits, row, npaths, maxpaths)
         self._categories[self._cat_key(row)] = self._se_category(final)
         if not final:
@@ -1784,7 +1799,7 @@ class GsnapRunner:
         c5, f5, l5, b = self._shard(c5, f5, l5)
         c3, f3, l3, _ = self._shard(c3, f3, l3)
         # RNA pairmax when any splicing is enabled (gsnap.c pairmax_rna)
-        pairmax = gsnap_pe.PAIRMAX_RNA if self.splicing_on else gsnap_pe.PAIRMAX_DNA
+        pairmax = self._pairmax()
         params = gsnap_pe.PEParams(gapped=self.gapped_params, pairmax=pairmax)
         res = gsnap_pe.align_batch_pe(
             self.genome, self.index,
@@ -1879,8 +1894,7 @@ class GsnapRunner:
             self.params, seed_cap=self.params.size_threshold,
             ncand=min(4 * self.params.ncand, 128))
         gp = dataclasses.replace(self.gapped_params, base=base)
-        pairmax = (gsnap_pe.PAIRMAX_RNA if self.splicing_on
-                   else gsnap_pe.PAIRMAX_DNA)
+        pairmax = self._pairmax()
         params = gsnap_pe.PEParams(gapped=gp, pairmax=pairmax)
         c5, f5, l5 = encode_batch(recs5, self.lmax)
         c3, f3, l3 = encode_batch(recs3_inv, self.lmax)
@@ -1891,6 +1905,12 @@ class GsnapRunner:
             index_minus=self.index_minus, alt=self.alt, known=self.known)
         compact = gsnap_pe.compact_pe(res, PAIR_KTOP)
         return self._pack_tree(compact), res, b
+
+    def _pairmax(self) -> int:
+        """pairmax_rna when splicing is on, else pairmax_dna
+        (gsnap.c:2105-2110)."""
+        return (self.params.pairmax_rna if self.splicing_on
+                else self.params.pairmax_dna)
 
     def _cat_row(self, j: int) -> None:
         """Record the GLOBAL chunk row about to emit — resulttype
@@ -1978,8 +1998,8 @@ class GsnapRunner:
         f5 = self._rescued_hits(rec5, e5, row, int(e5["npaths"][row]), maxp)
         f3 = self._rescued_hits(rec3_inv, e3, row, int(e3["npaths"][row]),
                                 maxp)
-        pairmax = gsnap_pe.PAIRMAX_RNA if self.splicing_on else gsnap_pe.PAIRMAX_DNA
-        window = pairmax + SHORTSPLICEDIST
+        pairmax = self._pairmax()
+        window = pairmax + self.params.shortsplicedist
 
         def gmap_for(rec, anchors, is5):
             # pairsearch/halfmapping GMAP anchored near the mate's hits
@@ -2276,7 +2296,7 @@ class GsnapRunner:
             mm_sel = mm_ref & (qb != ab)
         else:
             mm_sel = mm_ref
-        trim5, trim3 = trim_ends_batch(mm_sel)
+        trim5, trim3 = trim_ends_batch(mm_sel, self.params.trim_mismatch_score)
         ar = np.arange(L)[None, :]
         span = (ar >= trim5[:, None]) & (ar < (L - trim3)[:, None])
         mm_span = mm_ref & span
@@ -2533,6 +2553,19 @@ class GsnapRunner:
         qual5 = rec5.quality or None
         qual3i = rec3_inv.quality or None
         out = []
+        if self.quiet_if_excessive and npairs > self.params.maxpaths:
+            self._categories[self._cat_key(row)] = "nomapping"
+            q3o = rec3_orig.quality or None
+            flag5 = self._pair_flag(True, True, True, False, True,
+                                    proper=False, mate_mapped=False,
+                                    mapped=False)
+            flag3 = self._pair_flag(True, True, False, True, False,
+                                    proper=False, mate_mapped=False,
+                                    mapped=False)
+            return (sam.pe_record(rec5.label, rec5.seq.upper(), qual5,
+                                  flag5, None)
+                    + sam.pe_record(rec3_orig.label, rec3_orig.seq.upper(),
+                                    q3o, flag3, None))
 
         conc_dev = bool(res["pair_concordant"][row])
         rpairs = rconc = f5 = f3 = None
@@ -2681,7 +2714,8 @@ class GsnapRunner:
                     flag = self._pair_flag(
                         d.plusp, mplus, first, inv, minv, proper=False,
                         mate_mapped=mate_mapped,
-                    ) | (sam.FLAG_SECONDARY if hi_ > 0 else 0)
+                    ) | (sam.FLAG_SECONDARY if hi_ > 0
+                        and not sam.MULTIPLE_PRIMARIES else 0)
                     cigar = (
                         (f"{d.trim5}S" if d.trim5 else "")
                         + d.cigar_core
@@ -2972,7 +3006,7 @@ class GsnapRunner:
             done_a = self._se_done_level(chunk, res)
             if fmt == "sam":
                 need_full = ((np_a == 0) | (np_a > PAIR_KTOP)
-                             | (done_a >= rescue_mod.INDEL_PENALTY_END)
+                             | (done_a >= self.params.indel_penalty_end)
                              | (self._known_sites is not None))
             else:
                 need_full = np.ones(len(chunk), bool)
@@ -3021,7 +3055,7 @@ class GsnapRunner:
                     wi = wide_row[j]
                     if fmt == "sam":
                         wneed_by_j[j] = (wn[wi] == 0 or wn[wi] > PAIR_KTOP
-                                         or wdone[t] >= rescue_mod.INDEL_PENALTY_END
+                                         or wdone[t] >= self.params.indel_penalty_end
                                          or self._known_sites is not None)
                     else:
                         wneed_by_j[j] = True

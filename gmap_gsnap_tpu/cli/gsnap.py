@@ -20,6 +20,44 @@ def main(argv=None) -> int:
     p.add_argument("-A", "--format", default="sam", choices=["sam", "gsnap"],
                    help="output format (sam, or the gsnap native format)")
     p.add_argument("-m", "--max-mismatches", type=float, default=-1)
+    p.add_argument("-i", "--indel-penalty", type=int, default=2,
+                   help="penalty for an indel (sets middle AND end, "
+                        "gsnap.c:185-186)")
+    p.add_argument("--indel-endlength", type=int, default=4,
+                   help="min matches flanking an indel (gsnap.c:193)")
+    p.add_argument("-y", "--max-middle-insertions", type=int, default=9)
+    p.add_argument("-z", "--max-middle-deletions", type=int, default=30)
+    p.add_argument("-Y", "--max-end-insertions", type=int, default=3)
+    p.add_argument("-Z", "--max-end-deletions", type=int, default=6)
+    p.add_argument("-w", "--localsplicedist", type=int, default=200_000,
+                   help="max length for local splice (gsnap.c:194)")
+    p.add_argument("-e", "--local-splice-penalty", type=int, default=0)
+    p.add_argument("-E", "--distant-splice-penalty", type=int, default=1)
+    p.add_argument("-K", "--distant-splice-endlength", type=int, default=16)
+    p.add_argument("-l", "--shortend-splice-endlength", type=int, default=2)
+    p.add_argument("--pairmax-dna", type=int, default=1_000,
+                   help="max concordant insert, DNA mode (gsnap.c:162)")
+    p.add_argument("--pairmax-rna", type=int, default=200_000,
+                   help="max concordant insert, RNA mode (gsnap.c:163)")
+    p.add_argument("--terminal-threshold", type=int, default=2)
+    p.add_argument("--trim-mismatch-score", type=int, default=-3,
+                   help="score for end trimming; 0 disables "
+                        "(gsnap.c:146)")
+    p.add_argument("-k", "--kmer", type=int, default=0,
+                   help="required index k-mer size (default: largest "
+                        "available)")
+    p.add_argument("--sampling", type=int, default=0,
+                   help="required index sampling interval")
+    p.add_argument("--basesize", type=int, default=0,
+                   help="required index offsets basesize")
+    p.add_argument("--sam-use-0M", action="store_true",
+                   help="insert 0M between adjacent gap CIGAR ops "
+                        "(Picard compat, samprint.c)")
+    p.add_argument("--sam-multiple-primaries", action="store_true",
+                   help="do not mark multimappers secondary (0x100)")
+    p.add_argument("--no-sam-headers", action="store_true")
+    p.add_argument("-Q", "--quiet-if-excessive", action="store_true",
+                   help="print reads exceeding --npaths as nomapping")
     p.add_argument("--mode", default="standard",
                    choices=["standard", "cmet-stranded", "atoi-stranded"])
     p.add_argument("-v", "--use-snps", default=None,
@@ -89,7 +127,10 @@ def main(argv=None) -> int:
 
     jaxenv.enable_compilation_cache()
 
-    db = GenomeDB.open(args.dir if args.dir.endswith(args.db) else f"{args.dir}/{args.db}", args.db)
+    db = GenomeDB.open(
+        args.dir if args.dir.endswith(args.db) else f"{args.dir}/{args.db}",
+        args.db, required_k=args.kmer, required_interval=args.sampling,
+        required_basesize=args.basesize)
     paired = len(args.input) == 2
     if paired:
         records5 = list(fasta.read_seqfile(args.input[0]))
@@ -169,12 +210,33 @@ def main(argv=None) -> int:
             records = [r for r in records if not _flagged(r)]
 
     mm = int(args.max_mismatches) if args.max_mismatches >= 0 else -1
-    params = gsnap_se.GsnapParams(maxpaths=args.npaths, max_mismatches=mm,
-                                  mode=args.mode,
-                                  subopt_levels=args.suboptimal_levels)
+    params = gsnap_se.GsnapParams(
+        maxpaths=args.npaths, max_mismatches=mm, mode=args.mode,
+        subopt_levels=args.suboptimal_levels,
+        indel_penalty_middle=args.indel_penalty,
+        indel_penalty_end=args.indel_penalty,
+        min_indel_end_matches=args.indel_endlength,
+        max_middle_insertions=args.max_middle_insertions,
+        max_middle_deletions=args.max_middle_deletions,
+        max_end_insertions=args.max_end_insertions,
+        max_end_deletions=args.max_end_deletions,
+        localsplicing_penalty=args.local_splice_penalty,
+        distantsplicing_penalty=args.distant_splice_penalty,
+        min_distant_end_matches=args.distant_splice_endlength,
+        min_shortend=args.shortend_splice_endlength,
+        shortsplicedist=args.localsplicedist,
+        pairmax_dna=args.pairmax_dna,
+        pairmax_rna=args.pairmax_rna,
+        terminal_threshold=args.terminal_threshold,
+        trim_mismatch_score=args.trim_mismatch_score,
+    )
     r = runner_mod.GsnapRunner(db, params, lmax=lmax, snpsdb=args.use_snps,
                                novelsplicing=bool(args.novelsplicing),
                                splicesdb=args.use_splicing)
+    r.quiet_if_excessive = args.quiet_if_excessive
+    sam_mod0 = __import__("gmap_gsnap_tpu.io.sam", fromlist=["sam"])
+    sam_mod0.INSERT_0M = args.sam_use_0M
+    sam_mod0.MULTIPLE_PRIMARIES = args.sam_multiple_primaries
 
     from ..io import outbuffer, sam as sam_mod
 
@@ -207,12 +269,13 @@ def main(argv=None) -> int:
     import time
 
     t0 = time.time()
+    hdr = not args.no_sam_headers
     if paired:
         n = r.run_pe(records5, records3, sys.stdout, batch_size=args.batch_size,
-                     fmt=args.format, router=router)
+                     fmt=args.format, router=router, emit_header=hdr)
     else:
         n = r.run(records, sys.stdout, batch_size=args.batch_size,
-                  fmt=args.format, router=router)
+                  fmt=args.format, router=router, emit_header=hdr)
     dt = time.time() - t0
     if router is not None:
         router.close()

@@ -50,7 +50,9 @@ class GenomeDB:
         return indexdb.read_positions(self.index_files["positions"])
 
     @classmethod
-    def open(cls, dbdir: str, dbname: str | None = None, idx_prefix: str = "ref") -> "GenomeDB":
+    def open(cls, dbdir: str, dbname: str | None = None, idx_prefix: str = "ref",
+             required_k: int = 0, required_interval: int = 0,
+             required_basesize: int = 0) -> "GenomeDB":
         if dbname is None:
             dbname = os.path.basename(dbdir.rstrip("/"))
         # allow -D dir -d db layout where files live in dir/db/db.*
@@ -72,7 +74,10 @@ class GenomeDB:
 
         codes, flags = genomecomp.read(base, genome_len)
 
-        files = indexdb.index_filenames(dbdir, dbname, idx_prefix)
+        files = indexdb.index_filenames(
+            dbdir, dbname, idx_prefix, required_k=required_k,
+            required_interval=required_interval,
+            required_basesize=required_basesize)
         k = interval = basesize = 0
         if files is not None:
             k, interval, basesize = files["k"], files["interval"], files["basesize"]

@@ -231,7 +231,8 @@ def read_offsets_flat(path: str) -> np.ndarray:
 # ----------------------------------------------------------------- file names
 
 def index_filenames(dbdir: str, dbname: str, idx_prefix: str = "ref",
-                    snps_suffix: str = ""):
+                    snps_suffix: str = "", required_k: int = 0,
+                    required_interval: int = 0, required_basesize: int = 0):
     """Discover index files like Indexdb_get_filenames (src/indexdb.c:255-
     440).  Naming (gmapindex.c:1028-1127): offsets are
     ``<db>.<prefix><BB><KK><Q>{gammaptrs,offsetscomp}`` (gammaptrs absent
@@ -248,6 +249,12 @@ def index_filenames(dbdir: str, dbname: str, idx_prefix: str = "ref",
         m = pat.match(fn)
         if m:
             bb, kk, q = int(m.group(1)), int(m.group(2)), int(m.group(3))
+            if required_k and kk != required_k:
+                continue
+            if required_interval and q != required_interval:
+                continue
+            if required_basesize and bb != required_basesize:
+                continue
             if best is None or kk > best[1]:
                 best = (bb, kk, q)
     if best is None:

@@ -23,6 +23,26 @@ FLAG_SECONDARY = 0x100
 
 _COMP = str.maketrans("ACGTNacgtn", "TGCANtgcan")
 
+# output-option globals, mirroring the reference's static config
+# (gsnap.c sam_insert_0M_p / sam_multiple_primaries_p)
+INSERT_0M = False           # --sam-use-0M
+MULTIPLE_PRIMARIES = False  # --sam-multiple-primaries
+
+
+def insert_0M(cigar: str) -> str:
+    """Insert a 0M token between adjacent gap-type CIGAR ops (I/D/N),
+    which some downstream tools (Picard) require — samprint.c
+    print_cigar with sam_insert_0M_p."""
+    import re as _re
+
+    ops = _re.findall(r"(\d+)([MIDNSH])", cigar)
+    out = []
+    for i, (n, op) in enumerate(ops):
+        if i and ops[i - 1][1] in "IDN" and op in "IDN":
+            out.append("0M")
+        out.append(n + op)
+    return "".join(out)
+
 
 def revcomp(seq: str) -> str:
     return seq.translate(_COMP)[::-1]
@@ -184,7 +204,7 @@ def pe_record(
         hit.chrname,
         str(hit.chrpos),
         str(hit.mapq),
-        hit.cigar,
+        insert_0M(hit.cigar) if INSERT_0M else hit.cigar,
         rnext, str(pnext), str(tlen),
         out_seq,
         out_qual,
@@ -225,7 +245,7 @@ def se_record(
         flag |= FLAG_REVCOMP
         out_seq = revcomp(seq)
         out_qual = out_qual[::-1] if qual else "*"
-    if secondary:
+    if secondary and not MULTIPLE_PRIMARIES:
         flag |= FLAG_SECONDARY
 
     fields = [
@@ -234,7 +254,7 @@ def se_record(
         hit.chrname,
         str(hit.chrpos),
         str(hit.mapq),
-        hit.cigar,
+        insert_0M(hit.cigar) if INSERT_0M else hit.cigar,
         "*", "0", "0",
         out_seq,
         out_qual,

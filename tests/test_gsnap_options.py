@@ -1,0 +1,156 @@
+"""Option-surface parity: non-default scoring/window knobs must change
+behavior the same way the reference binary's flags do (gsnap.c:343-482),
+byte-compared on SAM output."""
+
+import os
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+ORACLE_GSNAP = "/tmp/refbuild/src/gsnap"
+ORACLE_DB = "/tmp/refbuild/trytest/gdb"
+REPO = pathlib.Path(__file__).resolve().parent.parent
+FIXTURE = "/root/reference/tests/ss.chr17test"
+
+needs_oracle = pytest.mark.skipif(
+    not (os.path.exists(ORACLE_GSNAP) and os.path.isdir(ORACLE_DB)),
+    reason="reference oracle binaries not built",
+)
+
+
+def _genome_seq():
+    return "".join(
+        l.strip() for l in open(FIXTURE) if not l.startswith(">")
+    ).upper()
+
+
+def _rc(s):
+    return s.translate(str.maketrans("ACGT", "TGCA"))[::-1]
+
+
+def _run_both(extra, fastqs):
+    ref = subprocess.run(
+        [ORACLE_GSNAP, "-D", ORACLE_DB, "-d", "chr17test", "--format=sam"]
+        + extra + [str(f) for f in fastqs],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=str(REPO))
+    mine = subprocess.run(
+        [sys.executable, "-m", "gmap_gsnap_tpu.cli.gsnap", "-D", ORACLE_DB,
+         "-d", "chr17test"] + extra + [str(f) for f in fastqs],
+        capture_output=True, text=True, env=env, check=True,
+    ).stdout
+    ref_l = [l for l in ref.splitlines() if not l.startswith("@")]
+    my_l = [l for l in mine.splitlines() if not l.startswith("@")]
+    return ref_l, my_l
+
+
+@needs_oracle
+def test_max_middle_indel_limits(tmp_path):
+    """-y/-z caps: a 6 bp insertion read aligns with default -y 9 but
+    must lose its indel solution at -y 3 — both engines byte-equal in
+    both configurations."""
+    seq = _genome_seq()
+    p = 60000
+    ins_read = seq[p : p + 47] + "ACGTAC" + seq[p + 47 : p + 94]
+    del_read = seq[p + 5000 : p + 5050] + seq[p + 5058 : p + 5108]
+    fq = tmp_path / "i.fq"
+    with open(fq, "w") as f:
+        for i, r in enumerate([ins_read, del_read]):
+            f.write(f"@i{i}\n{r}\n+\n{'I' * len(r)}\n")
+    for extra in ([], ["-y", "3", "-z", "4"]):
+        ref_l, my_l = _run_both(extra, [fq])
+        assert ref_l == my_l, extra
+
+
+@needs_oracle
+def test_indel_penalty(tmp_path):
+    """-i raises the indel penalty so a mismatch solution outranks a
+    short-deletion solution."""
+    seq = _genome_seq()
+    p = 70000
+    del_read = seq[p : p + 50] + seq[p + 51 : p + 101]  # 1 bp deletion
+    fq = tmp_path / "p.fq"
+    with open(fq, "w") as f:
+        f.write(f"@d0\n{del_read}\n+\n{'I' * len(del_read)}\n")
+    for extra in ([], ["-i", "5"]):
+        ref_l, my_l = _run_both(extra, [fq])
+        assert ref_l == my_l, extra
+
+
+@needs_oracle
+def test_pairmax_dna(tmp_path):
+    """--pairmax-dna: a 900 bp-insert pair is concordant by default but
+    must classify TOOLONG at --pairmax-dna 400."""
+    seq = _genome_seq()
+    p = 40000
+    r1 = seq[p : p + 100]
+    r2 = _rc(seq[p + 800 : p + 900])
+    fq1, fq2 = tmp_path / "m_1.fq", tmp_path / "m_2.fq"
+    with open(fq1, "w") as f:
+        f.write(f"@m0\n{r1}\n+\n{'I' * 100}\n")
+    with open(fq2, "w") as f:
+        f.write(f"@m0\n{r2}\n+\n{'I' * 100}\n")
+    for extra in ([], ["--pairmax-dna", "400"]):
+        ref_l, my_l = _run_both(extra, [fq1, fq2])
+        assert ref_l == my_l, extra
+
+
+@needs_oracle
+def test_localsplicedist(tmp_path):
+    """-w: a spliced read with a ~2.5 kb intron aligns with -N1 but the
+    splice must be rejected at -w 1000."""
+    import numpy as np
+
+    from gmap_gsnap_tpu.db import build
+    from gmap_gsnap_tpu.ops import maxent
+
+    g = build.load_genome_fasta([FIXTURE])
+    seq = _genome_seq()
+    pos = np.arange(100, len(seq) - 100)
+    dp = maxent.splice_prob_np(g.codes, pos, "donor")
+    ap = maxent.splice_prob_np(g.codes, pos, "acceptor")
+    dsites = pos[dp > 0.97]
+    asites = pos[ap > 0.97]
+    read = None
+    for d in dsites:
+        k = np.searchsorted(asites, d + 1500)
+        if k < len(asites) and asites[k] <= d + 5000:
+            a = int(asites[k])
+            read = seq[int(d) - 50 : int(d)] + seq[a : a + 50]
+            break
+    assert read is not None
+    fq = tmp_path / "w.fq"
+    with open(fq, "w") as f:
+        f.write(f"@w0\n{read}\n+\n{'I' * len(read)}\n")
+    for extra in (["-N", "1"], ["-N", "1", "-w", "1000"]):
+        ref_l, my_l = _run_both(extra, [fq])
+        assert ref_l == my_l, extra
+
+
+@needs_oracle
+def test_trim_mismatch_score(tmp_path):
+    """--trim-mismatch-score 0 disables end trimming; -5 trims more
+    aggressively."""
+    seq = _genome_seq()
+    p = 30000
+    r = seq[p : p + 100]
+    r = "".join("ACGT"[(ord(c) + 1) % 4] for c in r[:5]) + r[5:]
+    fq = tmp_path / "t.fq"
+    with open(fq, "w") as f:
+        f.write(f"@t0\n{r}\n+\n{'I' * 100}\n")
+    for extra in ([], ["--trim-mismatch-score", "0"],
+                  ["--trim-mismatch-score", "-5"]):
+        ref_l, my_l = _run_both(extra, [fq])
+        assert ref_l == my_l, extra
+
+
+def test_sam_use_0M_insertion():
+    from gmap_gsnap_tpu.io import sam
+
+    assert sam.insert_0M("50M3I47M") == "50M3I47M"
+    assert sam.insert_0M("10M3I2D85M") == "10M3I0M2D85M"
+    assert sam.insert_0M("10M100N3D87M") == "10M100N0M3D87M"
+    assert sam.insert_0M("5S10M2I100N83M") == "5S10M2I0M100N83M"
