@@ -1011,10 +1011,19 @@ class GsnapRunner:
                     continue
                 if not plusp and (id(bnd), side, sense) in minus_skip:
                     continue
+                # per-site observed intron distances (splicedists):
+                # partners within the boundary site's observed distance
+                # pay no penalty; partners beyond it (but within
+                # shortsplicedist) pay OBSMAX_PENALTY=1 — the
+                # obs/max trie pair of Splicetrie_find_left/right
+                # (splicetrie.c:1910,2002-2050)
+                bnd_dists = (sites.dists_for(bnd)
+                             if sites.distances_observed else None)
+                ssd = self.params.shortsplicedist
                 j0 = int(np.searchsorted(bnd, left + 1))
                 j1 = int(np.searchsorted(bnd, left + L))
-                for c in bnd[j0:j1]:
-                    c = int(c)
+                for jsite in range(j0, j1):
+                    c = int(bnd[jsite])
                     sp = c - left
                     if side == "L":
                         endlength, support = L - sp, sp
@@ -1028,14 +1037,28 @@ class GsnapRunner:
                     if side == "L":
                         p0 = int(np.searchsorted(partners, c + 1))
                         p1 = int(np.searchsorted(
-                            partners, c + self.params.shortsplicedist, "right"))
+                            partners, c + ssd, "right"))
                         cand = partners[p0:p1]
                     else:
-                        p0 = int(np.searchsorted(
-                            partners, c - self.params.shortsplicedist))
+                        p0 = int(np.searchsorted(partners, c - ssd))
                         p1 = int(np.searchsorted(partners, c))
                         cand = partners[p0:p1]
-                    best_mm, best = None, []
+                    obs_win = None
+                    if bnd_dists is not None:
+                        D = int(bnd_dists[jsite])
+                        # splicetrie_build.c:506-510 cap/extra
+                        obs_win = ssd if D > ssd else D + 10
+                        # obsmax penalty applies only when the site HAS
+                        # obs-window partners (trieoffsets_obs[i] set)
+                        if side == "L":
+                            has_obs = bool(np.any(
+                                (cand > c) & (cand < c + obs_win)))
+                        else:
+                            has_obs = bool(np.any(cand > c - obs_win))
+                    else:
+                        has_obs = False
+                    best_obs_mm, obs_list = None, []
+                    best_max_mm, max_list = None, []
                     for a in cand:
                         a = int(a)
                         left2 = a - sp
@@ -1046,10 +1069,33 @@ class GsnapRunner:
                                     else mm2[:sp].sum())
                         if nmm_s > allowed:
                             continue
-                        if best_mm is None or nmm_s < best_mm:
-                            best_mm, best = nmm_s, [a]
-                        elif nmm_s == best_mm:
-                            best.append(a)
+                        in_obs = (not has_obs) or (
+                            (a - c < obs_win) if side == "L"
+                            else (c - a < obs_win))
+                        if in_obs:
+                            if best_obs_mm is None or nmm_s < best_obs_mm:
+                                best_obs_mm, obs_list = nmm_s, [a]
+                            elif nmm_s == best_obs_mm:
+                                obs_list.append(a)
+                        else:
+                            if best_max_mm is None or nmm_s < best_max_mm:
+                                best_max_mm, max_list = nmm_s, [a]
+                            elif nmm_s == best_max_mm:
+                                max_list.append(a)
+                    # obs partners win unless a beyond-obs partner beats
+                    # them by MORE than OBSMAX_PENALTY=1 (the two-trie
+                    # search of Splicetrie_find_left, splicetrie.c:2002-
+                    # 2050: max-trie bound = best_obs - penalty, winner
+                    # only when best_max + penalty < best_obs)
+                    obs_nm = (best_obs_mm if best_obs_mm is not None
+                              else allowed)
+                    if (best_max_mm is not None
+                            and best_max_mm + 1 < obs_nm):
+                        best_mm, best = best_max_mm, max_list
+                    elif best_obs_mm is not None:
+                        best_mm, best = best_obs_mm, obs_list
+                    else:
+                        best_mm, best = None, []
                     if best_mm is None:
                         continue
                     if (endlength >= self.params.min_shortend

@@ -28,6 +28,26 @@ class SpliceSites:
     antiacceptors: np.ndarray
     max_dist: int              # largest annotated intron distance (0 if none)
     labels: dict | None = None  # universal coord -> site label
+    # per-site observed intron distances, parallel to the coord arrays
+    # (splicetrie_build.c:489-527: splicedists from the annotation
+    # field; same-position duplicates keep the max).  Empty arrays when
+    # distances_observed is False.
+    donor_dists: np.ndarray | None = None
+    acceptor_dists: np.ndarray | None = None
+    antidonor_dists: np.ndarray | None = None
+    antiacceptor_dists: np.ndarray | None = None
+    distances_observed: bool = False
+
+    def dists_for(self, arr: np.ndarray) -> np.ndarray | None:
+        """The distance array parallel to one of the four coord arrays
+        (identity match on the array object)."""
+        for a, d in ((self.donors, self.donor_dists),
+                     (self.acceptors, self.acceptor_dists),
+                     (self.antidonors, self.antidonor_dists),
+                     (self.antiacceptors, self.antiacceptor_dists)):
+            if a is arr:
+                return d
+        return None
 
     @property
     def nsites(self) -> int:
@@ -66,11 +86,12 @@ def load_splicesites(iit: IIT, chr_names: list[str],
     """Collect per-class sorted site coordinate arrays from a splicing
     IIT, keyed by division name -> chromosome offset."""
     offs = {name: int(chr_starts[i]) for i, name in enumerate(chr_names)}
-    buckets: dict[str, list[int]] = {
-        "donors": [], "acceptors": [], "antidonors": [], "antiacceptors": []
+    buckets: dict[str, dict[int, int]] = {
+        "donors": {}, "acceptors": {}, "antidonors": {}, "antiacceptors": {}
     }
     labels: dict[int, str] = {}
     max_dist = 0
+    distances_observed = None
     for div, ivs in iit.intervals.items():
         if div not in offs:
             continue
@@ -85,21 +106,43 @@ def load_splicesites(iit: IIT, chr_names: list[str],
                 key = "acceptors" if iv.sign >= 0 else "antiacceptors"
             else:
                 continue
-            buckets[key].append(pos)
             labs = iit.labels.get(div, [])
             if i < len(labs):
                 labels.setdefault(pos, labs[i])
+            # distances_observed keys on the FIRST entry's annotation
+            # (splicetrie_build.c:379-389)
             ann = anns[i].decode() if i < len(anns) and anns[i] else ""
+            dist = None
             if ann.strip():
                 try:
-                    max_dist = max(max_dist, int(ann.split()[0]))
+                    dist = int(ann.split()[0])
                 except ValueError:
                     pass
+            if distances_observed is None:
+                distances_observed = dist is not None
+            if dist is None:
+                dist = 0
+            max_dist = max(max_dist, dist)
+            prev = buckets[key].get(pos)
+            # same-position duplicates keep the max observed distance
+            # (splicetrie_build.c:538-539)
+            buckets[key][pos] = dist if prev is None else max(prev, dist)
+
+    def sorted_pair(key):
+        pos = np.array(sorted(buckets[key]), np.uint32)
+        dists = np.array([buckets[key][p] for p in sorted(buckets[key])],
+                         np.uint32)
+        return pos, dists
+
+    dpos, dd = sorted_pair("donors")
+    apos, ad = sorted_pair("acceptors")
+    ndpos, ndd = sorted_pair("antidonors")
+    napos, nad = sorted_pair("antiacceptors")
     return SpliceSites(
-        donors=np.array(sorted(set(buckets["donors"])), np.uint32),
-        acceptors=np.array(sorted(set(buckets["acceptors"])), np.uint32),
-        antidonors=np.array(sorted(set(buckets["antidonors"])), np.uint32),
-        antiacceptors=np.array(sorted(set(buckets["antiacceptors"])), np.uint32),
+        donors=dpos, acceptors=apos, antidonors=ndpos, antiacceptors=napos,
         max_dist=max_dist,
         labels=labels,
+        donor_dists=dd, acceptor_dists=ad,
+        antidonor_dists=ndd, antiacceptor_dists=nad,
+        distances_observed=bool(distances_observed),
     )

@@ -159,3 +159,44 @@ def test_config4_snps_plus_known_splices(tmp_path):
     ref = _run_ref(common)
     mine = _run_ours(common)
     assert _body(ref) == _body(mine)
+
+
+@needs_oracle
+def test_splicedists_obs_window_parity(tmp_path):
+    """Per-site splicedists: annotated intron distances bound the
+    shortend partner search (obs trie) with OBSMAX_PENALTY for
+    partners beyond them (splicetrie.c:1910; splicetrie_build.c:
+    489-527).  Byte parity with the reference across distance-covered,
+    distance-excluded, and far-partner configurations."""
+    seq = _genome_seq()
+    istart, iend = _low_prob_junction(seq)
+    d_near = iend - istart            # real junction distance
+    far = iend + 3000                 # a second acceptor well beyond
+
+    from gmap_gsnap_tpu.db.iit_text import iit_from_text
+
+    reads = [
+        # continues at the NEAR acceptor (within obs distance)
+        seq[istart - 50 : istart] + seq[iend : iend + 30],
+        # continues at the FAR acceptor (beyond obs distance ->
+        # penalized/limited by the obs window)
+        seq[istart - 50 : istart] + seq[far : far + 30],
+    ]
+    fq = tmp_path / "sd.fq"
+    with open(fq, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f"@sd{i}\n{r}\n+\n{'I' * len(r)}\n")
+
+    for tag, dist in (("cover", d_near + 100), ("tight", d_near - 50)):
+        gdb, dbdir = _copy_db(tmp_path / tag)
+        ss_txt = (
+            f">j.d chr17test:{istart}..{istart + 1} donor {dist}\n"
+            f">j.a chr17test:{iend}..{iend + 1} acceptor {dist}\n"
+            f">j.a2 chr17test:{far}..{far + 1} acceptor {dist}\n"
+        )
+        iit_from_text(ss_txt).write(str(dbdir / "chr17test.maps" / "sd.iit"))
+        ref = _run_ref(["-D", str(gdb), "-d", "chr17test", "-s", "sd",
+                        str(fq)])
+        mine = _run_ours(["-D", str(gdb), "-d", "chr17test", "-s", "sd",
+                          str(fq)])
+        assert _body(ref) == _body(mine), tag
