@@ -37,6 +37,7 @@ from .gsnap_gapped import (
     BIG_NMM,
     KIND_DEL,
     KIND_INS,
+    KIND_SHORTEXON,
     KIND_SPLICE,
     GappedParams,
 )
@@ -143,7 +144,54 @@ def align_batch_pe(
 
     pscore = h5["score"][:, :, None] + h3["score"][:, None, :]
 
-    conc = valid & (pairtype == PT_CONCORDANT)
+    # Stage3pair_new rejects "concordant" pairs whose insertlength
+    # computes to 0 (stage3hr.c:7557: mate falls inside an intron /
+    # beyond the hit end with no substring overlap).  Reproduce the
+    # zero cases of pair_insert_length: no aligned-part overlap AND the
+    # hit5 end beyond mate start by more than both read lengths.
+    def _part_ivs(h, lengths):
+        L = lengths.astype(jnp.int32)[:, None]
+        kind = h["kind"]
+        left = h["left"].astype(jnp.int32)
+        right = h["right"].astype(jnp.int32)
+        mid = h["mid"].astype(jnp.int32)
+        split = h["split"]
+        split2 = h["split2"]
+        nind = h["nindels"]
+        multi = ((kind == KIND_SPLICE) | (kind == KIND_DEL)
+                 | (kind == KIND_INS) | (kind == KIND_SHORTEXON))
+        lo1 = left
+        hi1 = left + jnp.where(multi, split, L)
+        lo2 = jnp.where(kind == KIND_SHORTEXON, mid + split,
+                        jnp.where(kind == KIND_INS,
+                                  right + split + nind, right + split))
+        hi2 = jnp.where(kind == KIND_SHORTEXON, mid + split2, right + L)
+        ok2 = multi
+        lo3 = right + split2
+        hi3 = right + L
+        ok3 = kind == KIND_SHORTEXON
+        los = jnp.stack([lo1, lo2, lo3], axis=-1)
+        his = jnp.stack([hi1, hi2, hi3], axis=-1)
+        oks = jnp.stack([jnp.ones_like(ok2), ok2, ok3], axis=-1)
+        return los, his, oks
+
+    lo5p, hi5p, ok5p = _part_ivs(h5, lengths5)
+    lo3p, hi3p, ok3p = _part_ivs(h3, lengths3)
+    # [B, NP5, NP3, 3, 3] part-pair overlap, reduced
+    a_lo = lo5p[:, :, None, :, None]
+    a_hi = hi5p[:, :, None, :, None]
+    a_ok = ok5p[:, :, None, :, None]
+    b_lo = lo3p[:, None, :, None, :]
+    b_hi = hi3p[:, None, :, None, :]
+    b_ok = ok3p[:, None, :, None, :]
+    part_overlap = jnp.any(
+        a_ok & b_ok & ~((b_hi < a_lo) | (b_lo > a_hi)), axis=(3, 4))
+    q = (lengths5.astype(jnp.int32)[:, None]
+         + lengths3.astype(jnp.int32)[:, None])[:, :, None]
+    insert0 = ~part_overlap & jnp.where(
+        p5, e5 > l3 + q, e3 > l5 + q)
+
+    conc = valid & (pairtype == PT_CONCORDANT) & ~insert0
     paired = valid & (
         (pairtype == PT_INVERSION) | (pairtype == PT_SCRAMBLE)
         | (pairtype == PT_TOOLONG)

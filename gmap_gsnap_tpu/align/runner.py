@@ -331,6 +331,9 @@ class PostHit:
     distant: dict | None = None  # distant-splice info (sense, type,
     # dist, sites, probs, per-part MD/NM, penalty, dinucl) for
     # translocation rendering (XT tag / native transloc block)
+    ambi: dict | None = None  # ambiguous shortend-splice alternatives
+    # (side, sp, sense, sites, nmm, long_left) for inside-pair
+    # resolution (resolve_inside_ambiguous_splice, stage3hr.c:6329)
 
 
 def encode_batch(records: list[Record], lmax: int):
@@ -1136,17 +1139,87 @@ class GsnapRunner:
                         # amb_nmatches counts toward nmatches (Stage3end
                         # _new_splice, stage3hr.c: ambiguous end credit)
                         # so the splice outranks the equivalent sub/
-                        # terminal in hit_goodness_cmp
+                        # terminal in hit_goodness_cmp.  The tied
+                        # partner sites ride along for inside-pair
+                        # resolution (resolve_inside_ambiguous_splice,
+                        # stage3hr.c:6329/6811).
                         d = dataclasses.replace(
                             d, xs="+" if sense else "-",
                             nmatches=d.nmatches + amb,
                             nmatches_whole=d.nmatches_whole + amb,
-                            term_ends=None)
+                            term_ends=None,
+                            ambi={"side": side, "sp": sp, "sense": sense,
+                                  "sites": [int(a) for a in best],
+                                  "nmm": best_mm, "long_left": left})
                         out.append((rescue.HostHit(
                             d, "splice", d.nmatches + amb,
                             np.array(d.mmpos, int), d.loglik),
                             nmm_long + best_mm))
         return out
+
+    def _resolve_inside_ambi(self, rec5, rec3_inv, h5, h3):
+        """resolve_inside_ambiguous_splice_plus/minus (stage3hr.c:6329,
+        6811): an ambiguous shortend splice whose junction faces INSIDE
+        a candidate pair resolves to the unique partner site bounded by
+        the mate's span; unresolved (0 or >1 bounded) keeps the
+        soft-clipped ambiguous form."""
+        from . import rescue
+
+        a5 = h5.d.ambi
+        a3 = h3.d.ambi
+        if a5 is None and a3 is None:
+            return h5, h3
+        if h5.d.plusp != h3.d.plusp:
+            return h5, h3
+        plusp = h5.d.plusp
+        L5, L3 = len(rec5.seq), len(rec3_inv.seq)
+        in5 = a5 is not None and a5["side"] == ("L" if plusp else "R")
+        in3 = a3 is not None and a3["side"] == ("R" if plusp else "L")
+        if not (in5 or in3):
+            return h5, h3
+        span5 = h5.d.trim5 + h5.d.ref_consumed + h5.d.trim3
+        span3 = h3.d.trim5 + h3.d.ref_consumed + h3.d.trim3
+        gs3 = h3.d.left if plusp else h3.d.left + span3
+        ge5 = h5.d.left + span5 if plusp else h5.d.left
+        pick5 = pick3 = None
+        if in5 and in3:
+            combos = [(s5, s3) for s5 in a5["sites"] for s3 in a3["sites"]
+                      if (s5 < s3 if plusp else s3 < s5)]
+            if len(combos) == 1:
+                pick5, pick3 = combos[0]
+        elif in5:
+            b = [s for s in a5["sites"]
+                 if (s < gs3 + L3 if plusp else gs3 < s + L3)]
+            if len(b) == 1:
+                pick5 = b[0]
+        else:
+            b = [s for s in a3["sites"]
+                 if (ge5 < s + L5 if plusp else s < ge5 + L5)]
+            if len(b) == 1:
+                pick3 = b[0]
+
+        def build(rec, a, site, plusp):
+            sp = a["sp"]
+            if a["side"] == "L":
+                l1, rdiag = a["long_left"], site - sp
+            else:
+                l1, rdiag = site - sp, a["long_left"]
+            if rdiag <= l1:
+                return None
+            d = self._hit_details(rec, KIND_SPLICE, l1, rdiag, sp, 0,
+                                  a["sense"], plusp)
+            return rescue.HostHit(d, "splice", d.nmatches_whole,
+                                  np.array(d.mmpos, int), d.loglik)
+
+        if pick5 is not None:
+            r = build(rec5, a5, pick5, plusp)
+            if r is not None:
+                h5 = r
+        if pick3 is not None:
+            r = build(rec3_inv, a3, pick3, plusp)
+            if r is not None:
+                h3 = r
+        return h5, h3
 
     def _distant_hits(self, rec: Record, hits, row: int, done: int):
         """Step 9 distant/translocation splicing (stage1hr.c:12218):
@@ -2083,6 +2156,7 @@ class GsnapRunner:
         pairs = []
 
         def addpair(h5, h3):
+            h5, h3 = self._resolve_inside_ambi(rec5, rec3_inv, h5, h3)
             k = (hkey(h5), hkey(h3))
             if k in seen:
                 return
@@ -2093,6 +2167,10 @@ class GsnapRunner:
             ps = _align_score(h5) + _align_score(h3)
             ins = reference_pairlength(
                 h5.d, h3.d, len(rec5.seq), len(rec3_inv.seq))
+            if pt == gsnap_pe.PT_CONCORDANT and ins <= 0:
+                # Stage3pair_new rejects concordant pairs whose
+                # insertlength computes to 0 (stage3hr.c:7557)
+                return
             term = h5.hittype == "terminal" or h3.hittype == "terminal"
             pairs.append((h5, h3, pt, ps, ins, term))
 
