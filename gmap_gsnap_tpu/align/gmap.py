@@ -668,7 +668,8 @@ def _clip_path_read(path: Path, lo: int, hi: int, L: int, gstr: str,
 
 
 def align_cdna_chimera(db: GenomeDB, query: str,
-                       max_intronlen: int = 1_000_000, best="auto"):
+                       max_intronlen: int = 1_000_000, best="auto",
+                       margin: int = CHIMERA_MARGIN):
     """Chimera detection (gmap.c:1945-2010 check_for_chimera +
     chimera.c:263 Chimera_bestpath): when the best path leaves a query
     margin >= chimera_margin, the uncovered part is re-aligned and the
@@ -688,7 +689,7 @@ def align_cdna_chimera(db: GenomeDB, query: str,
         five_margin, three_margin = best.qstart, L - best.qend
     else:
         five_margin, three_margin = L - best.qend, best.qstart
-    if max(five_margin, three_margin) < CHIMERA_MARGIN:
+    if max(five_margin, three_margin) < margin:
         return [best], None
     # re-align the uncovered margin
     if five_margin >= three_margin:
@@ -725,8 +726,8 @@ def align_cdna_chimera(db: GenomeDB, query: str,
     if part1 is None or part2 is None:
         return [best], None
     # require both parts to contribute meaningfully (chimera_margin)
-    if (int(v5[: b + 1].sum()) < CHIMERA_MARGIN
-            or int(v3[b + 1 :].sum()) < CHIMERA_MARGIN):
+    if (int(v5[: b + 1].sum()) < margin
+            or int(v3[b + 1 :].sum()) < margin):
         return [best], None
     return [part1, part2], b
 

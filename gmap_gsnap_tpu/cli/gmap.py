@@ -35,6 +35,32 @@ def main(argv=None) -> int:
                    help="compressed output format")
     p.add_argument("-E", "--exons", default=None, choices=["cdna", "genomic"],
                    help="print exon sequences")
+    p.add_argument("-K", "--intronlength", type=int, default=1_000_000,
+                   help="max intron length (gmap.c:233 maxintronlen_bound)")
+    p.add_argument("-L", "--totallength", type=int, default=2_400_000,
+                   help="max total genomic span (gmap.c:232)")
+    p.add_argument("-x", "--chimera-margin", type=int, default=40,
+                   help="uncovered-margin threshold for chimera search "
+                        "(gmap.c:234)")
+    p.add_argument("-q", "--part", default=None,
+                   help="process only the i-th of n parts, as i/n")
+    p.add_argument("-1", "--selfalign", action="store_true",
+                   help="align the input sequence against itself")
+    p.add_argument("-2", "--pairalign", action="store_true",
+                   help="align the 2nd input sequence against the 1st")
+    p.add_argument("-O", "--ordered", action="store_true",
+                   help="accepted for compatibility (output is always "
+                        "in input order)")
+    p.add_argument("-t", "--nthreads", type=int, default=1,
+                   help="accepted for compatibility")
+    p.add_argument("-5", "--md5", action="store_true",
+                   help="print MD5 checksum in query headers")
+    p.add_argument("-l", "--wraplength", type=int, default=50,
+                   help="alignment block width (gmap -l, pair.c)")
+    p.add_argument("-i", "--introngap", type=int, default=3,
+                   help="dots shown in -A intron gaps (gmap -i ngap)")
+    p.add_argument("--nolengths", "-N", action="store_true",
+                   help="omit intron lengths in -A output (nointronlenp)")
     p.add_argument("-P", "--protein-dna", action="store_true",
                    help="print protein sequence (cDNA)")
     p.add_argument("-Q", "--protein-gen", action="store_true",
@@ -48,7 +74,31 @@ def main(argv=None) -> int:
     from ..io import fasta, gmap_out
     from ..utils import dna
 
-    if args.gseg:
+    if args.selfalign or args.pairalign:
+        # -1/-2 (gmap.c:2935-2936): first input sequence acts as the
+        # genome; the query is the same sequence (-1) or the second
+        # sequence (-2)
+        import tempfile
+
+        seqs = []
+        for path_in in args.input:
+            seqs.extend(fasta.read_fasta(path_in))
+        if args.pairalign and len(seqs) < 2:
+            p.error("-2/--pairalign needs two input sequences")
+        gtmp = tempfile.mkdtemp()
+        gfa = f"{gtmp}/useralign.fa"
+        with open(gfa, "w") as f:
+            f.write(f">{seqs[0].label}\n{seqs[0].seq}\n")
+        dbdir = build_mod.build_db([gfa], "usersegment", gtmp, k=12)
+        db = GenomeDB.open(dbdir, "usersegment")
+        dbmode = False
+        qrec = seqs[0] if args.selfalign else seqs[1]
+        qfa = f"{gtmp}/query.fa"
+        with open(qfa, "w") as f:
+            f.write(f">{qrec.label} {qrec.header.split(None, 1)[1] if len(qrec.header.split(None, 1)) > 1 else ''}".rstrip()
+                    + f"\n{qrec.seq}\n")
+        args.input = [qfa]
+    elif args.gseg:
         # user-segment mode: build an in-memory DB from the segment
         import tempfile
 
@@ -75,20 +125,43 @@ def main(argv=None) -> int:
 
     chimera_ok = args.format in ("paths", "summary", "samse") and dbmode
     maxpaths = 1 if args.npaths == 0 else args.npaths
+    allrecs = []
     for path_in in args.input:
-        for rec in fasta.read_fasta(path_in):
+        allrecs.extend(fasta.read_fasta(path_in))
+    if args.part:
+        pi_, pn_ = (int(x) for x in args.part.split("/"))
+        allrecs = allrecs[pi_::pn_]
+    if args.md5:
+        import hashlib
+
+        allrecs = [
+            fasta.Record(r.label,
+                         f"{r.header} md5:"
+                         + hashlib.md5(r.seq.encode()).hexdigest(),
+                         r.seq, r.quality)
+            for r in allrecs
+        ]
+    if True:
+        for rec in allrecs:
             chimera_pos = None
             if dbmode:
-                allpaths = gmap_mod.align_cdna_paths(db, rec.seq)
+                allpaths = gmap_mod.align_cdna_paths(
+                    db, rec.seq, max_intronlen=args.intronlength)
+                allpaths = [pt for pt in allpaths
+                            if abs(pt.gend - pt.gstart)
+                            <= args.totallength]
                 path = allpaths[0] if allpaths else None
                 cpaths = allpaths
                 if chimera_ok and path is not None:
                     ch, chimera_pos = gmap_mod.align_cdna_chimera(
-                        db, rec.seq, best=path)
+                        db, rec.seq, best=path,
+                        max_intronlen=args.intronlength,
+                        margin=args.chimera_margin)
                     if chimera_pos is not None:
                         cpaths = ch
             else:
-                path = gmap_mod.align_cdna(db, rec.seq)
+                path = gmap_mod.align_cdna(
+                    db, rec.seq, max_intronlen=args.intronlength)
                 cpaths = [path] if path is not None else []
             qstr = (
                 rec.seq.upper()
@@ -251,7 +324,10 @@ def main(argv=None) -> int:
                                 part, pq, gstr, pcs,
                                 pcname if dbmode else cname,
                                 aa_override=(aa_maps[pi] if aa_maps
-                                             else None)))
+                                             else None),
+                                wraplength=args.wraplength,
+                                ngap=args.introngap,
+                                nolengths=args.nolengths))
     return 0
 
 

@@ -85,9 +85,15 @@ def _junction_probs(path: Path, e, nxt, codes):
     return (p_start, p_end) if path.watsonp else (p_end, p_start)
 
 
-def _columns(path: Path, qstr: str, gstr: str):
+def _columns(path: Path, qstr: str, gstr: str, ngap: int = 3,
+             nolengths: bool = False):
     """Aligned-order column stream: list of dicts with g, q, bar, gpos
-    (0-based genome), qpos (0-based aligned query)."""
+    (0-based genome), qpos (0-based aligned query).
+
+    ngap: flanking genome chars shown on each side of an intron gap
+    (gmap -i, pair.c ngap; the ellipsis stays 3 dots);
+    nolengths: omit intron lengths (gmap -N nointronlenp)."""
+    gw = 2 * ngap + 3  # ngap genome chars each side + 3 dots
     cols = []
     exons = path.exons
     itypes = path.intron_types
@@ -111,20 +117,20 @@ def _columns(path: Path, qstr: str, gstr: str):
                 itype = itypes[k] if k < len(itypes) else "noncanonical"
                 bar = (_BAR if path.cdna_direction >= 0 else _BAR_REV).get(
                     itype, "=")
-                s = str(gap)
-                left = (9 - len(s)) // 2
-                text = " " * left + s + " " * (9 - left - len(s))
-                for i in range(3):
+                s = "" if nolengths else str(gap)
+                left = (gw - len(s)) // 2
+                text = " " * left + s + " " * (gw - left - len(s))
+                for i in range(ngap):
                     cols.append({"g": gstr[e.gend + i], "q": text[i],
                                  "bar": bar, "gpos": e.gend + i,
                                  "qpos": None, "intron": True})
                 for i in range(3):
-                    cols.append({"g": ".", "q": text[3 + i], "bar": ".",
+                    cols.append({"g": ".", "q": text[ngap + i], "bar": ".",
                                  "gpos": None, "qpos": None, "intron": True})
-                for i in range(3):
-                    cols.append({"g": gstr[nxt.gstart - 3 + i],
-                                 "q": text[6 + i], "bar": bar,
-                                 "gpos": nxt.gstart - 3 + i, "qpos": None,
+                for i in range(ngap):
+                    cols.append({"g": gstr[nxt.gstart - ngap + i],
+                                 "q": text[ngap + 3 + i], "bar": bar,
+                                 "gpos": nxt.gstart - ngap + i, "qpos": None,
                                  "intron": True})
             elif gap > 0:  # deletion columns
                 for g in range(e.gend, nxt.gstart):
@@ -262,13 +268,14 @@ def _read_order_cols(path: Path, cols):
 
 def alignment_body(path: Path, qstr: str, gstr: str, chr_start: int,
                    chrname: str | None,
-                   aa_override: "tuple | None" = None) -> str:
+                   aa_override: "tuple | None" = None,
+                   wraplength: int = 50, ngap: int = 3,
+                   nolengths: bool = False) -> str:
     """aa_override=(letters, nums): aligned-qpos aa maps to use instead
     of translating this path standalone — chimera parts continue one
     merged ORF with continuous numbering (gmap_out.chimera_aa_maps)."""
-    cols = _read_order_cols(path, _columns(path, qstr, gstr))
-    if False:
-        pass
+    cols = _read_order_cols(
+        path, _columns(path, qstr, gstr, ngap=ngap, nolengths=nolengths))
 
     L = path.querylength
     if aa_override is not None:
@@ -299,15 +306,16 @@ def alignment_body(path: Path, qstr: str, gstr: str, chr_start: int,
         for gp in (gps[0], gps[-1]):
             margin = max(margin, len(f"{pre}{gp - chr_start + 1}") + 1)
 
+    # the reference ruler is a FIXED 50-char string printed whole for
+    # full blocks (even when wraplength != 50) and truncated to the
+    # remaining pair count on the last block (pair.c:260-270)
+    RULER = "    .    :" * 5
     out = []
-    for b0 in range(0, len(cols), 50):
-        block = cols[b0 : b0 + 50]
-        n = len(block)
-        ruler = "".join(
-            ":" if (b0 + i + 1) % 10 == 0 else
-            ("." if (b0 + i + 1) % 5 == 0 else " ")
-            for i in range(n)
-        )
+    ncols = len(cols)
+    for b0 in range(0, ncols, wraplength):
+        block = cols[b0 : b0 + wraplength]
+        ruler = (RULER if b0 + wraplength < ncols
+                 else RULER[: ncols - b0])
         out.append(f"{b0:>{margin}} {ruler}")
 
         def aa_row(label, letters, nums):
