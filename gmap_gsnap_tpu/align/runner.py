@@ -397,6 +397,7 @@ class GsnapRunner:
         self._gmap_row = -1
         self.pe_fast = True  # vectorized PE SAM fast path (tests may disable)
         self.quiet_if_excessive = False  # gsnap -Q (quiet_if_excessive_p)
+        self.clip_overlap = False  # gsnap --clip-overlap (clip_overlap_p)
         self._categories: dict = {}
         self.batch_times: list = []
         mode = self.params.mode
@@ -2670,6 +2671,42 @@ class GsnapRunner:
                 rec.label, rec.seq.upper(), qual, hit, nh=1, hi=1)
         return out
 
+    def _clip_sub(self, rec: Record, d: PostHit, h_low: int, h_high: int):
+        """Hard-clip a single-M-span hit at query coords [0, h_low) and
+        [L - h_high, L) — the --clip-overlap application (samprint.c:
+        2949 Stage3pair_overlap + print_cigar/print_md_string hardclip
+        handling).  Returns (cigar, chrpos, md, nm, seq, qual) or None
+        when the clip consumes the aligned span."""
+        L = len(rec.seq)
+        cl_l = h_low if d.plusp else h_high   # aligned-left clip
+        cl_r = h_high if d.plusp else h_low
+        t5n = max(d.trim5, cl_l)
+        t3n = max(d.trim3, cl_r)
+        m = L - t5n - t3n
+        if m <= 0:
+            return None
+        q = rec.seq.upper() if d.plusp else dna.revcomp_str(rec.seq.upper())
+        conv = self._conv_plus if d.plusp else self._conv_minus
+        _, mm_ref = self._mismatch_masks(q, d.left, conv)
+        span = mm_ref[t5n : L - t3n]
+        refs = self._genome_str[d.left + t5n : d.left + L - t3n]
+        md, nm = sam.md_gapped([(span, refs)], [])
+        cigar = ((f"{cl_l}H" if cl_l else "")
+                 + (f"{t5n - cl_l}S" if t5n > cl_l else "")
+                 + f"{m}M"
+                 + (f"{t3n - cl_r}S" if t3n > cl_r else "")
+                 + (f"{cl_r}H" if cl_r else ""))
+        chrnum = int(np.searchsorted(self.db.chr_ends, d.left, side="right"))
+        pos = d.left - int(self.db.chr_starts[chrnum]) + 1 + t5n
+        seq = rec.seq.upper()[h_low : L - h_high]
+        qual = rec.quality[h_low : L - h_high] if rec.quality else None
+        return cigar, pos, md, nm, seq, qual
+
+    @staticmethod
+    def _single_m(d: PostHit) -> bool:
+        c = d.cigar_core
+        return c.endswith("M") and c[:-1].isdigit()
+
     def sam_pe_records(self, rec5: Record, rec3_inv: Record, rec3_orig: Record,
                        res, row: int) -> str:
         """SAM lines for one read pair (both ends)."""
@@ -2766,32 +2803,59 @@ class GsnapRunner:
                 tlen = reference_pairlength(
                     d5, d3, len(rec5.seq), len(rec3_inv.seq)
                 )
+                # --clip-overlap: hard-clip the inside halves of an
+                # overlapping proper pair (Stage3pair_overlap,
+                # stage3hr.c:1177: overlap = L5 + L3 - insertlength)
+                clip5 = clip3 = None
+                if (self.clip_overlap and proper
+                        and self._single_m(d5) and self._single_m(d3)):
+                    L5c, L3c = len(rec5.seq), len(rec3_inv.seq)
+                    if (tlen > L5c and tlen > L3c and tlen < L5c + L3c):
+                        ov = L5c + L3c - tlen
+                        h5c = ov // 2
+                        h3c = ov - h5c
+                        clip5 = self._clip_sub(rec5, d5, 0, h5c)
+                        clip3 = self._clip_sub(rec3_inv, d3, h3c, 0)
+                        if clip5 is None or clip3 is None:
+                            clip5 = clip3 = None
+                if clip5 is not None:
+                    pos5c, pos3c = clip5[1], clip3[1]
+                else:
+                    pos5c, pos3c = pos5, pos3
                 # sign: by POS; ties -> first read +, second - (samprint.c:754-762)
-                if pos5 < pos3:
+                if pos5c < pos3c:
                     t5, t3 = tlen, -tlen
-                elif pos5 > pos3:
+                elif pos5c > pos3c:
                     t5, t3 = -tlen, tlen
                 else:
                     t5, t3 = tlen, -tlen
                 mapq = mapqs[k] if k < len(mapqs) else 0
                 absmq = absmqs[k] if k < len(absmqs) else 0
-                for (rec, qual, d, dm, first, inv, minv, chrn, pos, mchr, mpos, tl) in (
-                    (rec5, qual5, d5, d3, True, False, True, chr5, pos5, chr3, pos3, t5),
-                    (rec3_inv, qual3i, d3, d5, False, True, False, chr3, pos3, chr5, pos5, t3),
+                for (rec, qual, d, dm, first, inv, minv, chrn, pos, mchr,
+                     mpos, tl, clip) in (
+                    (rec5, qual5, d5, d3, True, False, True, chr5, pos5c,
+                     chr3, pos3c, t5, clip5),
+                    (rec3_inv, qual3i, d3, d5, False, True, False, chr3,
+                     pos3c, chr5, pos5c, t3, clip3),
                 ):
                     flag = self._pair_flag(d.plusp, dm.plusp, first, inv, minv, proper)
-                    cigar = (
-                        (f"{d.trim5}S" if d.trim5 else "")
-                        + d.cigar_core
-                        + (f"{d.trim3}S" if d.trim3 else "")
-                    )
+                    if clip is not None:
+                        cigar, pos, md, nm, seqout, qualout = clip
+                    else:
+                        cigar = (
+                            (f"{d.trim5}S" if d.trim5 else "")
+                            + d.cigar_core
+                            + (f"{d.trim3}S" if d.trim3 else "")
+                        )
+                        md, nm = d.md, d.nmm_trimmed
+                        seqout, qualout = rec.seq.upper(), qual
                     hit = sam.SEHit(
                         chrname=chrn, chrpos=pos, plusp=d.plusp, cigar=cigar,
-                        md=d.md, nm=d.nmm_trimmed, mapq=mapq, absmq=absmq,
+                        md=md, nm=nm, mapq=mapq, absmq=absmq,
                         second_absmq=second_absmq, xs=d.xs,
                     )
                     out.append(sam.pe_record(
-                        rec.label, rec.seq.upper(), qual, flag, hit,
+                        rec.label, seqout, qualout, flag, hit,
                         rnext="=" if mchr == chrn else mchr, pnext=mpos,
                         tlen=tl, nh=n, hi=k + 1,
                     ))
@@ -2990,7 +3054,8 @@ class GsnapRunner:
                 return res, j
 
             # vectorized emission for the dominant success shape
-            if fmt == "sam" and self.params.maxpaths >= 1 and self.pe_fast:
+            if (fmt == "sam" and self.params.maxpaths >= 1 and self.pe_fast
+                    and not self.clip_overlap):
                 fast_cand = [j for j in range(len(chunk5))
                              if npair_a[j] == 1 and conc_a[j]
                              and not need_full[j] and j not in wide_row]
@@ -3031,7 +3096,7 @@ class GsnapRunner:
                     return wide_res, wi
 
                 if (fmt == "sam" and self.params.maxpaths >= 1
-                        and self.pe_fast):
+                        and self.pe_fast and not self.clip_overlap):
                     w_fast = [(j, wi) for j, wi in wide_row.items()
                               if wn[wi] == 1 and wc[wi] and not wneed[wi]]
                     if w_fast:
@@ -3144,7 +3209,8 @@ class GsnapRunner:
                     return sub, sub["row_of"][j]
                 return res, j
 
-            if fmt == "sam" and self.params.maxpaths >= 1 and self.pe_fast:
+            if (fmt == "sam" and self.params.maxpaths >= 1 and self.pe_fast
+                    and not self.clip_overlap):
                 fast_cand = [j for j in range(len(chunk))
                              if np_a[j] == 1 and not need_full[j]
                              and j not in wide_row]

@@ -58,6 +58,9 @@ def main(argv=None) -> int:
     p.add_argument("--no-sam-headers", action="store_true")
     p.add_argument("-Q", "--quiet-if-excessive", action="store_true",
                    help="print reads exceeding --npaths as nomapping")
+    p.add_argument("--clip-overlap", action="store_true",
+                   help="hard-clip the overlapping halves of proper "
+                        "pairs (samprint.c clip_overlap_p)")
     p.add_argument("--mode", default="standard",
                    choices=["standard", "cmet-stranded", "atoi-stranded"])
     p.add_argument("-v", "--use-snps", default=None,
@@ -234,6 +237,7 @@ def main(argv=None) -> int:
                                novelsplicing=bool(args.novelsplicing),
                                splicesdb=args.use_splicing)
     r.quiet_if_excessive = args.quiet_if_excessive
+    r.clip_overlap = args.clip_overlap
     sam_mod0 = __import__("gmap_gsnap_tpu.io.sam", fromlist=["sam"])
     sam_mod0.INSERT_0M = args.sam_use_0M
     sam_mod0.MULTIPLE_PRIMARIES = args.sam_multiple_primaries

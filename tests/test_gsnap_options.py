@@ -154,3 +154,36 @@ def test_sam_use_0M_insertion():
     assert sam.insert_0M("10M3I2D85M") == "10M3I0M2D85M"
     assert sam.insert_0M("10M100N3D87M") == "10M100N0M3D87M"
     assert sam.insert_0M("5S10M2I100N83M") == "5S10M2I0M100N83M"
+
+
+@needs_oracle
+def test_clip_overlap(tmp_path):
+    """--clip-overlap hard-clips the inside halves of overlapping
+    proper pairs (Stage3pair_overlap): plus/minus-first pairs, odd and
+    even overlaps, mismatches near the clip boundary."""
+    seq = _genome_seq()
+    pairs = []
+    p = 80000
+    # insert 150 -> overlap 50 (even); insert 145 -> overlap 55 (odd)
+    for ins in (150, 145):
+        r1 = seq[p : p + 100]
+        r2 = _rc(seq[p + ins - 100 : p + ins])
+        pairs.append((r1, r2))
+    # mate-first orientation (read1 minus)
+    r1 = seq[p + 60 : p + 160]
+    r2 = _rc(seq[p : p + 100])
+    pairs.append((r2, _rc(r1)))
+    # mismatches inside the would-be clipped region
+    r1 = list(seq[p : p + 100])
+    r1[95] = "ACGT"[(ord(r1[95]) + 1) % 4]
+    r2 = _rc(seq[p + 60 : p + 160])
+    pairs.append(("".join(r1), r2))
+    fq1, fq2 = tmp_path / "c_1.fq", tmp_path / "c_2.fq"
+    with open(fq1, "w") as f1, open(fq2, "w") as f2:
+        for i, (a, b) in enumerate(pairs):
+            f1.write(f"@c{i}\n{a}\n+\n{'I' * len(a)}\n")
+            f2.write(f"@c{i}\n{b}\n+\n{'I' * len(b)}\n")
+    for extra in ([], ["--clip-overlap"]):
+        ref_l, my_l = _run_both(extra, [fq1, fq2])
+        assert ref_l == my_l, extra
+    assert any("H" in l.split("\t")[5] for l in my_l)
