@@ -65,6 +65,37 @@ def _offending_read(*recs) -> None:
         print(r.seq, file=_sys.stderr)
 
 
+
+
+def chop_primers(seq1: str, seq2_inv: str) -> int:
+    """Shortread_chop_primers (shortread.c:1402-1460): detect paired-end
+    adapter readthrough by sliding read 1 against the INVERTED read 2;
+    the best full-overlap offset with <= 1 mismatch is the chop length
+    (applied to read 1's tail and inverted read 2's head).  Positions
+    past the end of read 2 count as mismatches (the reference compares
+    against the NUL terminator)."""
+    s1 = seq1.upper()
+    s2 = seq2_inv.upper()
+    L1, L2 = len(s1), len(s2)
+    MINLEN, ALLOWED = 20, 1
+    best_score, chop = 0, 0
+    for jstart in range(0, min(L2 - MINLEN, L1 - MINLEN)):
+        nmm = 0
+        i, j = 0, jstart
+        while nmm <= ALLOWED and i < L1 - jstart:
+            if j >= L2 or s1[i] != s2[j]:
+                nmm += 1
+            i += 1
+            j += 1
+        if nmm <= ALLOWED:
+            nmatches = j - nmm
+            score = nmatches * 3 - nmm
+            if score > best_score:
+                best_score = score
+                chop = jstart
+    return chop
+
+
 def _pack_leaves(leaves):
     import jax
     import jax.numpy as jnp
@@ -398,6 +429,7 @@ class GsnapRunner:
         self.pe_fast = True  # vectorized PE SAM fast path (tests may disable)
         self.quiet_if_excessive = False  # gsnap -Q (quiet_if_excessive_p)
         self.clip_overlap = False  # gsnap --clip-overlap (clip_overlap_p)
+        self.chop_primers = False  # gsnap -a (chop_primers_p)
         self._categories: dict = {}
         self.batch_times: list = []
         mode = self.params.mode
@@ -3135,6 +3167,52 @@ class GsnapRunner:
                     except Exception:
                         _offending_read(chunk5[j], chunk3[j])
                         raise
+            # -a/--adapter-strip: pairs with no concordant/paired
+            # result retry with detected primer readthrough chopped
+            # (gsnap.c:621-665 + Shortread_chop_primers); both the
+            # retried alignment AND the printed SEQ use the chopped
+            # reads, whether or not the retry pairs
+            if self.chop_primers:
+                failset = ("unpaired_uniq", "unpaired_mult", "nomapping",
+                           "halfmapping_uniq", "halfmapping_mult",
+                           "unpaired_transloc", "halfmapping_transloc")
+                retries = []
+                for j in range(len(chunk5)):
+                    if self._categories.get(j) not in failset:
+                        continue
+                    ch = chop_primers(chunk5[j].seq, chunk3_inv[j].seq)
+                    if ch > 0:
+                        retries.append((j, ch))
+                if retries:
+                    c5c, c3ic, c3c = [], [], []
+                    for j, ch in retries:
+                        r5, r3i, r3 = chunk5[j], chunk3_inv[j], chunk3[j]
+                        c5c.append(Record(
+                            r5.label, r5.header, r5.seq[: len(r5.seq) - ch],
+                            r5.quality[: len(r5.seq) - ch]
+                            if r5.quality else r5.quality))
+                        c3ic.append(Record(
+                            r3i.label, r3i.header, r3i.seq[ch:],
+                            r3i.quality[ch:] if r3i.quality
+                            else r3i.quality))
+                        c3c.append(Record(
+                            r3.label, r3.header, r3.seq[: len(r3.seq) - ch],
+                            r3.quality[: len(r3.seq) - ch]
+                            if r3.quality else r3.quality))
+                    n_r = len(c5c)
+                    pad5 = self._pad_bucket(c5c)
+                    pad3i = c3ic + [c3ic[0]] * (len(pad5) - n_r)
+                    rres = self.fetch_pairs(
+                        self.dispatch_pairs(pad5, pad3i))
+                    rsub = self.fetch_pair_rows(rres, list(range(n_r)))
+                    for t, (j, ch) in enumerate(retries):
+                        self._cat_row(j)
+                        try:
+                            texts[j] = emit(c5c[t], c3ic[t], c3c[t], rsub,
+                                            rsub["row_of"][t])
+                        except Exception:
+                            _offending_read(c5c[t], c3c[t])
+                            raise
             if router is not None:
                 for j, t in enumerate(texts):
                     router.write(self._categories.get(j, "concordant_uniq"),

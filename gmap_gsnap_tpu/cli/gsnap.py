@@ -58,6 +58,12 @@ def main(argv=None) -> int:
     p.add_argument("--no-sam-headers", action="store_true")
     p.add_argument("-Q", "--quiet-if-excessive", action="store_true",
                    help="print reads exceeding --npaths as nomapping")
+    p.add_argument("-a", "--adapter-strip", default=None,
+                   choices=["paired", "off"],
+                   help="strip paired-end adapter readthrough and retry "
+                        "(NOTE: the reference accepts 'off' but enables "
+                        "stripping for it too, gsnap.c:1485-1491 — "
+                        "mirrored for parity)")
     p.add_argument("--clip-overlap", action="store_true",
                    help="hard-clip the overlapping halves of proper "
                         "pairs (samprint.c clip_overlap_p)")
@@ -238,6 +244,8 @@ def main(argv=None) -> int:
                                splicesdb=args.use_splicing)
     r.quiet_if_excessive = args.quiet_if_excessive
     r.clip_overlap = args.clip_overlap
+    # the reference enables chopping for BOTH 'paired' and 'off'
+    r.chop_primers = args.adapter_strip is not None
     sam_mod0 = __import__("gmap_gsnap_tpu.io.sam", fromlist=["sam"])
     sam_mod0.INSERT_0M = args.sam_use_0M
     sam_mod0.MULTIPLE_PRIMARIES = args.sam_multiple_primaries

@@ -187,3 +187,27 @@ def test_clip_overlap(tmp_path):
         ref_l, my_l = _run_both(extra, [fq1, fq2])
         assert ref_l == my_l, extra
     assert any("H" in l.split("\t")[5] for l in my_l)
+
+
+@needs_oracle
+def test_adapter_strip(tmp_path):
+    """-a paired: short-insert pairs reading into adapters realign
+    after Shortread_chop_primers; byte parity incl. the chopped SEQ."""
+    seq = _genome_seq()
+    p = 90000
+    adapter = "AGATCGGAAGAGCACACGTCTGAACTCCAGTCAC"
+    pairs = []
+    for ins in (70, 55):
+        frag = seq[p : p + ins]
+        r1 = (frag + adapter)[:100]
+        r2 = (_rc(frag) + _rc("ACACTCTTTCCCTACACGACGCTCTTCCGATCT"))[:100]
+        pairs.append((r1, r2))
+        p += 2000
+    fq1, fq2 = tmp_path / "a_1.fq", tmp_path / "a_2.fq"
+    with open(fq1, "w") as f1, open(fq2, "w") as f2:
+        for i, (a, b) in enumerate(pairs):
+            f1.write(f"@ad{i}\n{a}\n+\n{'I' * len(a)}\n")
+            f2.write(f"@ad{i}\n{b}\n+\n{'I' * len(b)}\n")
+    for extra in ([], ["-a", "paired"]):
+        ref_l, my_l = _run_both(extra, [fq1, fq2])
+        assert ref_l == my_l, extra
