@@ -185,6 +185,37 @@ def chains_from_device(segs, B: int, Q: int, k: int,
     valid = np.asarray(segs["valid"])
     S = qstart.shape[1]
     NEG = -(2**60)
+
+    # chain DP batched ACROSS rows: the i loop is inherently sequential
+    # (score[i] reads score[:i]) but each step vectorizes over [B, i]
+    # — per-row looping dominated the batch profile.  Valid segments
+    # occupy a per-row prefix (the (qstart, diag) sort keys invalid
+    # rows to the end), so prefix slices + masks reproduce the per-row
+    # recurrence exactly.
+    seglen_a = qend - qstart
+    score_a = np.where(valid, seglen_a, NEG)
+    prev_a = np.full((B, S), -1, np.int64)
+    maxv = int(valid.sum(1).max()) if B else 0
+    rows = np.arange(B)
+    for i in range(1, maxv):
+        act = valid[:, i]
+        if not act.any():
+            break
+        qgap = qstart[:, i : i + 1] - qend[:, :i]
+        gd = diag[:, i : i + 1] - diag[:, :i]
+        ok = (valid[:, :i] & (gd <= max_intronlen)
+              & (-gd <= MAX_INSERTLEN) & (qgap >= -k))
+        gain = seglen_a[:, i : i + 1] + np.minimum(qgap, 0)
+        pen = np.maximum(qgap, 0) + np.where(
+            gd > 0, np.where(gd >= MIN_INTRONLENGTH, 25, 12),
+            np.where(gd < 0, 12, 0))
+        cand = np.where(ok, score_a[:, :i] + gain - pen, NEG)
+        j = cand.argmax(axis=1)
+        cj = cand[rows, j]
+        upd = act & (cj > score_a[:, i])
+        score_a[:, i] = np.where(upd, cj, score_a[:, i])
+        prev_a[:, i] = np.where(upd, j, -1)
+
     chains = []
     for b in range(B):
         nv = int(valid[b].sum())
@@ -192,22 +223,8 @@ def chains_from_device(segs, B: int, Q: int, k: int,
             chains.append([])
             continue
         qs, qe, d = qstart[b, :nv], qend[b, :nv], diag[b, :nv]
-        seglen = qe - qs
-        score = seglen.astype(np.int64).copy()
-        prev = np.full(nv, -1, np.int64)
-        for i in range(1, nv):
-            qgap = qs[i] - qe[:i]
-            gd = d[i] - d[:i]
-            ok = (gd <= max_intronlen) & (-gd <= MAX_INSERTLEN) & (qgap >= -k)
-            gain = seglen[i] + np.minimum(qgap, 0)
-            pen = np.maximum(qgap, 0) + np.where(
-                gd > 0, np.where(gd >= MIN_INTRONLENGTH, 25, 12),
-                np.where(gd < 0, 12, 0))
-            cand = np.where(ok, score[:i] + gain - pen, NEG)
-            j = int(np.argmax(cand))
-            if cand[j] > score[i]:
-                score[i] = cand[j]
-                prev[i] = j
+        score = score_a[b, :nv]
+        prev = prev_a[b, :nv]
         row_chains = []
         used = np.zeros(nv, bool)
         best_score = int(score.max())
