@@ -30,7 +30,6 @@ import numpy as np
 from ..db.datadir import GenomeDB
 from ..io import sam
 from ..io.fasta import Record
-from ..ops import maxent  # noqa: F401  (future: splice stats)
 from ..utils import dna
 from . import gsnap_gapped, gsnap_se
 from . import rescue as rescue_mod

@@ -94,10 +94,6 @@ void
 encode_reads(const char *seqs, const int32_t *lengths, int64_t nreads,
              int64_t lmax, uint8_t *codes, uint8_t *nflags)
 {
-    static const uint8_t code_tab[256] = {
-        /* defaults handled below */
-    };
-    (void) code_tab;
     int64_t src = 0;
     for (int64_t r = 0; r < nreads; r++) {
         int32_t len = lengths[r];
