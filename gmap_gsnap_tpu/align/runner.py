@@ -429,6 +429,8 @@ class GsnapRunner:
         self.quiet_if_excessive = False  # gsnap -Q (quiet_if_excessive_p)
         self.clip_overlap = False  # gsnap --clip-overlap (clip_overlap_p)
         self.chop_primers = False  # gsnap -a (chop_primers_p)
+        from collections import Counter
+        self.category_counts = Counter()  # resulttype histogram
         self._categories: dict = {}
         self.batch_times: list = []
         mode = self.params.mode
@@ -3212,6 +3214,9 @@ class GsnapRunner:
                         except Exception:
                             _offending_read(c5c[t], c3c[t])
                             raise
+            for j in range(len(chunk5)):
+                self.category_counts[
+                    self._categories.get(j, "concordant_uniq")] += 1
             if router is not None:
                 for j, t in enumerate(texts):
                     router.write(self._categories.get(j, "concordant_uniq"),
@@ -3377,6 +3382,9 @@ class GsnapRunner:
                     except Exception:
                         _offending_read(chunk[j])
                         raise
+            for j in range(len(chunk)):
+                self.category_counts[
+                    self._categories.get(j, "unpaired_uniq")] += 1
             if router is not None:
                 for j, t in enumerate(texts):
                     router.write(self._categories.get(j, "unpaired_uniq"),

@@ -292,6 +292,8 @@ def main(argv=None) -> int:
     if router is not None:
         router.close()
     if args.timing:
+        for cat in sorted(r.category_counts):
+            print(f"{cat}: {r.category_counts[cat]}", file=sys.stderr)
         for bi, (bt, nb) in enumerate(r.batch_times):
             print(f"batch {bi}: {nb} reads in {bt:.3f} s "
                   f"({1000.0 * bt / max(nb, 1):.3f} ms/read)",
