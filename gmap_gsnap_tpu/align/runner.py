@@ -431,6 +431,9 @@ class GsnapRunner:
         self.chop_primers = False  # gsnap -a (chop_primers_p)
         from collections import Counter
         self.category_counts = Counter()  # resulttype histogram
+        # gsnap -o/--orientation (FR default: invert read 2 at input)
+        self.invert_first = False
+        self.invert_second = True
         self._categories: dict = {}
         self.batch_times: list = []
         mode = self.params.mode
@@ -2575,14 +2578,15 @@ class GsnapRunner:
         # TLEN sign by POS; ties -> first read + (samprint.c:754-762)
         t5sgn = np.where(pos5 > pos3, -tlen, tlen)
         t3sgn = np.where(pos5 > pos3, tlen, -tlen)
-        # _pair_flag(p5, p3, first, inv=False, minv=True, proper) /
-        # (p3, p5, second, inv=True, minv=False, proper)
+        # _pair_flag: REVCOMP when plusp == inverted (0x10 semantics
+        # for inverted reads); inversion flags follow -o/--orientation
+        inv1, inv2 = self.invert_first, self.invert_second
         flag5 = (0x43 | sam.FLAG_PROPER
-                 | np.where(pl5, 0, sam.FLAG_REVCOMP)
-                 | np.where(pl3, sam.FLAG_MATE_REVCOMP, 0))
+                 | np.where(pl5 == inv1, sam.FLAG_REVCOMP, 0)
+                 | np.where(pl3 == inv2, sam.FLAG_MATE_REVCOMP, 0))
         flag3 = (0x83 | sam.FLAG_PROPER
-                 | np.where(pl3, sam.FLAG_REVCOMP, 0)
-                 | np.where(pl5, 0, sam.FLAG_MATE_REVCOMP))
+                 | np.where(pl3 == inv2, sam.FLAG_REVCOMP, 0)
+                 | np.where(pl5 == inv1, sam.FLAG_MATE_REVCOMP, 0))
 
         names = self.db.chr_names
         out = {}
@@ -2750,10 +2754,12 @@ class GsnapRunner:
         if self.quiet_if_excessive and npairs > self.params.maxpaths:
             self._categories[self._cat_key(row)] = "nomapping"
             q3o = rec3_orig.quality or None
-            flag5 = self._pair_flag(True, True, True, False, True,
+            flag5 = self._pair_flag(True, True, True, self.invert_first,
+                                    self.invert_second,
                                     proper=False, mate_mapped=False,
                                     mapped=False)
-            flag3 = self._pair_flag(True, True, False, True, False,
+            flag3 = self._pair_flag(True, True, False, self.invert_second,
+                                    self.invert_first,
                                     proper=False, mate_mapped=False,
                                     mapped=False)
             return (sam.pe_record(rec5.label, rec5.seq.upper(), qual5,
@@ -2866,9 +2872,11 @@ class GsnapRunner:
                 absmq = absmqs[k] if k < len(absmqs) else 0
                 for (rec, qual, d, dm, first, inv, minv, chrn, pos, mchr,
                      mpos, tl, clip) in (
-                    (rec5, qual5, d5, d3, True, False, True, chr5, pos5c,
+                    (rec5, qual5, d5, d3, True, self.invert_first,
+                     self.invert_second, chr5, pos5c,
                      chr3, pos3c, t5, clip5),
-                    (rec3_inv, qual3i, d3, d5, False, True, False, chr3,
+                    (rec3_inv, qual3i, d3, d5, False, self.invert_second,
+                     self.invert_first, chr3,
                      pos3c, chr5, pos5c, t3, clip3),
                 ):
                     flag = self._pair_flag(d.plusp, dm.plusp, first, inv, minv, proper)
@@ -2915,8 +2923,14 @@ class GsnapRunner:
             else:
                 self._categories[self._cat_key(row)] = "halfmapping_mult"
         for (rec, qual, fh, other_f, first, inv, minv, rec_orig) in (
-            (rec5, qual5, f5, f3, True, False, True, rec5),
-            (rec3_inv, qual3i, f3, f5, False, True, False, rec3_orig),
+            (rec5, qual5, f5, f3, True, self.invert_first,
+             self.invert_second,
+             Record(rec5.label, rec5.header,
+                    dna.revcomp_str(rec5.seq.upper()),
+                    rec5.quality[::-1] if rec5.quality else rec5.quality)
+             if self.invert_first else rec5),
+            (rec3_inv, qual3i, f3, f5, False, self.invert_second,
+             self.invert_first, rec3_orig),
         ):
             npaths = len(fh)
             if npaths > 0:
@@ -3018,28 +3032,39 @@ class GsnapRunner:
         emit = self.sam_pe_records if fmt == "sam" else self.native_pe_records
         total = 0
 
-        def mk_inv(chunk3):
+        def _inv(recs):
             return [
                 Record(r.label, r.header, dna.revcomp_str(r.seq.upper()),
                        r.quality[::-1] if r.quality else r.quality)
-                for r in chunk3
+                for r in recs
             ]
+
+        def mk_inv(chunk3):
+            return _inv(chunk3) if self.invert_second else list(chunk3)
+
+        def mk_first(chunk5):
+            # -o RF inverts read 1 at input instead (gsnap.c:1472-1477)
+            return _inv(chunk5) if self.invert_first else list(chunk5)
 
         pairs_in = [
             (records5[i : i + batch_size], records3[i : i + batch_size])
             for i in range(0, len(records5), batch_size)
         ]
         invs = [None] * len(pairs_in)
+        procs5 = [None] * len(pairs_in)
         # pipeline: dispatch chunk i+1 before emitting chunk i
         disp = None
         if pairs_in:
             invs[0] = mk_inv(pairs_in[0][1])
-            disp = self.dispatch_pairs(pairs_in[0][0], invs[0])
-        for ci, (chunk5, chunk3) in enumerate(pairs_in):
+            procs5[0] = mk_first(pairs_in[0][0])
+            disp = self.dispatch_pairs(procs5[0], invs[0])
+        for ci, (chunk5_orig, chunk3) in enumerate(pairs_in):
             chunk3_inv = invs[ci]
+            chunk5 = procs5[ci]
             if ci + 1 < len(pairs_in):
                 invs[ci + 1] = mk_inv(pairs_in[ci + 1][1])
-                nxt = self.dispatch_pairs(pairs_in[ci + 1][0], invs[ci + 1])
+                procs5[ci + 1] = mk_first(pairs_in[ci + 1][0])
+                nxt = self.dispatch_pairs(procs5[ci + 1], invs[ci + 1])
             else:
                 nxt = None
             res = self.fetch_pairs(disp)
@@ -3220,7 +3245,7 @@ class GsnapRunner:
             if router is not None:
                 for j, t in enumerate(texts):
                     router.write(self._categories.get(j, "concordant_uniq"),
-                                 t, (chunk5[j], chunk3[j]))
+                                 t, (chunk5_orig[j], chunk3[j]))
             else:
                 for t in texts:
                     out.write(t)

@@ -58,6 +58,14 @@ def main(argv=None) -> int:
     p.add_argument("--no-sam-headers", action="store_true")
     p.add_argument("-Q", "--quiet-if-excessive", action="store_true",
                    help="print reads exceeding --npaths as nomapping")
+    p.add_argument("-o", "--orientation", default="FR",
+                   choices=["FR", "RF", "FF"],
+                   help="paired-end orientation (gsnap.c:1469-1482)")
+    p.add_argument("--fastq-id-start", type=int, default=0,
+                   help="whitespace field of the header where the "
+                        "accession starts (0-based)")
+    p.add_argument("--fastq-id-end", type=int, default=0,
+                   help="whitespace field where the accession ends")
     p.add_argument("-a", "--adapter-strip", default=None,
                    choices=["paired", "off"],
                    help="strip paired-end adapter readthrough and retry "
@@ -179,6 +187,29 @@ def main(argv=None) -> int:
         else:
             records = records[i::n]
 
+    fid0 = max(args.fastq_id_start - 1, 0)
+    fid1 = max(args.fastq_id_end - 1, 0)
+    if fid1 < fid0:
+        print("gsnap: --fastq-id-end must be equal to or greater than "
+              "--fastq-id-start", file=sys.stderr)
+        return 9
+    if fid0 > 0 or fid1 > 0:
+        # accession = header fields [start..end], 1-based flags
+        # (gsnap.c:1293-1304 + shortread.c:486-508)
+        def _acc(r):
+            fields = r.header.split()
+            i0 = min(fid0, max(len(fields) - 1, 0))
+            i1 = min(fid1, max(len(fields) - 1, 0))
+            acc = " ".join(fields[i0 : i1 + 1]) if fields else r.label
+            return fasta.Record(acc, r.header, r.seq, r.quality)
+
+        if paired:
+            records5 = [_acc(r) for r in records5]
+            records3 = [_acc(r) for r in records3]
+            records = records5
+        else:
+            records = [_acc(r) for r in records]
+
     bcmap: dict = {}
     if args.barcode_length > 0:
         bl = args.barcode_length
@@ -244,6 +275,8 @@ def main(argv=None) -> int:
                                splicesdb=args.use_splicing)
     r.quiet_if_excessive = args.quiet_if_excessive
     r.clip_overlap = args.clip_overlap
+    r.invert_first = args.orientation == "RF"
+    r.invert_second = args.orientation == "FR"
     # the reference enables chopping for BOTH 'paired' and 'off'
     r.chop_primers = args.adapter_strip is not None
     sam_mod0 = __import__("gmap_gsnap_tpu.io.sam", fromlist=["sam"])

@@ -211,3 +211,39 @@ def test_adapter_strip(tmp_path):
     for extra in ([], ["-a", "paired"]):
         ref_l, my_l = _run_both(extra, [fq1, fq2])
         assert ref_l == my_l, extra
+
+
+@needs_oracle
+def test_orientation_modes(tmp_path):
+    """-o RF / FF change which end inverts at input; byte parity on
+    pairs constructed in each protocol's geometry."""
+    seq = _genome_seq()
+    p = 110000
+    frag1, frag2 = seq[p : p + 100], seq[p + 200 : p + 300]
+    cases = {
+        # RF (mate-pair): read1 reverse, read2 forward
+        "RF": (_rc(frag1), frag2),
+        # FF: both forward
+        "FF": (frag1, frag2),
+    }
+    for mode, (r1, r2) in cases.items():
+        fq1, fq2 = tmp_path / f"{mode}_1.fq", tmp_path / f"{mode}_2.fq"
+        with open(fq1, "w") as f:
+            f.write(f"@o0\n{r1}\n+\n{'I' * 100}\n")
+        with open(fq2, "w") as f:
+            f.write(f"@o0\n{r2}\n+\n{'I' * 100}\n")
+        ref_l, my_l = _run_both(["-o", mode], [fq1, fq2])
+        assert ref_l == my_l, mode
+
+
+@needs_oracle
+def test_fastq_id_fields(tmp_path):
+    seq = _genome_seq()
+    fq = tmp_path / "f.fq"
+    with open(fq, "w") as f:
+        f.write(f"@machine:1:FC706VJ field1 field2\n{seq[5000:5100]}\n"
+                f"+\n{'I' * 100}\n")
+    for extra in ([], ["--fastq-id-start", "2", "--fastq-id-end", "2"],
+                  ["--fastq-id-start", "1", "--fastq-id-end", "2"]):
+        ref_l, my_l = _run_both(extra, [fq])
+        assert ref_l == my_l, extra
