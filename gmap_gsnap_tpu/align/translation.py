@@ -38,10 +38,17 @@ def translate_forward(genome_cols: str) -> list[str]:
     return aa
 
 
-def find_bounds_forward(aa: list[str], fulllengthp: bool = False):
+# gmap -F (fulllengthp): module-level config like the reference's
+# static (gmap.c:315); set by the CLI, read as the default below
+FULLLENGTH_P = False
+
+
+def find_bounds_forward(aa: list[str], fulllengthp: bool | None = None):
     """Returns (frame, starti, endi, length_aa, endstopp) over column
     indices; aa[i]==' ' columns are skipped.  Mirrors
     find_bounds_forward (translation.c:190-340)."""
+    if fulllengthp is None:
+        fulllengthp = FULLLENGTH_P
     n = len(aa)
     best = {}
     for f in range(3):

@@ -59,6 +59,14 @@ def main(argv=None) -> int:
                    help="alignment block width (gmap -l, pair.c)")
     p.add_argument("-i", "--introngap", type=int, default=3,
                    help="dots shown in -A intron gaps (gmap -i ngap)")
+    p.add_argument("-F", "--fulllength", action="store_true",
+                   help="translation starts from the first Met "
+                        "(fulllengthp, gmap.c:315)")
+    p.add_argument("-z", "--direction", default="auto",
+                   choices=["sense_force", "antisense_force",
+                            "sense_filter", "antisense_filter", "auto"],
+                   help="cDNA direction to try/keep (gmap.c:3129-3148; "
+                        "force modes are applied as filters here)")
     p.add_argument("--nolengths", "-N", action="store_true",
                    help="omit intron lengths in -A output (nointronlenp)")
     p.add_argument("-P", "--protein-dna", action="store_true",
@@ -69,6 +77,9 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     from ..align import gmap as gmap_mod
+    from ..align import translation as _tr
+
+    _tr.FULLLENGTH_P = args.fulllength
     from ..db import build as build_mod
     from ..db.datadir import GenomeDB
     from ..io import fasta, gmap_out
@@ -150,6 +161,13 @@ def main(argv=None) -> int:
                 allpaths = [pt for pt in allpaths
                             if abs(pt.gend - pt.gstart)
                             <= args.totallength]
+                if args.direction != "auto":
+                    want = (1 if args.direction.startswith("sense")
+                            else -1)
+                    kept = [pt for pt in allpaths
+                            if pt.cdna_direction == want
+                            or pt.cdna_direction == 0]
+                    allpaths = kept
                 path = allpaths[0] if allpaths else None
                 cpaths = allpaths
                 if chimera_ok and path is not None:
@@ -217,6 +235,10 @@ def main(argv=None) -> int:
             if path is None:
                 if args.format == "paths" and not args.compress:
                     sys.stdout.write(f">{rec.header}\nPaths (0):\n\n")
+                    if args.A or args.summary_only or args.continuous_by_exon:
+                        # the Alignments section header prints even for
+                        # 0 paths (gmap.c print_result -S/-A)
+                        sys.stdout.write("Alignments:\n")
                 continue
             chrnum = int(
                 __import__("numpy").searchsorted(db.chr_ends, path.gstart, side="right")

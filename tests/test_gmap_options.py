@@ -119,3 +119,23 @@ def test_part_sharding(tmp_path):
             f.write(f">m{i}\n{seq[10000 + 5000 * i : 10600 + 5000 * i]}\n")
     ref, mine = _run_both(["-S", "-q", "1/2"], [fa])
     assert ref.splitlines() == mine.splitlines()
+
+
+@needs_oracle
+def test_fulllength_translation():
+    """-F starts the reported translation at the first Met."""
+    her2 = REF_TESTS / "ss.her2"
+    for extra in (["-S"], ["-S", "-F"]):
+        ref, mine = _run_both(extra, [her2])
+        assert ref.splitlines() == mine.splitlines(), extra
+
+
+@needs_oracle
+def test_direction_filter():
+    """-z sense_filter / antisense_filter keep only matching-direction
+    paths."""
+    her2 = REF_TESTS / "ss.her2"
+    for extra in (["-S", "-z", "sense_filter"],
+                  ["-S", "-z", "antisense_filter"]):
+        ref, mine = _run_both(extra, [her2])
+        assert ref.splitlines() == mine.splitlines(), extra
