@@ -429,6 +429,7 @@ class GsnapRunner:
         self.quiet_if_excessive = False  # gsnap -Q (quiet_if_excessive_p)
         self.clip_overlap = False  # gsnap --clip-overlap (clip_overlap_p)
         self.chop_primers = False  # gsnap -a (chop_primers_p)
+        self.merge_samechr = False  # gsnap --merge-distant-samechr
         from collections import Counter
         self.category_counts = Counter()  # resulttype histogram
         # gsnap -o/--orientation (FR default: invert read 2 at input)
@@ -1390,9 +1391,14 @@ class GsnapRunner:
                         md1=md1, nm1=nm1, md2=md2, nm2=nm2,
                         md_merged=mdm, nm_merged=nmm_md)
             total = p.nmm_total
-            if p.shortdistancep:
-                # consistent pair within shortsplicedist: an ordinary
-                # local SPLICE hit (one N-cigar record)
+            mergeable = (p.splice_type == "consistent"
+                         and self.merge_samechr)
+            if p.shortdistancep or mergeable:
+                # consistent pair within shortsplicedist — or any
+                # same-chromosome consistent pair under
+                # --merge-distant-samechr (SAMECHR_SPLICE printed as one
+                # record, samprint.c:2777) — an ordinary SPLICE hit
+                # (one N-cigar record)
                 gap = p.distance
                 cigar = f"{s}M{gap}N{L - s}M"
                 ref_cons = L + gap
@@ -1857,11 +1863,21 @@ class GsnapRunner:
         L = len(rec.seq)
         (q1, q2, g1), (q3, q4, g2) = d.parts
         info = d.distant
-        if info["shortp"]:
-            # consistent within shortsplicedist: single N-cigar record
-            chrnum = int(np.searchsorted(self.db.chr_ends, d.left,
+        if info["shortp"] or (self.merge_samechr
+                              and info["type"] == "consistent"):
+            # consistent within shortsplicedist: single N-cigar record.
+            # Merged DISTANT records keep the reference's POS quirk:
+            # for non-short distances substring_low is redefined to the
+            # substring holding the ORIGINAL query end (stage3hr.c:2378-
+            # 2435), so POS comes from the query-LAST part even though
+            # the CIGAR starts at the query-first part.
+            if info["shortp"]:
+                ref_left = d.left
+            else:
+                ref_left = g2 if d.plusp else g1
+            chrnum = int(np.searchsorted(self.db.chr_ends, ref_left,
                                          side="right"))
-            pos = d.left - int(self.db.chr_starts[chrnum]) + 1
+            pos = ref_left - int(self.db.chr_starts[chrnum]) + 1
             hit = sam.SEHit(
                 chrname=self.db.chr_names[chrnum], chrpos=pos,
                 plusp=d.plusp, cigar=d.cigar_core, md=info["md_merged"],

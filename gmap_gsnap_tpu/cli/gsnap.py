@@ -72,6 +72,10 @@ def main(argv=None) -> int:
                         "(NOTE: the reference accepts 'off' but enables "
                         "stripping for it too, gsnap.c:1485-1491 — "
                         "mirrored for parity)")
+    p.add_argument("--merge-distant-samechr", action="store_true",
+                   help="print same-chromosome distant splices as one "
+                        "record instead of translocation halves "
+                        "(samprint.c merge_samechr_p)")
     p.add_argument("--clip-overlap", action="store_true",
                    help="hard-clip the overlapping halves of proper "
                         "pairs (samprint.c clip_overlap_p)")
@@ -275,6 +279,7 @@ def main(argv=None) -> int:
                                splicesdb=args.use_splicing)
     r.quiet_if_excessive = args.quiet_if_excessive
     r.clip_overlap = args.clip_overlap
+    r.merge_samechr = args.merge_distant_samechr
     r.invert_first = args.orientation == "RF"
     r.invert_second = args.orientation == "FR"
     # the reference enables chopping for BOTH 'paired' and 'off'

@@ -247,3 +247,37 @@ def test_fastq_id_fields(tmp_path):
                   ["--fastq-id-start", "1", "--fastq-id-end", "2"]):
         ref_l, my_l = _run_both(extra, [fq])
         assert ref_l == my_l, extra
+
+
+@needs_oracle
+def test_merge_distant_samechr(tmp_path):
+    """--merge-distant-samechr prints same-chromosome distant splices
+    as one spliced record instead of two translocation halves."""
+    import numpy as np
+
+    from gmap_gsnap_tpu.db import build
+    from gmap_gsnap_tpu.ops import maxent
+
+    g = build.load_genome_fasta([FIXTURE])
+    seq = _genome_seq()
+    pos = np.arange(100, len(seq) - 100)
+    dp = maxent.splice_prob_np(g.codes, pos, "donor")
+    ap = maxent.splice_prob_np(g.codes, pos, "acceptor")
+    dsites = pos[dp > 0.97]
+    asites = pos[ap > 0.97]
+    read = None
+    for d in dsites:
+        k = np.searchsorted(asites, d + 1500)
+        if k < len(asites) and asites[k] <= d + 5000:
+            a = int(asites[k])
+            read = seq[int(d) - 50 : int(d)] + seq[a : a + 50]
+            break
+    assert read is not None
+    fq = tmp_path / "mg.fq"
+    with open(fq, "w") as f:
+        f.write(f"@g0\n{read}\n+\n{'I' * len(read)}\n")
+    base = ["-N", "1", "-w", "500"]
+    for extra in (base, base + ["--merge-distant-samechr"]):
+        ref_l, my_l = _run_both(extra, [fq])
+        assert ref_l == my_l, extra
+    assert any("N" in l.split("\t")[5] for l in my_l), my_l
