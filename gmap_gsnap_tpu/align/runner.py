@@ -382,7 +382,9 @@ def encode_batch(records: list[Record], lmax: int):
 class GsnapRunner:
     def __init__(self, db: GenomeDB, params: gsnap_se.GsnapParams | None = None,
                  lmax: int = 100, snpsdb: str | None = None,
-                 novelsplicing: bool = False, splicesdb: str | None = None):
+                 novelsplicing: bool = False, splicesdb: str | None = None,
+                 snps_dir: str | None = None,
+                 splicing_dir: str | None = None):
         self.db = db
         self.lmax = lmax
         self.params = params or gsnap_se.GsnapParams()
@@ -400,6 +402,8 @@ class GsnapRunner:
             from ..db.iit import IIT as _IIT
 
             path = splicesdb
+            if splicing_dir and not _os.path.exists(path):
+                path = _os.path.join(splicing_dir, f"{splicesdb}.iit")
             if not _os.path.exists(path):
                 path = _os.path.join(db.dbdir, f"{db.dbname}.maps",
                                      f"{splicesdb}.iit")
@@ -447,18 +451,20 @@ class GsnapRunner:
             from ..ops import genome as genome_ops
             from . import gsnap_se as gse
 
+            snp_base = snps_dir or db.dbdir
             files = indexdb_mod.index_filenames(
-                db.dbdir, db.dbname, "ref", snps_suffix=snpsdb
+                snp_base, db.dbname, "ref", snps_suffix=snpsdb
             )
             if files is None:
-                raise FileNotFoundError(f"no SNP index {snpsdb} in {db.dbdir}")
+                raise FileNotFoundError(f"no SNP index {snpsdb} in {snp_base}")
             self.index = gse.IndexArrays.from_host(
                 indexdb_mod.read_offsets(files),
                 indexdb_mod.read_positions(files["positions"]),
                 files["k"], files["interval"],
             )
             alt_codes, _ = gc_mod.read(
-                _os.path.join(db.dbdir, f"{db.dbname}.genomecomp.{snpsdb}"),
+                _os.path.join(snps_dir or db.dbdir,
+                              f"{db.dbname}.genomecomp.{snpsdb}"),
                 len(db.codes),
             )
             # alt flags in the file mark SNP positions, not Ns — use the

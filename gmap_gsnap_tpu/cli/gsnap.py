@@ -81,6 +81,14 @@ def main(argv=None) -> int:
                         "pairs (samprint.c clip_overlap_p)")
     p.add_argument("--mode", default="standard",
                    choices=["standard", "cmet-stranded", "atoi-stranded"])
+    p.add_argument("-V", "--snpsdir", default=None,
+                   help="directory holding the snpindex files (default: "
+                        "the genome directory)")
+    p.add_argument("--splicingdir", default=None,
+                   help="directory holding the splicesites map IIT")
+    p.add_argument("--version", action="version",
+                   version="gsnap (gmap_gsnap_tpu) reference-compatible "
+                           "with GMAP/GSNAP version 2012-07-03")
     p.add_argument("-v", "--use-snps", default=None,
                    help="use SNP-tolerant index built by snpindex")
     p.add_argument("-N", "--novelsplicing", type=int, default=0, choices=[0, 1],
@@ -276,7 +284,9 @@ def main(argv=None) -> int:
     )
     r = runner_mod.GsnapRunner(db, params, lmax=lmax, snpsdb=args.use_snps,
                                novelsplicing=bool(args.novelsplicing),
-                               splicesdb=args.use_splicing)
+                               splicesdb=args.use_splicing,
+                               snps_dir=args.snpsdir,
+                               splicing_dir=args.splicingdir)
     r.quiet_if_excessive = args.quiet_if_excessive
     r.clip_overlap = args.clip_overlap
     r.merge_samechr = args.merge_distant_samechr

@@ -156,7 +156,10 @@ def sharded_seed_diagonals(index: "ShardedIndexArrays", oligos, valid,
     """
     from functools import partial as _partial
 
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     from ..align.gsnap_se import INVALID_DIAG
 

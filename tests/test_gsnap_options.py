@@ -281,3 +281,57 @@ def test_merge_distant_samechr(tmp_path):
         ref_l, my_l = _run_both(extra, [fq])
         assert ref_l == my_l, extra
     assert any("N" in l.split("\t")[5] for l in my_l), my_l
+
+
+@needs_oracle
+def test_snpsdir_splicingdir(tmp_path):
+    """-V/--splicingdir: index artifacts living outside the genome dir."""
+    import shutil
+
+    seq = _genome_seq()
+    # copy the db WITHOUT snp/map artifacts, relocate them to side dirs
+    src = pathlib.Path(ORACLE_DB) / "chr17test"
+    dbdir = tmp_path / "gdb" / "chr17test"
+    shutil.copytree(src, dbdir,
+                    ignore=shutil.ignore_patterns("*.maps"))
+    snpdir = tmp_path / "snps"
+    snpdir.mkdir()
+    moved = False
+    for f in list(dbdir.iterdir()):
+        if ".mysnps" in f.name or f.name.endswith("mysnps"):
+            shutil.move(str(f), snpdir / f.name)
+            moved = True
+    spldir = tmp_path / "spl"
+    spldir.mkdir()
+    from gmap_gsnap_tpu.db.iit_text import iit_from_text
+    from gmap_gsnap_tpu.db import build as _b
+    from gmap_gsnap_tpu.ops import maxent
+    import numpy as np
+
+    g = _b.load_genome_fasta([FIXTURE])
+    pos = np.arange(100, len(seq) - 100)
+    dp = maxent.splice_prob_np(g.codes, pos, "donor")
+    ap = maxent.splice_prob_np(g.codes, pos, "acceptor")
+    d = int(pos[dp > 0.97][0])
+    a = int(pos[ap > 0.97][np.searchsorted(pos[ap > 0.97], d + 200)])
+    iit_from_text(
+        f">x.d chr17test:{d}..{d + 1} donor\n"
+        f">x.a chr17test:{a}..{a + 1} acceptor\n"
+    ).write(str(spldir / "sx.iit"))
+    read = seq[d - 50 : d] + seq[a : a + 50]
+    fq = tmp_path / "v.fq"
+    with open(fq, "w") as f:
+        f.write(f"@v0\n{read}\n+\n{'I' * len(read)}\n")
+    gdb = str(tmp_path / "gdb")
+    args = ["-D", gdb, "-d", "chr17test", "-s", "sx",
+            "--splicingdir", str(spldir)]
+    ref = subprocess.run(
+        [ORACLE_GSNAP, "--format=sam"] + args + [str(fq)],
+        capture_output=True, text=True, check=True).stdout
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=str(REPO))
+    mine = subprocess.run(
+        [sys.executable, "-m", "gmap_gsnap_tpu.cli.gsnap"] + args
+        + [str(fq)], capture_output=True, text=True, env=env,
+        check=True).stdout
+    assert ([l for l in ref.splitlines() if not l.startswith("@")]
+            == [l for l in mine.splitlines() if not l.startswith("@")])
