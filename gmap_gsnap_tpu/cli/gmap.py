@@ -59,6 +59,16 @@ def main(argv=None) -> int:
                    help="alignment block width (gmap -l, pair.c)")
     p.add_argument("-i", "--introngap", type=int, default=3,
                    help="dots shown in -A intron gaps (gmap -i ngap)")
+    p.add_argument("-m", "--map", dest="mapfile", default=None,
+                   help="map IIT for annotation lookup per path")
+    p.add_argument("-M", "--mapdir", default=None,
+                   help="directory holding the map IIT")
+    p.add_argument("-b", "--mapboth", action="store_true",
+                   help="report map hits on both strands")
+    p.add_argument("-u", "--nflanking", type=int, default=0,
+                   help="also report this many flanking map entries")
+    p.add_argument("--print-comment", action="store_true",
+                   help="print the map entry annotations too")
     p.add_argument("-F", "--fulllength", action="store_true",
                    help="translation starts from the first Met "
                         "(fulllengthp, gmap.c:315)")
@@ -125,6 +135,26 @@ def main(argv=None) -> int:
             args.db,
         )
         dbmode = True
+
+    map_iit = None
+    if args.mapfile:
+        import os as _os
+
+        from ..db.iit import IIT as _IIT
+
+        mp = args.mapfile
+        for cand in (mp,
+                     _os.path.join(args.mapdir or "", mp),
+                     _os.path.join(args.mapdir or "", f"{mp}.iit"),
+                     _os.path.join(db.dbdir, f"{db.dbname}.maps", mp),
+                     _os.path.join(db.dbdir, f"{db.dbname}.maps",
+                                   f"{mp}.iit")):
+            if cand and _os.path.exists(cand):
+                map_iit = _IIT.read(cand)
+                break
+        if map_iit is None:
+            print(f"gmap: cannot find map file {mp}", file=sys.stderr)
+            return 9
 
     gstr = db.genome_str
     if args.format in ("samse", "sampe"):
@@ -350,6 +380,17 @@ def main(argv=None) -> int:
                                 wraplength=args.wraplength,
                                 ngap=args.introngap,
                                 nolengths=args.nolengths))
+                if map_iit is not None:
+                    sys.stdout.write("Maps:\n")
+                    for pi, part in enumerate(outpaths):
+                        pcn = int(_np.searchsorted(
+                            db.chr_ends, part.gstart, side="right"))
+                        sys.stdout.write(gmap_out.map_hits(
+                            part, pi + 1, map_iit, args.mapfile,
+                            db.chr_names[pcn], int(db.chr_starts[pcn]),
+                            bothstrands=args.mapboth,
+                            nflanking=args.nflanking,
+                            print_comment=args.print_comment))
     return 0
 
 

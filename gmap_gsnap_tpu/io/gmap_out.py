@@ -1032,3 +1032,72 @@ def coords_output(path: Path, header: str, qstr: str, gstr: str,
         out.append(f"{f1}\t{rp} {qdisp}\t{sign}{chrname}:{glocal} "
                    f"{gabs} {gdisp}\t{f4}\n")
     return "".join(out)
+
+
+def map_hits(path, pathnum: int, iit, mapname: str, chrname: str,
+             chr_start: int, bothstrands: bool = False,
+             nflanking: int = 0, print_comment: bool = False) -> str:
+    """gmap -m map annotation: 'Map hits for path N' section
+    (stage3.c:4580-4665 print_map + iit-read.c:5208-5300 print_header).
+
+    Signed queries (default) keep only intervals matching the path's
+    strand, sorted by position; -b keeps both strands in record order;
+    -u prints the nearest flanking entries on each side."""
+    div = chrname if chrname in iit.intervals else ""
+    ivs = iit.intervals.get(div, [])
+    if chrname not in iit.intervals and "" not in iit.intervals:
+        return f"  *Map hits for path {pathnum} (0):\n\n"
+    labels = iit.labels.get(div, [])
+    anns = iit.annotations.get(div, [])
+    chrlow = path.gstart - chr_start + 1
+    chrhigh = path.gend - chr_start
+    sign = 1 if path.watsonp else -1
+
+    def hit_line(i):
+        iv = ivs[i]
+        lo, hi = (iv.low, iv.high) if iv.sign >= 0 else (iv.high, iv.low)
+        out = f"\t{mapname}\t{chrname}:{lo}..{hi}\t{labels[i]}"
+        if print_comment:
+            ann = anns[i].decode("ascii", "replace") if i < len(anns) else ""
+            if iit.version >= 5:
+                # v5 annotations carry the rest-of-header as their first
+                # line; the printed comment is the CONTENT after it
+                # (IIT_annotation, iit-read.c)
+                ann = ann.split("\n", 1)[1] if "\n" in ann else ""
+            out += "\t" + ann.split("\n", 1)[0]
+        return out + "\n"
+
+    if bothstrands:
+        matches = [i for i, iv in enumerate(ivs)
+                   if iv.low <= chrhigh and iv.high >= chrlow]
+    else:
+        matches = sorted(
+            (i for i, iv in enumerate(ivs)
+             if iv.low <= chrhigh and iv.high >= chrlow
+             and (iv.sign == 0 or iv.sign == sign)),
+            key=lambda i: (ivs[i].low, ivs[i].high))
+    left = right = []
+    if nflanking > 0:
+        fsign = 0 if bothstrands else sign
+        left = sorted(
+            (i for i, iv in enumerate(ivs)
+             if iv.high < chrlow and (fsign == 0 or iv.sign == fsign)),
+            key=lambda i: -ivs[i].high)[:nflanking]
+        right = sorted(
+            (i for i, iv in enumerate(ivs)
+             if iv.low > chrhigh and (fsign == 0 or iv.sign == fsign)),
+            key=lambda i: ivs[i].low)[:nflanking]
+        head = (f"  Map hits for path {pathnum} "
+                f"({len(left)}|{len(matches)}|{len(right)}):\n")
+    else:
+        head = f"  Map hits for path {pathnum} ({len(matches)}):\n"
+    out = [head]
+    if nflanking > 0:
+        out.extend(hit_line(i) for i in reversed(left))
+        out.append("    ====================\n")
+    out.extend(hit_line(i) for i in matches)
+    if nflanking > 0:
+        out.append("    ====================\n")
+        out.extend(hit_line(i) for i in right)
+    out.append("\n")
+    return "".join(out)

@@ -139,3 +139,43 @@ def test_direction_filter():
                   ["-S", "-z", "antisense_filter"]):
         ref, mine = _run_both(extra, [her2])
         assert ref.splitlines() == mine.splitlines(), extra
+
+
+@needs_oracle
+def test_map_annotation(tmp_path):
+    """-m map IIT annotation: signed/both-strand hits, flanking (-u),
+    and --print-comment, byte-compared."""
+    import shutil
+
+    src = pathlib.Path(ORACLE_DB) / "chr17test"
+    dbdir = tmp_path / "gdb" / "chr17test"
+    shutil.copytree(src, dbdir, ignore=shutil.ignore_patterns("*.maps"))
+    maps = dbdir / "chr17test.maps"
+    maps.mkdir()
+    from gmap_gsnap_tpu.db.iit_text import iit_from_text
+
+    # entries around the HER2 locus (109781..138442), both strands,
+    # flanking entries on each side
+    txt = (
+        ">geneA chr17test:100000..105000 note A\n"
+        ">geneB chr17test:112000..118000 in-span plus\n"
+        ">geneC chr17test:125000..120000 in-span minus\n"
+        ">geneD chr17test:130000..131000 in-span plus2\n"
+        ">geneE chr17test:150000..155000 right flank\n"
+    )
+    iit_from_text(txt).write(str(maps / "mymap.iit"))
+    her2 = REF_TESTS / "ss.her2"
+    gdb = str(tmp_path / "gdb")
+    for extra in (["-m", "mymap"], ["-m", "mymap", "-b"],
+                  ["-m", "mymap", "-u", "1"],
+                  ["-m", "mymap", "--print-comment"]):
+        args = ["-D", gdb, "-d", "chr17test", "-S"] + extra
+        ref = subprocess.run(
+            [ORACLE_GMAP] + args + [str(her2)],
+            capture_output=True, text=True, check=True).stdout
+        env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=str(REPO))
+        mine = subprocess.run(
+            [sys.executable, "-m", "gmap_gsnap_tpu.cli.gmap"] + args
+            + [str(her2)], capture_output=True, text=True, env=env,
+            check=True).stdout
+        assert ref.splitlines() == mine.splitlines(), extra
