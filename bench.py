@@ -22,10 +22,32 @@ Prints ONE JSON line {metric, value, unit, vs_baseline, extra}.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
+
+
+def _probe_backend(timeout_s: int = 180) -> bool:
+    """True when the configured device backend answers; False when it
+    hangs or errors (a dead TPU tunnel would otherwise stall the bench
+    forever).  Probes jax.devices() in a subprocess so a hang can be
+    killed."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+        if r.returncode == 0 and r.stdout.strip():
+            return True
+    except subprocess.TimeoutExpired:
+        pass
+    print("bench: device backend unreachable; falling back to CPU",
+          file=sys.stderr)
+    return False
 
 BASELINE_PE_QPS = 7447.27   # reference gsnap PE, 1 thread, this workload
 BASELINE_SE_QPS = 1460.25   # reference gsnap SE, 1 thread (r1 workload)
@@ -74,7 +96,13 @@ def main() -> int:
     import io
     import tempfile
 
+    backend_ok = _probe_backend()
     import jax
+
+    if not backend_ok:
+        # sitecustomize pre-imports jax, so env vars are too late —
+        # switch platforms via config (same trick as tests/conftest.py)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from gmap_gsnap_tpu.align import gmap as gmap_mod
@@ -202,6 +230,7 @@ def main() -> int:
         jax.block_until_ready(mats)
     dyn_per_sec = reps * B / (time.time() - t0)
 
+    platform = jax.devices()[0].platform
     print(json.dumps({
         "metric": "gsnap_pe_100bp_end_to_end_pairs_per_sec",
         "value": round(pe_qps, 1),
@@ -216,6 +245,7 @@ def main() -> int:
             "gmap_cdna_per_sec": round(gmap_qps, 1),
             "gmap_cdna_vs_baseline": round(gmap_qps / BASELINE_GMAP_QPS, 2),
             "dynprog_banded_gaps_per_sec": round(dyn_per_sec, 1),
+            "platform": platform,
         },
     }))
     return 0

@@ -427,7 +427,8 @@ def _bucket(n: int, lo: int = 256) -> int:
 def align_cdna_batch(db: GenomeDB, queries: list[str],
                      max_intronlen: int = 1_000_000,
                      extend_ends: bool = False,
-                     npaths: int = 1):
+                     npaths: int = 1,
+                     genome_range: "tuple | None" = None):
     """Batched cDNA alignment: seeding, segment extraction and chaining
     for BOTH strands of EVERY query run as one device call
     (gmap_engine.seed_segments_device); host work is O(segments) per
@@ -481,6 +482,7 @@ def align_cdna_batch(db: GenomeDB, queries: list[str],
             break
         H *= 4  # overflow rescue: re-run at a larger hit budget
     chains = gmap_engine.chains_from_device(segs, rows, Q, k, max_intronlen,
+                                            genome_range=genome_range,
                                             npaths=npaths)
 
     from . import gmap_engine
@@ -595,10 +597,11 @@ def path_mapqs(paths: "list[Path]"):
 
 def align_cdna_paths(db: GenomeDB, query: str,
                      max_intronlen: int = 1_000_000,
-                     npaths: int = 10) -> "list[Path]":
+                     npaths: int = 10,
+                     genome_range: "tuple | None" = None) -> "list[Path]":
     """All surviving non-overlapping paths for one query, ranked."""
     return align_cdna_batch(db, [query], max_intronlen=max_intronlen,
-                            npaths=npaths)[0]
+                            npaths=npaths, genome_range=genome_range)[0]
 
 
 CHIMERA_MARGIN = 40  # gmap.c:234 chimera_margin default

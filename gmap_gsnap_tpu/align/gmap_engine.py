@@ -165,7 +165,8 @@ def fetch_packed(arrays):
 
 
 def chains_from_device(segs, B: int, Q: int, k: int,
-                       max_intronlen: int = 1_000_000, npaths: int = 1):
+                       max_intronlen: int = 1_000_000, npaths: int = 1,
+                       genome_range: "tuple | None" = None):
     """Host chain DP + backtrack over the device-extracted segments.
 
     The DP is the stage2-style sparse chaining of gmap.py
@@ -183,6 +184,13 @@ def chains_from_device(segs, B: int, Q: int, k: int,
     qend = np.asarray(segs["qend"]).astype(np.int64)
     diag = np.asarray(segs["diag"]).astype(np.int64) - Q  # unbias
     valid = np.asarray(segs["valid"])
+    if genome_range is not None:
+        # gmap -c/--chrsubset: restrict the SEARCH to a genomic window
+        # (Chrsubset, stage1.c gregion bounds) — segments outside it
+        # never seed chains, so subset-only suboptimal paths surface
+        glo, ghi = genome_range
+        gs = diag + qstart
+        valid = valid & (gs >= glo) & (gs + (qend - qstart) <= ghi)
     S = qstart.shape[1]
     NEG = -(2**60)
 

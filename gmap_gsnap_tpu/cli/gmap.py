@@ -59,6 +59,8 @@ def main(argv=None) -> int:
                    help="alignment block width (gmap -l, pair.c)")
     p.add_argument("-i", "--introngap", type=int, default=3,
                    help="dots shown in -A intron gaps (gmap -i ngap)")
+    p.add_argument("-c", "--chrsubset", default=None,
+                   help="restrict the search to one chromosome")
     p.add_argument("-m", "--map", dest="mapfile", default=None,
                    help="map IIT for annotation lookup per path")
     p.add_argument("-M", "--mapdir", default=None,
@@ -156,6 +158,33 @@ def main(argv=None) -> int:
             print(f"gmap: cannot find map file {mp}", file=sys.stderr)
             return 9
 
+    # -c/--chrsubset: the 2012 reference resolves the named subset from
+    # <db>.chrsubset and prints the "[chrsubset: NAME]" label on every
+    # Paths line — but its stage1 does NOT actually restrict the search
+    # (verified: a query outside the subset still reports its path).
+    # Mirrored label-only for byte parity; the engine's genome_range
+    # hook exists for real restriction if wanted.
+    genome_range = None
+    chrsubset_label = None
+    if args.chrsubset:
+        import os as _os1
+
+        subf = _os1.path.join(db.dbdir, f"{db.dbname}.chrsubset")
+        found = False
+        if _os1.path.exists(subf):
+            cur = None
+            for line in open(subf):
+                if line.startswith(">"):
+                    cur = line[1:].strip()
+                    if cur == args.chrsubset:
+                        found = True
+                        break
+        if not found:
+            print(f"Unable to find subset {args.chrsubset} in chromosome "
+                  f"subset file {subf}", file=sys.stderr)
+            return 9
+        chrsubset_label = args.chrsubset
+
     gstr = db.genome_str
     if args.format in ("samse", "sampe"):
         sys.stdout.write("".join(
@@ -187,7 +216,8 @@ def main(argv=None) -> int:
             chimera_pos = None
             if dbmode:
                 allpaths = gmap_mod.align_cdna_paths(
-                    db, rec.seq, max_intronlen=args.intronlength)
+                    db, rec.seq, max_intronlen=args.intronlength,
+                    genome_range=genome_range)
                 allpaths = [pt for pt in allpaths
                             if abs(pt.gend - pt.gstart)
                             <= args.totallength]
@@ -264,7 +294,9 @@ def main(argv=None) -> int:
                 continue
             if path is None:
                 if args.format == "paths" and not args.compress:
-                    sys.stdout.write(f">{rec.header}\nPaths (0):\n\n")
+                    sub0 = (f"  [chrsubset: {chrsubset_label}]"
+                            if chrsubset_label else "")
+                    sys.stdout.write(f">{rec.header}\nPaths (0):{sub0}\n\n")
                     if args.A or args.summary_only or args.continuous_by_exon:
                         # the Alignments section header prints even for
                         # 0 paths (gmap.c print_result -S/-A)
@@ -342,6 +374,7 @@ def main(argv=None) -> int:
                         chrinfo=chrinfo,
                         dbname=db.dbname if dbmode else None,
                         chr_start=chr_start,
+                        chrsubset_label=chrsubset_label,
                     )
                 )
                 if chimera_pos is None:

@@ -638,17 +638,20 @@ def paths_output(
     chrinfo: "list[tuple] | None" = None,
     dbname: str | None = None,
     chr_start: int = 0,
+    chrsubset_label: str | None = None,
 ) -> str:
     """maxpaths limits the printed 'Path N:' blocks while the header
     still reports the true path count (gmap -n; observed: -n 1 on a
     2-path query prints 'Paths (2):' with one block).  chrinfo gives
     per-path (chrname, chrlength) for multi-chromosome path lists."""
     out = [f">{header}\n"]
+    sub = (f"  [chrsubset: {chrsubset_label}]"
+           if chrsubset_label else "")
     if chimera_pos is not None:
-        out.append(f"Paths ({len(paths)}): *** Possible chimera "
+        out.append(f"Paths ({len(paths)}):{sub} *** Possible chimera "
                    f"with breakpoint at {chimera_pos + 1}\n")
     else:
-        out.append(f"Paths ({len(paths)}):\n")
+        out.append(f"Paths ({len(paths)}):{sub}\n")
     # chimeras translate the FULL cDNA once (Stage3_translate_chimera)
     # and assign the ORF to the part containing its start, printing
     # PART-relative coordinates

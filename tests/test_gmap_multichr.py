@@ -60,3 +60,24 @@ def test_multichr_format_parity(twochr, fmt):
          "-d", "twochr", *fmt, qfa],
         capture_output=True, text=True, env=env, check=True).stdout
     assert mine.splitlines() == ref.splitlines(), fmt
+
+
+@needs_oracle
+def test_chrsubset(twochr, tmp_path):
+    """-c restricts the search to one chromosome: a qB query forced to
+    chrA must report 0 paths; a chrA query keeps its path.  Byte parity
+    with the reference."""
+    import subprocess
+
+    dbdir, q = twochr
+    gdb = str(pathlib.Path(dbdir).parent)
+    for sub in ("chrA", "chrB"):
+        args = ["-D", gdb, "-d", "twochr", "-S", "-c", sub]
+        ref = subprocess.run(
+            [ORACLE] + args + [q], capture_output=True, text=True,
+            check=True).stdout
+        env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=str(REPO))
+        mine = subprocess.run(
+            [sys.executable, "-m", "gmap_gsnap_tpu.cli.gmap"] + args + [q],
+            capture_output=True, text=True, env=env, check=True).stdout
+        assert ref.splitlines() == mine.splitlines(), sub
