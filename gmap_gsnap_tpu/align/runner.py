@@ -1104,6 +1104,11 @@ class GsnapRunner:
                             has_obs = bool(np.any(cand > c - obs_win))
                     else:
                         has_obs = False
+                    if sites.introns_only and not has_obs:
+                        # introns-format maps build no max trie
+                        # (gsnap.c:2214): sites without obs-window
+                        # partners have none at all
+                        continue
                     best_obs_mm, obs_list = None, []
                     best_max_mm, max_list = None, []
                     for a in cand:
@@ -1119,6 +1124,8 @@ class GsnapRunner:
                         in_obs = (not has_obs) or (
                             (a - c < obs_win) if side == "L"
                             else (c - a < obs_win))
+                        if sites.introns_only and not in_obs:
+                            continue
                         if in_obs:
                             if best_obs_mm is None or nmm_s < best_obs_mm:
                                 best_obs_mm, obs_list = nmm_s, [a]

@@ -37,6 +37,11 @@ class SpliceSites:
     antidonor_dists: np.ndarray | None = None
     antiacceptor_dists: np.ndarray | None = None
     distances_observed: bool = False
+    # True when the sites were derived from an INTRONS-format file:
+    # only the obs trie exists (gsnap.c:2214 triecontents_max = NULL),
+    # so shortend partners beyond the observed distance are excluded
+    # outright instead of penalized
+    introns_only: bool = False
 
     def dists_for(self, arr: np.ndarray) -> np.ndarray | None:
         """The distance array parallel to one of the four coord arrays
@@ -92,6 +97,55 @@ def load_splicesites(iit: IIT, chr_names: list[str],
     labels: dict[int, str] = {}
     max_dist = 0
     distances_observed = None
+
+    # file-type detection (gsnap.c:2157-2196): donor/acceptor TYPE tags
+    # mean a splicesites file; none means an INTRONS file, whose sites
+    # derive from the intron span ends (Splicetrie_retrieve_via_introns,
+    # splicetrie_build.c:751-850: plus introns put a donor at low and an
+    # acceptor at high-1; minus introns an antiacceptor at low and an
+    # antidonor at high-1; distances = the intron lengths)
+    has_tags = any(t in ("donor", "acceptor") for t in iit.types)
+    if not has_tags:
+        for div, ivs in iit.intervals.items():
+            if div not in offs:
+                continue
+            chroffset = offs[div]
+            labs = iit.labels.get(div, [])
+            for i, iv in enumerate(ivs):
+                dist = iv.high - iv.low + 1
+                max_dist = max(max_dist, dist)
+                lowpos = iv.low + chroffset
+                highpos = iv.high - 1 + chroffset
+                if iv.sign >= 0:
+                    pairs = (("donors", lowpos), ("acceptors", highpos))
+                else:
+                    pairs = (("antiacceptors", lowpos),
+                             ("antidonors", highpos))
+                for key, pos in pairs:
+                    prev = buckets[key].get(pos)
+                    buckets[key][pos] = (dist if prev is None
+                                         else max(prev, dist))
+                    if i < len(labs):
+                        labels.setdefault(pos, labs[i])
+
+        def sorted_pair(key):
+            pos = np.array(sorted(buckets[key]), np.uint32)
+            dists = np.array(
+                [buckets[key][p] for p in sorted(buckets[key])], np.uint32)
+            return pos, dists
+
+        dpos, dd = sorted_pair("donors")
+        apos, ad = sorted_pair("acceptors")
+        ndpos, ndd = sorted_pair("antidonors")
+        napos, nad = sorted_pair("antiacceptors")
+        return SpliceSites(
+            donors=dpos, acceptors=apos, antidonors=ndpos,
+            antiacceptors=napos, max_dist=max_dist, labels=labels,
+            donor_dists=dd, acceptor_dists=ad,
+            antidonor_dists=ndd, antiacceptor_dists=nad,
+            distances_observed=True, introns_only=True,
+        )
+
     for div, ivs in iit.intervals.items():
         if div not in offs:
             continue

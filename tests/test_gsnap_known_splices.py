@@ -55,6 +55,10 @@ def _low_prob_junction(seq):
     raise AssertionError("no junction found")
 
 
+def _rc(x):
+    return x.translate(str.maketrans("ACGT", "TGCA"))[::-1]
+
+
 def _env():
     return dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=str(REPO))
 
@@ -200,3 +204,35 @@ def test_splicedists_obs_window_parity(tmp_path):
         mine = _run_ours(["-D", str(gdb), "-d", "chr17test", "-s", "sd",
                           str(fq)])
         assert _body(ref) == _body(mine), tag
+
+
+@needs_oracle
+def test_introns_format_map(tmp_path):
+    """-s with an INTRONS-format IIT (no donor/acceptor tags): sites
+    derive from the intron span ends with observed distances
+    (Splicetrie_retrieve_via_introns) — byte parity on a junction only
+    discoverable via the known intron."""
+    gdb, dbdir = _copy_db(tmp_path)
+    seq = _genome_seq()
+    istart, iend = _low_prob_junction(seq)
+
+    from gmap_gsnap_tpu.db.iit_text import iit_from_text
+
+    # gtf_introns emits chr:ends[i]..starts[i+1] — LAST EXON BASE to
+    # next exon's FIRST base — so the derived donor (low) and acceptor
+    # (high-1) coordinates match the splicesites-file conventions
+    intron_txt = f">j.intron1 chr17test:{istart}..{iend + 1}\n"
+    iit_from_text(intron_txt).write(str(dbdir / "chr17test.maps" / "in.iit"))
+
+    reads = [seq[istart - 50 : istart] + seq[iend : iend + 50]]
+    reads.append(_rc(reads[0]))
+    fq = tmp_path / "in.fq"
+    with open(fq, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f"@n{i}\n{r}\n+\n{'I' * len(r)}\n")
+
+    ref = _run_ref(["-D", str(gdb), "-d", "chr17test", "-s", "in", str(fq)])
+    mine = _run_ours(["-D", str(gdb), "-d", "chr17test", "-s", "in",
+                      str(fq)])
+    assert _body(ref) == _body(mine)
+    assert any("N" in l.split("\t")[5] for l in _body(mine))
