@@ -99,10 +99,21 @@ def main() -> int:
     backend_ok = _probe_backend()
     import jax
 
+    global NPAIRS
+    npairs = NPAIRS
+    nreads_dev = 4 * 2048
+    nreads_e2e = 4096
+    gmap_n = 64
     if not backend_ok:
         # sitecustomize pre-imports jax, so env vars are too late —
         # switch platforms via config (same trick as tests/conftest.py)
         jax.config.update("jax_platforms", "cpu")
+        # CPU fallback exists so the driver records SOMETHING; shrink
+        # the workloads so it finishes inside a driver timeout
+        npairs = 512
+        nreads_dev = 2048
+        nreads_e2e = 512
+        gmap_n = 16
     import jax.numpy as jnp
 
     from gmap_gsnap_tpu.align import gmap as gmap_mod
@@ -123,7 +134,7 @@ def main() -> int:
 
     # ---------------------------------------------- end-to-end PE (primary)
     rng = np.random.default_rng(7)
-    r5, r3 = make_pe_workload(seq, NPAIRS, rng)
+    r5, r3 = make_pe_workload(seq, npairs, rng)
     recs5 = [runner_mod.Record(f"b{i}", f"b{i}", s, "I" * L)
              for i, s in enumerate(r5)]
     recs3 = [runner_mod.Record(f"b{i}", f"b{i}", s, "I" * L)
@@ -135,18 +146,18 @@ def main() -> int:
     out = io.StringIO()
     n = runner.run_pe(recs5, recs3, out, batch_size=BATCH)
     dt = time.time() - t0
-    assert n == NPAIRS
+    assert n == npairs
     sam_lines = sum(1 for l in out.getvalue().splitlines()
                     if not l.startswith("@"))
-    assert sam_lines >= 2 * NPAIRS
-    pe_qps = NPAIRS / dt
+    assert sam_lines >= 2 * npairs
+    pe_qps = npairs / dt
 
     # ---------------------------------------------- device-only SE
     rng = np.random.default_rng(42)
     g = db
     genome = db.device_genome
     index = db.device_index
-    nreads = 4 * 2048
+    nreads = nreads_dev
     code_of = np.zeros(256, np.uint8)
     for i, c in enumerate(b"ACGT"):
         code_of[c] = i
@@ -183,7 +194,7 @@ def main() -> int:
     lut = np.frombuffer(b"ACGT", np.uint8)
     se_recs = [
         runner_mod.Record(f"s{i}", f"s{i}", bytes(lut[row]).decode(), "I" * L)
-        for i, row in enumerate(codes[:4096])
+        for i, row in enumerate(codes[:nreads_e2e])
     ]
     out = io.StringIO()
     runner.run(se_recs[:BATCH], out)  # warmup / compile
@@ -195,7 +206,7 @@ def main() -> int:
 
     # ---------------------------------------------- batched GMAP cDNA
     rng = np.random.default_rng(7)
-    queries = make_gmap_workload(seq, 64, rng)
+    queries = make_gmap_workload(seq, gmap_n, rng)
     paths = gmap_mod.align_cdna_batch(db, queries)  # warmup
     t0 = time.time()
     paths = gmap_mod.align_cdna_batch(db, queries)
