@@ -213,6 +213,19 @@ def main(argv=None) -> int:
         ]
     if True:
         for rec in allrecs:
+            if len(rec.seq) < db.k and args.format == "paths":
+                # gmap.c:2425-2441 failure types
+                word = ("Empty sequence" if len(rec.seq) == 0
+                        else "Short sequence < index oligo size")
+                sub0 = (f"  [chrsubset: {chrsubset_label}]"
+                        if chrsubset_label else "")
+                sys.stdout.write(
+                    f">{rec.header}\nPaths (0):{sub0} *** {word} ***\n\n")
+                if args.A or args.summary_only or args.continuous_by_exon:
+                    sys.stdout.write("Alignments:\n")
+                if map_iit is not None:
+                    sys.stdout.write("Maps:\n")
+                continue
             chimera_pos = None
             if dbmode:
                 allpaths = gmap_mod.align_cdna_paths(

@@ -179,3 +179,20 @@ def test_map_annotation(tmp_path):
             + [str(her2)], capture_output=True, text=True, env=env,
             check=True).stdout
         assert ref.splitlines() == mine.splitlines(), extra
+
+
+@needs_oracle
+def test_short_and_empty_sequence(tmp_path):
+    fa = tmp_path / "short.fa"
+    fa.write_text(">tiny\nACGTACG\n>ok\n" + _genome_seq_gm()[20000:20400]
+                  + "\n")
+    for extra in (["-S"], []):
+        ref, mine = _run_both(extra, [fa])
+        assert ref.splitlines() == mine.splitlines(), extra
+
+
+def _genome_seq_gm():
+    return "".join(
+        l.strip() for l in open(REF_TESTS / "ss.chr17test")
+        if not l.startswith(">")
+    ).upper()
