@@ -117,6 +117,30 @@ class GsnapParams:
     trim_mismatch_score: int = -3       # gsnap.c:146
     trim_indel_score: int = -4          # gsnap.c:147
 
+    # GMAP-rescue lane knobs (gsnap.c:83-98).  gmap_mode is the
+    # comma-separated lane list of --gmap-mode; trigger_score_for_gmap
+    # gates the PE pairsearch lane exactly like the reference
+    # (stage1hr.c:14531: found_score > trigger; found_score is
+    # querylength5+querylength3 when no concordant pair exists, which
+    # is the only situation our rescue lane runs in).
+    gmap_mode: str = "pairsearch,indel_knownsplice,terminal,improvement"
+    trigger_score_for_gmap: int = 5     # gsnap.c:98
+    max_gmap_pairsearch: int = 10       # gsnap.c:90 (anchors tried)
+    max_gmap_terminal: int = 50         # gsnap.c:91 default 5 caps how
+                                        # many terminals get a GMAP try;
+                                        # our single-GMAP design skips
+                                        # the lane past this count
+    max_gmap_improvement: int = 5       # gsnap.c:92
+    gmap_min_coverage: float = 0.5      # gsnap.c:84
+    microexon_spliceprob: float = 0.95  # gsnap.c:94
+    # Accepted for compatibility; every application site in the
+    # reference is disabled with if(0) (stage1hr.c:6343,6480,6815,7058)
+    antistranded_penalty: int = 0       # gsnap.c:202
+    # Live only in GMAP PE path merging (stage3.c:2818); the gsnap
+    # sites are compiled out (USE_BINGO, stage3hr.c:6334)
+    expected_pairlength: int = 200      # gsnap.c:165 (--pairexpect)
+    pairlength_deviation: int = 25      # gsnap.c:166 (--pairdev)
+
 
 def _extract_oligos(codes: jax.Array, nflags: jax.Array, lengths: jax.Array, k: int):
     """Pack every k-mer of each read MSB-first.  codes uint8[B, L].

@@ -52,12 +52,18 @@ MISMATCH_LOGPROB = np.array(
 
 TRIM_MATCH_SCORE = 1
 
+# gsnap -0/--noexceptions (gsnap.c:454): disables the crash-guard
+# reporting, letting the raw traceback propagate for debugging
+EXCEPTION_GUARD = True
+
 
 def _offending_read(*recs) -> None:
     """Crash guard: report the read being processed when emission
     raises, like the reference's signal handlers / per-request TRY
     frames that print the problem sequence before aborting
     (src/gsnap.c:699-739,934-961)."""
+    if not EXCEPTION_GUARD:
+        return
     for r in recs:
         print(f"Problem sequence: {r.label} ({len(r.seq)} bp)",
               file=_sys.stderr)
@@ -274,6 +280,24 @@ def _substring_bounds(d: "PostHit", L: int):
     return out[::-1] if not d.plusp else out
 
 
+def substring_spans(d: "PostHit", L: int):
+    """Trimmed aligned genomic intervals per substring, in the
+    reference's substring order (Substring alignstart/alignend).  Falls
+    back to the whole trimmed span for hits without parts."""
+    if not d.parts:
+        span = d.trim5 + d.ref_consumed + d.trim3
+        if d.plusp:
+            return [(d.left + d.trim5, d.left + span - d.trim3)]
+        return [(d.left + d.trim3, d.left + span - d.trim5)]
+    out = []
+    n = len(d.parts)
+    for k, (qs, qe, g0) in enumerate(d.parts):
+        lo = d.trim5 if k == 0 else 0
+        hi = d.trim3 if k == n - 1 else 0
+        out.append((g0 + lo, g0 + (qe - qs) - hi))
+    return out[::-1] if not d.plusp else out
+
+
 def reference_pairlength(d5: "PostHit", d3: "PostHit", L5: int, L3: int) -> int:
     """Exact Stage3pair insertlength (stage3hr.c:7469-7560 +
     pair_insert_length :6108) for non-GMAP hits on one chromosome."""
@@ -306,18 +330,8 @@ def reference_pairlength(d5: "PostHit", d3: "PostHit", L5: int, L3: int) -> int:
             return (ge5 - gs3) + qadj5 + qadj3
 
     # pair_insert_length: first substring pair that overlaps genomically
-    def spans(d):
-        # trimmed aligned genomic intervals, reference substring order
-        out = []
-        n = len(d.parts)
-        for k, (qs, qe, g0) in enumerate(d.parts):
-            lo = d.trim5 if k == 0 else 0
-            hi = d.trim3 if k == n - 1 else 0
-            out.append((g0 + lo, g0 + (qe - qs) - hi))
-        return out[::-1] if not d.plusp else out
-
-    sp5 = spans(d5)
-    sp3 = spans(d3)
+    sp5 = substring_spans(d5, L5)
+    sp3 = substring_spans(d3, L3)
     pr5 = _substring_bounds(d5, L5)
     pr3 = _substring_bounds(d3, L3)
     for j in range(len(sp3)):
@@ -384,13 +398,41 @@ class GsnapRunner:
                  lmax: int = 100, snpsdb: str | None = None,
                  novelsplicing: bool = False, splicesdb: str | None = None,
                  snps_dir: str | None = None,
-                 splicing_dir: str | None = None):
+                 splicing_dir: str | None = None,
+                 genesdb: str | None = None,
+                 favor_multiexon: bool = False,
+                 tallydb: str | None = None, tally_dir: str | None = None,
+                 runlengthdb: str | None = None,
+                 runlength_dir: str | None = None,
+                 cmet_dir: str | None = None, atoi_dir: str | None = None):
+        self.cmet_dir = cmet_dir
+        self.atoi_dir = atoi_dir
         self.db = db
         self.lmax = lmax
         self.params = params or gsnap_se.GsnapParams()
         self.gapped_params = gsnap_gapped.GappedParams(
             base=self.params, novelsplicing=novelsplicing
         )
+        # --gmap-mode lane list (gsnap.c:1188-1214 add_gmap_mode)
+        self.gmap_modes = {m.strip() for m in
+                           self.params.gmap_mode.split(",") if m.strip()}
+        # gsnap -g/--genes known-genes multimapping resolution
+        # (gsnap.c:2099-2121 + stage3hr.c:4955-4994)
+        self.genes = self.tally = self.runlength = None
+        if genesdb or tallydb or runlengthdb:
+            from . import genes as genes_mod
+
+            if genesdb is not None:
+                self.genes = genes_mod.GenesMap.open(
+                    genesdb, db, favor_multiexon=favor_multiexon)
+            if tallydb is not None:
+                # --use-tally/--tallydir (gsnap.c:2186-2213)
+                self.tally = genes_mod.TallyMap.open(
+                    tallydb, db, mapdir=tally_dir)
+            if runlengthdb is not None:
+                # --use-runlength/--runlengthdir (gsnap.c:2215-2242)
+                self.runlength = genes_mod.RunlengthMap.open(
+                    runlengthdb, db, mapdir=runlength_dir)
         self.known = None
         self._known_sites = None
         self._splice_labels = None
@@ -490,9 +532,15 @@ class GsnapRunner:
 
             prefixes = {"cmet-stranded": ("metct", "metga"),
                         "atoi-stranded": ("a2iag", "a2itc")}[mode]
+            # --cmetdir/--atoidir override (gsnap.c:257-263)
+            mdir = self.cmet_dir if mode.startswith("cmet") else self.atoi_dir
             idx = []
             for prefix in prefixes:
-                files = indexdb_mod.index_filenames(db.dbdir, db.dbname, prefix)
+                files = (indexdb_mod.index_filenames(mdir, db.dbname, prefix)
+                         if mdir else None)
+                if files is None:
+                    files = indexdb_mod.index_filenames(
+                        db.dbdir, db.dbname, prefix)
                 if files is None:
                     raise FileNotFoundError(
                         f"no {prefix} index in {db.dbdir}; run "
@@ -1718,7 +1766,8 @@ class GsnapRunner:
                 term_hits.append(rescue.HostHit(
                     d, "terminal", d.nmatches, pos, d.loglik))
             hhits.extend(term_hits)
-            if term_hits and len(term_hits) <= rescue.MAX_GMAP_TERMINAL:
+            if (term_hits and "terminal" in self.gmap_modes
+                    and len(term_hits) <= self.params.max_gmap_terminal):
                 g = gmap_once()
                 # GMAP is anchored near each terminal (align_single_hit
                 # _with_gmap windows of hit +- (shortsplicedist +
@@ -1745,10 +1794,49 @@ class GsnapRunner:
                 return None  # outside the anchor's genomic window
             return g
 
-        return rescue.select_final(
-            hhits, L, improvement_fn=gmap_for_anchor,
+        final = rescue.select_final(
+            hhits, L,
+            improvement_fn=(gmap_for_anchor
+                            if "improvement" in self.gmap_modes else None),
             subopt=self.params.subopt_levels,
-        )[:maxpaths]
+        )
+        final = self._resolve_multimapping(final, lambda h: [(h.d, L)])
+        return final[:maxpaths]
+
+    def _resolve_multimapping(self, items: list, ends_of) -> list:
+        """Stage3end/Stage3pair_resolve_multimapping (stage1hr.c:12505,
+        15459 + stage3hr.c:4955-5060).  ends_of(item) yields the item's
+        (PostHit, querylength) ends (one for SE, two for PE); per-end
+        combination follows Stage3pair_gene_overlap (stage3hr.c:1245),
+        summed tallies (stage3hr.c:9059), either-end runlength
+        (stage3hr.c:9095)."""
+        if len(items) <= 1 or not (self.genes or self.tally
+                                   or self.runlength):
+            return items
+        from . import genes as genes_mod
+
+        def spans_of(item):
+            return [s for d, L in ends_of(item)
+                    for s in substring_spans(d, L)]
+
+        overlap_of = None
+        if self.genes is not None:
+            def overlap_of(item):
+                best = genes_mod.NO_KNOWN_GENE
+                for d, L in ends_of(item):
+                    ov = self.genes.segments_overlap(substring_spans(d, L))
+                    if ov == genes_mod.KNOWN_GENE_MULTIEXON:
+                        return ov
+                    best = max(best, ov)
+                return best
+        tally_of = ((lambda it: self.tally.segments_tally(spans_of(it)))
+                    if self.tally is not None else None)
+        runlength_of = (
+            (lambda it: self.runlength.segments_runlength_p(spans_of(it)))
+            if self.runlength is not None else None)
+        return genes_mod.resolve_multimapping(
+            items, overlap_of=overlap_of, tally_of=tally_of,
+            runlength_of=runlength_of)
 
     def native_records(self, rec: Record, hits, row: int, npaths,
                        maxpaths: int = 100) -> str:
@@ -2211,8 +2299,14 @@ class GsnapRunner:
         # into pair lists
         anch5 = [h for h in f5 if h.hittype != "gmap"]
         anch3 = [h for h in f3 if h.hittype != "gmap"]
-        g3 = gmap_for(rec3_inv, anch5, is5=False) if anch5 else None
-        g5 = gmap_for(rec5, anch3, is5=True) if anch3 else None
+        # pairsearch tries at most max_gmap_pairsearch anchors
+        # (stage1hr.c:14552 "i < max_gmap_pairsearch")
+        cap = self.params.max_gmap_pairsearch
+        psearch = "pairsearch" in self.gmap_modes
+        g3 = (gmap_for(rec3_inv, anch5[:cap], is5=False)
+              if anch5 and psearch else None)
+        g5 = (gmap_for(rec5, anch3[:cap], is5=True)
+              if anch3 and psearch else None)
 
         def hkey(h):
             return (h.hittype, h.d.left, h.d.plusp, h.d.trim5, h.d.trim3,
@@ -2285,6 +2379,10 @@ class GsnapRunner:
             best = min(p[3] for p in chosen)
             chosen = [p for p in chosen if p[3] <= best + self.params.subopt_levels]
             chosen.sort(key=lambda p: (p[3], p[0].d.left, p[1].d.left))
+        # Stage3pair_resolve_multimapping (stage1hr.c:15459)
+        chosen = self._resolve_multimapping(
+            chosen, lambda p: [(p[0].d, len(rec5.seq)),
+                               (p[1].d, len(rec3_inv.seq))])
         return chosen, bool(conc), f5, f3
 
     def native_pe_records(self, rec5: Record, rec3_inv: Record,
@@ -2324,6 +2422,10 @@ class GsnapRunner:
                 d5 = self._end_hit(rec5, h5p, row, int(res["i5"][row, k]))
                 d3 = self._end_hit(rec3_inv, h3p, row, int(res["i3"][row, k]))
                 pairs.append((k, d5, d3))
+            pairs = self._resolve_multimapping(
+                pairs, lambda t: [(t[1], len(rec5.seq)),
+                                  (t[2], len(rec3_inv.seq))])
+            n = len(pairs)
             pairs.sort(key=lambda t: (-(t[1].nmatches + t[2].nmatches),
                                       -(t[1].loglik + t[2].loglik)))
             mapqs = [40] * n if n == 1 else None
@@ -2817,6 +2919,10 @@ class GsnapRunner:
                     d5 = self._end_hit(rec5, h5p, row, i5)
                     d3 = self._end_hit(rec3_inv, h3p, row, i3)
                     pairs.append((d5, d3))
+                pairs = self._resolve_multimapping(
+                    pairs, lambda t: [(t[0], len(rec5.seq)),
+                                      (t[1], len(rec3_inv.seq))])
+                n = len(pairs)
                 proper = conc_dev or int(res["pairtype"][row, 0]) in (1, 2, 3)
             # rank pairs by summed nmatches desc then loglik desc
             order = sorted(
@@ -2909,6 +3015,10 @@ class GsnapRunner:
                      pos3c, chr5, pos5c, t3, clip3),
                 ):
                     flag = self._pair_flag(d.plusp, dm.plusp, first, inv, minv, proper)
+                    if k > 0 and not sam.MULTIPLE_PRIMARIES:
+                        # non-primary pairs print 0x100 on both ends
+                        # (samprint.c SAM_print first_absmq gating)
+                        flag |= sam.FLAG_SECONDARY
                     if clip is not None:
                         cigar, pos, md, nm, seqout, qualout = clip
                     else:

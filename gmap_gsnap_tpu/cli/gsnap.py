@@ -13,6 +13,31 @@ import argparse
 import sys
 
 
+def _expand_gmap_mode(s: str) -> str:
+    """--gmap-mode parser (gsnap.c:1032 add_gmap_mode): each token ORs
+    a lane in; 'none' clears and stops parsing further tokens."""
+    allowed = {"improve": "improvement", "improvement": "improvement",
+               "terminal": "terminal",
+               "indel_knownsplice": "indel_knownsplice",
+               "pairsearch": "pairsearch", "all": "all"}
+    modes: set[str] = set()
+    for tok in s.split(","):
+        tok = tok.strip()
+        if not tok:
+            continue
+        if tok == "none":
+            return ""
+        if tok not in allowed:
+            print(f"Don't recognize gmap-mode type {tok}\n"
+                  "Allowed values are: none, improve, terminal, "
+                  "indel_knownsplice, pairsearch", file=sys.stderr)
+            sys.exit(9)
+        if tok == "all":
+            return "pairsearch,indel_knownsplice,terminal,improvement"
+        modes.add(allowed[tok])
+    return ",".join(sorted(modes))
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="gsnap", add_help=True)
     p.add_argument("-D", "--dir", required=True, help="genome directory")
@@ -81,6 +106,99 @@ def main(argv=None) -> int:
                         "pairs (samprint.c clip_overlap_p)")
     p.add_argument("--mode", default="standard",
                    choices=["standard", "cmet-stranded", "atoi-stranded"])
+    p.add_argument("-g", "--genes", default=None, metavar="STRING",
+                   help="look for known genes in <STRING>.iit to resolve "
+                        "multimapping reads (gsnap.c -g)")
+    p.add_argument("--favor-multiexon", action="store_true",
+                   help="favor overlaps with multi-exon genes when "
+                        "resolving multimapping reads")
+    p.add_argument("--gmap-mode",
+                   default="pairsearch,indel_knownsplice,terminal,improvement",
+                   help="when to run GMAP on reads: comma-separated list "
+                        "of none, all, pairsearch, indel_knownsplice, "
+                        "terminal, improvement (gsnap.c:1188)")
+    p.add_argument("--trigger-score-for-gmap", type=int, default=5,
+                   help="try GMAP pairsearch on nearby genomic regions "
+                        "when best score is greater than this (gsnap.c:98)")
+    p.add_argument("--max-gmap-pairsearch", type=int, default=10,
+                   help="perform GMAP pairsearch on nearby genomic regions "
+                        "up to this many hits (gsnap.c:90)")
+    p.add_argument("--max-gmap-terminal", type=int, default=50,
+                   help="perform GMAP terminal on nearby genomic regions up "
+                        "to this many hits (gsnap.c:91)")
+    p.add_argument("--max-gmap-improvement", type=int, default=5,
+                   help="perform GMAP improvement on nearby genomic regions "
+                        "up to this many hits (gsnap.c:92)")
+    p.add_argument("--gmap-min-coverage", type=float, default=0.50,
+                   help="keep GMAP hit only if it has this coverage "
+                        "(gsnap.c:84)")
+    p.add_argument("--microexon-spliceprob", type=float, default=0.95,
+                   help="allow microexons only if one of the splice-site "
+                        "probabilities is greater than this (gsnap.c:94)")
+    p.add_argument("--antistranded-penalty", type=int, default=0,
+                   help="penalty for antistranded splicing when using "
+                        "stranded RNA-Seq protocols (gsnap.c:202; the "
+                        "reference compiles out every application site)")
+    p.add_argument("--pairexpect", type=int, default=200,
+                   help="expected paired-end length (gsnap.c:165)")
+    p.add_argument("--pairdev", type=int, default=25,
+                   help="allowable deviation from expected paired-end "
+                        "length (gsnap.c:166)")
+    p.add_argument("--query-unk-mismatch", type=int, default=0,
+                   choices=[0, 1],
+                   help="whether to count unknown (N) characters in the "
+                        "query as a mismatch (gsnap.c:142)")
+    p.add_argument("--genome-unk-mismatch", type=int, default=1,
+                   choices=[0, 1],
+                   help="whether to count unknown (N) characters in the "
+                        "genome as a mismatch (gsnap.c:143)")
+    p.add_argument("--tallydir", default=None,
+                   help="directory for tally IIT file (gsnap --tallydir)")
+    p.add_argument("--use-tally", default=None, metavar="STRING",
+                   help="use this tally IIT file to resolve multimapping "
+                        "reads (gsnap.c:270-273)")
+    p.add_argument("--runlengthdir", default=None,
+                   help="directory for runlength IIT file")
+    p.add_argument("--use-runlength", default=None, metavar="STRING",
+                   help="use this runlength (FAIRE) IIT file to resolve "
+                        "multimapping reads (gsnap.c:275-278)")
+    p.add_argument("--cmetdir", default=None,
+                   help="directory for methylcytosine index files "
+                        "(gsnap.c:257-259)")
+    p.add_argument("--atoidir", default=None,
+                   help="directory for A-to-I RNA editing index files "
+                        "(gsnap.c:261-263)")
+    p.add_argument("--indel-penalty-middle", type=int, default=None,
+                   help="penalty for a middle indel (overrides -i; "
+                        "gsnap.c:117)")
+    p.add_argument("--indel-penalty-end", type=int, default=None,
+                   help="penalty for an end indel (overrides -i; "
+                        "gsnap.c:118)")
+    p.add_argument("--trim-indel-score", type=int, default=-4,
+                   help="score to use for indels in trim computation "
+                        "(gsnap.c:147)")
+    p.add_argument("-J", "--quality-zero-score", type=int, default=None,
+                   help="FASTQ quality score corresponding to zero "
+                        "(default 33 sanger; gsnap.c:443)")
+    p.add_argument("--sam-headers-batch", type=int, default=None,
+                   help="print headers only for this batch index "
+                        "(-q part; gsnap.c:445)")
+    p.add_argument("-0", "--noexceptions", action="store_true",
+                   help="turn off the offending-read crash guard "
+                        "(gsnap.c:454 exception_raise_p)")
+    # accepted for compatibility; no-ops in this runtime design (no
+    # mmap/disk-paging layer; the genome is packed device arrays)
+    p.add_argument("-B", "--batch", default="2",
+                   help="batch mode for memory mapping (accepted; this "
+                        "runtime always holds genome+index in memory)")
+    p.add_argument("-G", "--genomefull", action="store_true",
+                   help="use full genome (accepted; this runtime always "
+                        "decodes from the compressed store)")
+    p.add_argument("--output-buffer-size", type=int, default=1000,
+                   help="buffer size for output threads (accepted; "
+                        "output is batched per device batch)")
+    p.add_argument("--unload", action="store_true",
+                   help="unload memory-mapped files (accepted no-op)")
     p.add_argument("-V", "--snpsdir", default=None,
                    help="directory holding the snpindex files (default: "
                         "the genome directory)")
@@ -265,8 +383,13 @@ def main(argv=None) -> int:
     params = gsnap_se.GsnapParams(
         maxpaths=args.npaths, max_mismatches=mm, mode=args.mode,
         subopt_levels=args.suboptimal_levels,
-        indel_penalty_middle=args.indel_penalty,
-        indel_penalty_end=args.indel_penalty,
+        indel_penalty_middle=(args.indel_penalty_middle
+                              if args.indel_penalty_middle is not None
+                              else args.indel_penalty),
+        indel_penalty_end=(args.indel_penalty_end
+                           if args.indel_penalty_end is not None
+                           else args.indel_penalty),
+        trim_indel_score=args.trim_indel_score,
         min_indel_end_matches=args.indel_endlength,
         max_middle_insertions=args.max_middle_insertions,
         max_middle_deletions=args.max_middle_deletions,
@@ -281,12 +404,44 @@ def main(argv=None) -> int:
         pairmax_rna=args.pairmax_rna,
         terminal_threshold=args.terminal_threshold,
         trim_mismatch_score=args.trim_mismatch_score,
+        gmap_mode=_expand_gmap_mode(args.gmap_mode),
+        trigger_score_for_gmap=args.trigger_score_for_gmap,
+        max_gmap_pairsearch=args.max_gmap_pairsearch,
+        max_gmap_terminal=args.max_gmap_terminal,
+        max_gmap_improvement=args.max_gmap_improvement,
+        gmap_min_coverage=args.gmap_min_coverage,
+        microexon_spliceprob=args.microexon_spliceprob,
+        antistranded_penalty=args.antistranded_penalty,
+        expected_pairlength=args.pairexpect,
+        pairlength_deviation=args.pairdev,
     )
+    from ..ops import mismatch as mismatch_mod
+
+    # set before any jit trace (read at trace time; see ops/mismatch.py)
+    mismatch_mod.QUERY_UNK_MISMATCH = bool(args.query_unk_mismatch)
+    mismatch_mod.GENOME_UNK_MISMATCH = bool(args.genome_unk_mismatch)
+    if args.quality_zero_score is not None:
+        if args.quality_protocol is not None:
+            print("gsnap: cannot specify both -J (--quality-zero-score) "
+                  "and --quality-protocol", file=sys.stderr)
+            return 9
+        runner_mod.QUALITY_ADJ = args.quality_zero_score
+    elif args.quality_protocol == "illumina":
+        runner_mod.QUALITY_ADJ = 64  # gsnap.c:287
+    if args.noexceptions:
+        runner_mod.EXCEPTION_GUARD = False
     r = runner_mod.GsnapRunner(db, params, lmax=lmax, snpsdb=args.use_snps,
                                novelsplicing=bool(args.novelsplicing),
                                splicesdb=args.use_splicing,
                                snps_dir=args.snpsdir,
-                               splicing_dir=args.splicingdir)
+                               splicing_dir=args.splicingdir,
+                               genesdb=args.genes,
+                               favor_multiexon=args.favor_multiexon,
+                               tallydb=args.use_tally,
+                               tally_dir=args.tallydir,
+                               runlengthdb=args.use_runlength,
+                               runlength_dir=args.runlengthdir,
+                               cmet_dir=args.cmetdir, atoi_dir=args.atoidir)
     r.quiet_if_excessive = args.quiet_if_excessive
     r.clip_overlap = args.clip_overlap
     r.merge_samechr = args.merge_distant_samechr
@@ -330,6 +485,10 @@ def main(argv=None) -> int:
 
     t0 = time.time()
     hdr = not args.no_sam_headers
+    if args.sam_headers_batch is not None:
+        # print headers only on this -q part index (gsnap.c:1384)
+        part_i = int(args.part.split("/")[0]) if args.part else 0
+        hdr = hdr and part_i == args.sam_headers_batch
     if paired:
         n = r.run_pe(records5, records3, sys.stdout, batch_size=args.batch_size,
                      fmt=args.format, router=router, emit_header=hdr)

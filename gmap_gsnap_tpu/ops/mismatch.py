@@ -142,12 +142,20 @@ def mismatch_words(genome: genome_ops.GenomeArrays, queries: PackedQueries, left
         diff = gcodes ^ qcodes
         neq = (diff | (diff >> 1)) & _LANE_LO
         gn = _expand2(gflags) & _LANE_LO
-        return (neq | gn) & ~qn
+        m = (neq | gn) if GENOME_UNK_MISMATCH else (neq & ~gn)
+        return (m | qn) if QUERY_UNK_MISMATCH else (m & ~qn)
 
     mm = one(genome.ref16, genome.flag16)
     if alt is not None:
         mm = mm & one(alt[0], alt[1])
     return mm
+
+
+# gsnap --query-unk-mismatch / --genome-unk-mismatch (gsnap.c:142-143).
+# Read at trace time: CLIs set these once at startup, before any jit
+# trace; flipping them mid-process would leave stale compiled caches.
+QUERY_UNK_MISMATCH = False
+GENOME_UNK_MISMATCH = True
 
 
 def _range_mask_words(pos5, pos3, nwords):
