@@ -472,6 +472,13 @@ class GsnapRunner:
         self._gmap_rows: set = set()
         self._gmap_row = -1
         self.pe_fast = True  # vectorized PE SAM fast path (tests may disable)
+        # SNP-mode native display knobs (gsnap --show-refdiff /
+        # --print-snps; substring.c:1489-1491)
+        self._snpsdb = snpsdb
+        self._snps_dir = snps_dir
+        self.show_refdiff = False
+        self.print_snps = False
+        self._snp_display = None
         self.quiet_if_excessive = False  # gsnap -Q (quiet_if_excessive_p)
         self.clip_overlap = False  # gsnap --clip-overlap (clip_overlap_p)
         self.chop_primers = False  # gsnap -a (chop_primers_p)
@@ -1838,6 +1845,52 @@ class GsnapRunner:
             items, overlap_of=overlap_of, tally_of=tally_of,
             runlength_of=runlength_of)
 
+    def _native_snp(self):
+        """SnpDisplay for native output in SNP-tolerant mode; the
+        reference turns on print_nsnpdiffs_p whenever a snps IIT is
+        loaded (gsnap.c Substring_setup call)."""
+        if self._alt_str is None:
+            return None
+        if self._snp_display is None:
+            from ..io import gsnap_native
+
+            labels = self._load_snp_labels() if self.print_snps else None
+            self._snp_display = gsnap_native.SnpDisplay(
+                self._alt_str, labels=labels,
+                show_refdiff=self.show_refdiff,
+                print_labels=self.print_snps)
+        return self._snp_display
+
+    def _load_snp_labels(self) -> dict:
+        """Universal-position -> SNP label from the snps IIT
+        (print_snp_labels, substring.c:3712)."""
+        import os as _os
+
+        from ..db.iit import IIT
+
+        name = self._snpsdb
+        cands = []
+        if self._snps_dir:
+            cands += [_os.path.join(self._snps_dir, f"{name}.iit")]
+        cands += [_os.path.join(self.db.dbdir, f"{self.db.dbname}.maps",
+                                f"{name}.iit"), name]
+        if not name.endswith(".iit"):
+            cands.append(name + ".iit")
+        starts = {n: int(s) for n, s in
+                  zip(self.db.chr_names, self.db.chr_starts)}
+        for p in cands:
+            if _os.path.exists(p):
+                iit = IIT.read(p)
+                labels = {}
+                for div, ivs in iit.intervals.items():
+                    off = starts.get(div)
+                    if off is None:
+                        continue
+                    for i, iv in enumerate(ivs):
+                        labels[off + iv.low - 1] = iit.labels[div][i]
+                return labels
+        return {}
+
     def native_records(self, rec: Record, hits, row: int, npaths,
                        maxpaths: int = 100) -> str:
         """GSNAP native (default) output for one read."""
@@ -1856,7 +1909,7 @@ class GsnapRunner:
 
         return gsnap_native.read_block(
             rec, final, self._genome_str, self.db.codes, chr_lookup, mapqs,
-            splice_labels=self._splice_labels,
+            splice_labels=self._splice_labels, snp=self._native_snp(),
         )
 
     def _se_category(self, final) -> str:
@@ -2458,7 +2511,8 @@ class GsnapRunner:
                     segs = gsnap_native.hit_lines(
                         hh, rec, self._genome_str, self.db.codes, chrname,
                         chr_start, mapqs[i] if i < len(mapqs) else 0,
-                        pair_suffix=suffix, splice_labels=self._splice_labels)
+                        pair_suffix=suffix, splice_labels=self._splice_labels,
+                        snp=self._native_snp())
                     for j, s in enumerate(segs):
                         out.append((" " if j == 0 else ",") + s)
                 out.append("")
@@ -2480,7 +2534,8 @@ class GsnapRunner:
                 segs = gsnap_native.hit_lines(
                     h, rec, self._genome_str, self.db.codes, chrname,
                     chr_start, mapqs[i] if i < len(mapqs) else 0,
-                    splice_labels=self._splice_labels)
+                    splice_labels=self._splice_labels,
+                    snp=self._native_snp())
                 for j, s in enumerate(segs):
                     out.append((" " if j == 0 else ",") + s)
             out.append("")
@@ -2536,7 +2591,8 @@ class GsnapRunner:
                 segs = gsnap_native.hit_lines(
                     h, rec, self._genome_str, self.db.codes, chrname,
                     chr_start, mapqs[i] if i < len(mapqs) else 0,
-                    pair_suffix=suffix, splice_labels=self._splice_labels)
+                    pair_suffix=suffix, splice_labels=self._splice_labels,
+                        snp=self._native_snp())
                 for j, s in enumerate(segs):
                     out.append((" " if j == 0 else ",") + s)
             out.append("")

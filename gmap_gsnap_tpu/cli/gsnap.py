@@ -152,6 +152,13 @@ def main(argv=None) -> int:
                    choices=[0, 1],
                    help="whether to count unknown (N) characters in the "
                         "genome as a mismatch (gsnap.c:143)")
+    p.add_argument("--print-snps", action="store_true",
+                   help="print detailed information about SNPs in reads "
+                        "(works with -v; gsnap.c:460)")
+    p.add_argument("--show-refdiff", action="store_true",
+                   help="show differences from the reference genome "
+                        "rather than from both genomes in SNP mode "
+                        "(gsnap.c:459)")
     p.add_argument("--tallydir", default=None,
                    help="directory for tally IIT file (gsnap --tallydir)")
     p.add_argument("--use-tally", default=None, metavar="STRING",
@@ -265,6 +272,11 @@ def main(argv=None) -> int:
                         "Illumina chastity-failed flag "
                         "(<read>:Y:<control>:<index>)")
     p.add_argument("input", nargs="+", help="FASTQ/FASTA file(s)")
+    # The -0 flag above makes argparse treat every negative number as a
+    # potential option, rejecting values like --trim-mismatch-score -5;
+    # exact option matches (-0) are resolved before this marker is
+    # consulted, so clearing it restores negative-number values.
+    del p._has_negative_number_optionals[:]
     args = p.parse_args(argv)
 
     from ..align import gsnap_se, runner as runner_mod
@@ -443,6 +455,8 @@ def main(argv=None) -> int:
                                runlength_dir=args.runlengthdir,
                                cmet_dir=args.cmetdir, atoi_dir=args.atoidir)
     r.quiet_if_excessive = args.quiet_if_excessive
+    r.show_refdiff = args.show_refdiff
+    r.print_snps = args.print_snps
     r.clip_overlap = args.clip_overlap
     r.merge_samechr = args.merge_distant_samechr
     r.invert_first = args.orientation == "RF"

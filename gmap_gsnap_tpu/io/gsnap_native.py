@@ -25,12 +25,55 @@ def _revcomp(s: str) -> str:
     return s.translate(str.maketrans("ACGTacgtn", "TGCAtgcan"))[::-1]
 
 
-def _seg_text(gseq: str, query: str) -> str:
-    """Genomic text with lowercase where it mismatches the query."""
+class SnpDisplay:
+    """SNP-tolerant (-v) native display state (substring.c:1842-1930
+    genomic_bothdiff/genomic_refdiff + print_snp_labels):
+
+      * lowercase marks positions mismatching BOTH ref and alt
+        (bothdiff); --show-refdiff lowercases every ref mismatch;
+      * sub fields print bothdiff+extra=refdiff (print_nsnpdiffs_p);
+      * --print-snps appends ,snps:qpos@label for alt-matched SNPs.
+    """
+
+    def __init__(self, alt_str, labels: dict | None = None,
+                 show_refdiff: bool = False, print_labels: bool = False):
+        self.alt = alt_str          # alt genome view (same slicing API)
+        self.labels = labels or {}  # universal 0-based pos -> snp label
+        self.show_refdiff = show_refdiff
+        self.print_labels = print_labels
+
+
+def _seg_text(gseq: str, query: str, aseq: str | None = None,
+              refdiff: bool = False) -> str:
+    """Genomic text with lowercase where it mismatches the query
+    (bothdiff: alt-genome matches stay uppercase unless refdiff)."""
     out = []
-    for g, q in zip(gseq, query):
-        out.append(g if g == q or q == "N" else g.lower())
+    for i, (g, q) in enumerate(zip(gseq, query)):
+        m = g == q or q == "N"
+        if (not m and not refdiff and aseq is not None
+                and i < len(aseq) and aseq[i] == q):
+            m = True
+        out.append(g if m else g.lower())
     return "".join(out)
+
+
+def _sub_counts(gseq: str, query: str, aseq: str | None):
+    """(nmismatches_bothdiff, nmismatches_refdiff) over the span."""
+    both = ref = 0
+    for i, (g, q) in enumerate(zip(gseq, query)):
+        if g != q and q != "N":
+            ref += 1
+            if aseq is None or i >= len(aseq) or aseq[i] != q:
+                both += 1
+    return both, ref
+
+
+def _sub_field(sub: int, subref: int, snp) -> str:
+    """sub display: 'sub:X' or SNP-mode 'sub:X+Y=Z' (print_nsnpdiffs_p,
+    substring.c:3174)."""
+    if snp is None:
+        return f"sub:{sub}"
+    return f"sub:{sub}+{subref - sub}={subref}"
 
 
 def _fmt_prob(p: float) -> str:
@@ -38,7 +81,7 @@ def _fmt_prob(p: float) -> str:
 
 
 def _inversion_lines(h, rec, genome_str, chrname, chr_start, mapq,
-                     pair_suffix, chr_lookup):
+                     pair_suffix, chr_lookup, snp=None):
     """Mixed-strand distant pair (splice_type:inversion): two segments
     printed in READ order, each with its own strand sign; the minus
     segment shows the read text against the reverse-complemented
@@ -60,10 +103,13 @@ def _inversion_lines(h, rec, genome_str, chrname, chr_start, mapq,
             (((q1, q2, g1), p1), ((q3, q4, g2), p2))):
         lo, hi = span_of(qs, qe, g0)
         gseq = genome_str[lo:hi]
+        aseq = snp.alt[lo:hi] if snp is not None else None
         if not hplus:
             gseq = _revcomp(gseq)
-        text = _seg_text(gseq, read[qs:qe])
-        sub = sum(1 for c in text if c.islower())
+            aseq = _revcomp(aseq) if aseq is not None else None
+        text = _seg_text(gseq, read[qs:qe], aseq,
+                         refdiff=snp.show_refdiff if snp else False)
+        sub, subref = _sub_counts(gseq, read[qs:qe], aseq)
         cn, cs = (chrname, chr_start)
         if chr_lookup is not None:
             cn, cs = chr_lookup(lo)
@@ -71,11 +117,11 @@ def _inversion_lines(h, rec, genome_str, chrname, chr_start, mapq,
             rng = f"+{cn}:{lo - cs + 1}..{hi - cs}"
         else:
             rng = f"-{cn}:{hi - cs}..{lo - cs + 1}"
-        segs.append((qs, qe, lo, hi, hplus, text, sub, rng))
+        segs.append((qs, qe, lo, hi, hplus, text, sub, subref, rng))
 
     # adjacent intron dinucleotides in READ orientation
-    (qs1, qe1, lo1, hi1, hp1, text1, sub1, rng1) = segs[0]
-    (qs2, qe2, lo2, hi2, hp2, text2, sub2, rng2) = segs[1]
+    (qs1, qe1, lo1, hi1, hp1, text1, sub1, subref1, rng1) = segs[0]
+    (qs2, qe2, lo2, hi2, hp2, text2, sub2, subref2, rng2) = segs[1]
     dn1 = (genome_str[hi1 : hi1 + 2] if hp1
            else _revcomp(genome_str[lo1 - 2 : lo1])).lower()
     dn2 = (genome_str[lo2 - 2 : lo2] if hp2
@@ -91,9 +137,11 @@ def _inversion_lines(h, rec, genome_str, chrname, chr_start, mapq,
         lab1, lab2 = f"acceptor:{aprob}", f"donor:{dprob}"
 
     stype = info["type"]
-    f1 = (f"start:0..{lab1},matches:{(qe1 - qs1) - sub1},sub:{sub1},"
+    f1 = (f"start:0..{lab1},matches:{(qe1 - qs1) - sub1},"
+          f"{_sub_field(sub1, subref1, snp)},"
           f"dir:{sense},splice_type:{stype}")
-    f2 = (f"{lab2}..end:0,matches:{(qe2 - qs2) - sub2},sub:{sub2},"
+    f2 = (f"{lab2}..end:0,matches:{(qe2 - qs2) - sub2},"
+          f"{_sub_field(sub2, subref2, snp)},"
           f"dir:{sense},splice_type:{stype}")
     if dist > 0:
         f1 += f",splice_dist_2:{dist}"
@@ -108,7 +156,8 @@ def _inversion_lines(h, rec, genome_str, chrname, chr_start, mapq,
 
 def hit_lines(h, rec, genome_str: str, codes, chrname: str, chr_start: int,
               mapq: int, pair_suffix: str | None = None,
-              splice_labels=None, chr_lookup=None) -> list[str]:
+              splice_labels=None, chr_lookup=None,
+              snp: SnpDisplay | None = None) -> list[str]:
     """Render one hit (HostHit) as native segment lines (no leading
     space/comma markers)."""
     d = h.d
@@ -118,7 +167,7 @@ def hit_lines(h, rec, genome_str: str, codes, chrname: str, chr_start: int,
     if (h.hittype == "distant" and d.distant is not None
             and d.distant.get("plusps") is not None):
         return _inversion_lines(h, rec, genome_str, chrname, chr_start,
-                                mapq, pair_suffix, chr_lookup)
+                                mapq, pair_suffix, chr_lookup, snp=snp)
 
     # aligned-space segments: (qs, qe, g0) plus junction info
     parts = list(d.parts) if d.parts else [(0, L, d.left)]
@@ -164,14 +213,34 @@ def hit_lines(h, rec, genome_str: str, codes, chrname: str, chr_start: int,
     nsegs = len(parts)
     seg_infos = []
     q_aln = read if d.plusp else _revcomp(read)
+    seg_subref = []
+    seg_snps = []
     for k, ((lo, hi, g0), (qs, qe, _)) in enumerate(zip(spans, parts)):
         # segment TEXT spans the whole part (trimmed bases still shown);
         # ranges/labels/sub reflect the trimmed span [lo, hi).  GMAP
         # hits extend the outer parts with pure-lowercase GENOMIC
         # context over the trimmed regions (Pair_print_gsnap)
         gseq = genome_str[g0 : g0 + (qe - qs)]
-        text = _seg_text(gseq, q_aln[qs:qe])
-        sub = sum(1 for c in text[lo - qs : hi - qs] if c.islower())
+        aseq = snp.alt[g0 : g0 + (qe - qs)] if snp is not None else None
+        text = _seg_text(gseq, q_aln[qs:qe], aseq,
+                         refdiff=snp.show_refdiff if snp else False)
+        t0, t1 = lo - qs, hi - qs
+        sub, subref = _sub_counts(
+            gseq[t0:t1], q_aln[lo:hi],
+            aseq[t0:t1] if aseq is not None else None)
+        seg_subref.append(subref)
+        snps = []
+        if snp is not None and snp.print_labels and snp.labels:
+            # print_snp_labels (substring.c:3712): alt-matched SNPs in
+            # the trimmed span, 1-based READ coordinates
+            for i in range(t0, t1):
+                q = q_aln[qs + i]
+                if (gseq[i] != q and i < len(aseq) and aseq[i] == q
+                        and (g0 + i) in snp.labels):
+                    rp = (qs + i) if d.plusp else (L - 1 - (qs + i))
+                    snps.append((rp, snp.labels[g0 + i]))
+            snps.sort()
+        seg_snps.append(snps)
         ext5 = d.trim5 if (gmapp and k == 0) else 0
         ext3 = d.trim3 if (gmapp and k == len(parts) - 1) else 0
         if ext5:
@@ -291,7 +360,11 @@ def hit_lines(h, rec, genome_str: str, codes, chrname: str, chr_start: int,
             nmatches_seg = d.nmatches if h.hittype == "terminal" else h.nmatches
         else:
             nmatches_seg = (hi - lo) - sub
-        fields = f"{first_lab}..{second_lab},matches:{nmatches_seg},sub:{sub}"
+        fields = (f"{first_lab}..{second_lab},matches:{nmatches_seg},"
+                  f"{_sub_field(sub, seg_subref[k], snp)}")
+        if snp is not None and snp.print_labels and seg_subref[k] > sub:
+            fields += ",snps:" + "|".join(
+                f"{rp + 1}@{lab}" for rp, lab in seg_snps[k])
         if sense is not None:
             dists = []
             if k > 0 and juncs[k - 1][0] == "intron":
@@ -363,7 +436,7 @@ def _model_prob(codes, pos, d, side: str) -> float:
 
 
 def read_block(rec, final_hits, genome_str, codes, chr_lookup, mapqs,
-               splice_labels=None) -> str:
+               splice_labels=None, snp: SnpDisplay | None = None) -> str:
     """One read's native output block (header + hit lines + blank);
     nomapping reads print the header with 0 paths."""
     qual = rec.quality if rec.quality else ""
@@ -382,7 +455,7 @@ def read_block(rec, final_hits, genome_str, codes, chr_lookup, mapqs,
                          mapqs[i] if i < len(mapqs) else 0,
                          splice_labels=splice_labels,
                          chr_lookup=(chr_lookup if h.hittype == "distant"
-                                     else None))
+                                     else None), snp=snp)
         for j, s in enumerate(segs):
             lines.append((" " if j == 0 else ",") + s)
     return "\n".join(lines) + "\n\n"

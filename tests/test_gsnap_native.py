@@ -386,3 +386,62 @@ def test_end_indels_and_minus_indel_display(tmp_path):
         ).stdout
         assert ref.splitlines() == mine.splitlines(), fmt
     assert "2I" in ref or "I" in ref
+
+
+@needs_oracle
+def test_native_snp_display_modes(tmp_path):
+    """SNP-tolerant (-v) native display: bothdiff lowercasing (alt
+    matches stay uppercase), sub:X+Y=Z fields (print_nsnpdiffs_p,
+    substring.c:3173-3176), --show-refdiff ref-mismatch lowercasing,
+    and --print-snps ,snps:pos@label|... annotations (print_snp_labels,
+    substring.c:2807-2870) — byte parity in all three modes, both
+    strands, multi-SNP reads."""
+    import shutil
+
+    gdb = tmp_path / "gdb"
+    dbdir = gdb / "chr17test"
+    shutil.copytree(f"{ORACLE_DB}/chr17test", dbdir,
+                    ignore=shutil.ignore_patterns("*.snps", "*.maps"))
+    maps = dbdir / "chr17test.maps"
+    maps.mkdir(exist_ok=True)
+    seq = "".join(
+        l.strip() for l in open(FIXTURE) if not l.startswith(">")
+    ).upper()
+    flip = {"A": "G", "G": "A", "C": "T", "T": "C"}
+    snp_positions = [15050, 15070, 25040]  # 1-based
+    from gmap_gsnap_tpu.db.iit_text import iit_from_text
+
+    iit_from_text("".join(
+        f">rs{i} chr17test:{p} {seq[p - 1]}{flip[seq[p - 1]]}\n"
+        for i, p in enumerate(snp_positions)
+    )).write(str(maps / "snps.iit"))
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=str(REPO))
+    subprocess.run(
+        [sys.executable, "-m", "gmap_gsnap_tpu.cli.snpindex",
+         "-D", str(gdb), "-d", "chr17test", "-v", "snps",
+         str(maps / "snps.iit")],
+        capture_output=True, text=True, env=env, check=True)
+
+    rc = lambda s: s.translate(str.maketrans("ACGT", "TGCA"))[::-1]
+    r1 = list(seq[15000:15100]); r1[49] = flip[seq[15049]]  # alt only
+    r2 = list(r1); r2[20] = flip[seq[15020]]                # alt + real mm
+    r3 = list(seq[24990:25090]); r3[49] = flip[seq[25039]]
+    r4 = list(r1); r4[69] = flip[seq[15069]]                # two SNPs
+    reads = ["".join(r1), "".join(r2), "".join(r3), rc("".join(r3)),
+             "".join(r4), rc("".join(r4))]
+    fq = tmp_path / "s.fq"
+    with open(fq, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f"@s{i}\n{r}\n+\n{'I' * len(r)}\n")
+
+    for extra in ([], ["--show-refdiff"], ["--print-snps"]):
+        ref = subprocess.run(
+            [ORACLE_GSNAP, "-D", str(gdb), "-d", "chr17test", "-v", "snps",
+             *extra, str(fq)],
+            capture_output=True, text=True, check=True).stdout
+        mine = subprocess.run(
+            [sys.executable, "-m", "gmap_gsnap_tpu.cli.gsnap", "-D", str(gdb),
+             "-d", "chr17test", "-A", "gsnap", "-v", "snps", *extra, str(fq)],
+            capture_output=True, text=True, env=env, check=True).stdout
+        assert ref.splitlines() == mine.splitlines(), extra
+    assert "snps:50@rs0|70@rs1" in ref
