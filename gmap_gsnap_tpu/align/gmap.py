@@ -62,6 +62,11 @@ _CANONICAL = {
 def intron_score(left_dinucl: str, right_dinucl: str, cdna_direction: int,
                  canonical_reward: int, finalp: bool) -> tuple[int, str]:
     """dynprog.c intron_score: bonus for canonical intron dinucleotides."""
+    from . import gmap_config
+
+    if gmap_config.NOSPLICING:
+        return 0, "noncanonical"
+    finalp = gmap_config.finalp_allowed(finalp)
     for direction in ([cdna_direction] if cdna_direction else [+1, -1]):
         kind = _CANONICAL.get(direction, {}).get((left_dinucl, right_dinucl))
         if kind == "canonical":
@@ -264,8 +269,11 @@ def _bridge_intron(gstr, qstr, qL_end, qR_start, diagL, diagR,
     peel = 11  # maxpeelback (gsnap.c:96, gmap.c default 11)
     lo = max(0, min(qL_end, qR_start) - peel)
     hi = min(len(qstr), max(qL_end, qR_start) + peel)
+    from . import gmap_config
+
     canonical_reward = (
-        FINAL_CANONICAL_INTRON_HIGHQ if finalp else CANONICAL_INTRON_HIGHQ
+        FINAL_CANONICAL_INTRON_HIGHQ
+        if gmap_config.finalp_allowed(finalp) else CANONICAL_INTRON_HIGHQ
     )
     gstr_a = _as_bytes(gstr)
     qstr_a = _as_bytes(qstr)
@@ -316,11 +324,16 @@ def _dinucl_at(gstr_a: np.ndarray, pos: np.ndarray):
 def _intron_score_vec(ld, rd, cdna_direction, canonical_reward, finalp):
     """Vectorized intron_score over candidate split points: ld/rd are
     (byte, byte) tuples for the left/right dinucleotides."""
+    from . import gmap_config
+
     la, lb = ld
     ra, rb = rd
     G, T, A, C = ord("G"), ord("T"), ord("A"), ord("C")
     score = np.zeros(len(la), np.int64)
     kind = np.zeros(len(la), np.int64)  # index into _ITYPE_NAMES
+    if gmap_config.NOSPLICING:
+        return score, _ITYPE_NAMES[kind]
+    finalp = gmap_config.finalp_allowed(finalp)
     gcag = FINAL_GCAG_INTRON if finalp else GCAG_INTRON
     atac = FINAL_ATAC_INTRON if finalp else ATAC_INTRON
     for direction in ([cdna_direction] if cdna_direction else [+1, -1]):
@@ -469,18 +482,26 @@ def align_cdna_batch(db: GenomeDB, queries: list[str],
     oligos_d = jnp.asarray(oligos.astype(np.int32))
     valid_d = jnp.asarray(valid)
     H = 8 * Q
+    S = 192
     while True:
         segs_d = gmap_engine.seed_segments_device(
             index.offsets, index.positions, oligos_d, valid_d,
-            k=k, H=H, S=192, threshold=100)
+            k=k, H=H, S=S, threshold=100)
         # one packed transfer for the whole segment pytree (tunnel RTTs)
-        keys = ("qstart", "qend", "diag", "valid", "nhits")
+        keys = ("qstart", "qend", "diag", "valid", "nhits", "nsegs")
         vals = gmap_engine.fetch_packed([segs_d[kk] for kk in keys])
         segs = dict(zip(keys, vals))
         nhits = int(segs["nhits"].max())
-        if nhits <= H:
+        nsegs = int(segs["nsegs"].max())
+        if nhits <= H and nsegs <= S:
             break
-        H *= 4  # overflow rescue: re-run at a larger hit budget
+        # overflow rescue: re-run at larger hit/segment budgets (the
+        # S truncation keeps the LOWEST diagonals, silently dropping
+        # high-coordinate loci — never accept a truncated segment set)
+        if nhits > H:
+            H *= 4
+        if nsegs > S:
+            S *= 4
     chains = gmap_engine.chains_from_device(segs, rows, Q, k, max_intronlen,
                                             genome_range=genome_range,
                                             npaths=npaths)
@@ -672,7 +693,7 @@ def _clip_path_read(path: Path, lo: int, hi: int, L: int, gstr: str,
 
 def align_cdna_chimera(db: GenomeDB, query: str,
                        max_intronlen: int = 1_000_000, best="auto",
-                       margin: int = CHIMERA_MARGIN):
+                       margin: int = CHIMERA_MARGIN, overlap: int = 0):
     """Chimera detection (gmap.c:1945-2010 check_for_chimera +
     chimera.c:263 Chimera_bestpath): when the best path leaves a query
     margin >= chimera_margin, the uncovered part is re-aligned and the
@@ -724,8 +745,11 @@ def align_cdna_chimera(db: GenomeDB, query: str,
     s3 = np.concatenate([np.cumsum(v3[::-1])[::-1], [0]])
     tot = c5[: L - 1] + s3[1:L]
     b = int(np.argmax(tot))
-    part1 = _clip_path_read(p5, 0, b + 1, L, db.genome_str, read)
-    part2 = _clip_path_read(p3, b + 1, L, L, db.genome_str, read)
+    # -o/--chimera-overlap: show this much overlap between the two
+    # parts (gmap.c:1450-1456 clip bounds breakpoint+overlap /
+    # breakpoint+1-overlap)
+    part1 = _clip_path_read(p5, 0, b + 1 + overlap, L, db.genome_str, read)
+    part2 = _clip_path_read(p3, b + 1 - overlap, L, L, db.genome_str, read)
     if part1 is None or part2 is None:
         return [best], None
     # require both parts to contribute meaningfully (chimera_margin)

@@ -33,6 +33,7 @@ import numpy as np
 from ..ops import dynprog as dp
 
 MIN_SEGLEN = 15
+MIN_CHAIN_SCORE = 20  # MIN_MATCHES path floor (gmap.c:82)
 MAX_INSERTLEN = 30
 MIN_INTRONLENGTH = 9
 PEEL = 11                  # maxpeelback (gsnap.c:96)
@@ -100,6 +101,10 @@ def seed_segments_device(offsets, positions, oligos, valid,
 
     hidx = jnp.arange(H, dtype=jnp.int32)[None, :]
     start_key = jnp.where(newseg, hidx, H)
+    # nsegs > S means the [:, :S] truncation below dropped segments
+    # (they sort by diagonal, so HIGH-diagonal loci vanish silently);
+    # the caller must re-run at a larger S bucket
+    nsegs = jnp.sum(newseg.astype(jnp.int32), axis=1)
     starts = jnp.sort(start_key, axis=1)[:, :S]          # [B, S] start idx
     seg_valid = starts < H
     # segment end = next segment start - 1 (or last valid hit)
@@ -132,7 +137,7 @@ def seed_segments_device(offsets, positions, oligos, valid,
     seg_len = jnp.take_along_axis(seg_len, so, axis=1)
 
     return dict(qstart=seg_qstart, qend=seg_qend, diag=seg_diag,
-                valid=seg_valid, nhits=nhits)
+                valid=seg_valid, nhits=nhits, nsegs=nsegs)
 
 
 def fetch_packed(arrays):
@@ -239,8 +244,8 @@ def chains_from_device(segs, B: int, Q: int, k: int,
         for e in np.argsort(-score, kind="stable"):
             if len(row_chains) >= npaths:
                 break
-            if row_chains and score[int(e)] < best_score // 2:
-                break    # hopeless chains never survive path ranking
+            if row_chains and score[int(e)] < MIN_CHAIN_SCORE:
+                break    # below the MIN_MATCHES path floor (gmap.c:82)
             if used[int(e)]:
                 continue
             idxs = []
@@ -347,6 +352,10 @@ def solve_junctions_batch(gcodes, requests, cdna_direction,
     rightdi = dp.dinucl_codes_right(jnp.asarray(grv), NR)
     zL = jnp.zeros((nb, NL + 1), jnp.int32)
     zR = jnp.zeros((nb, NR + 1), jnp.int32)
+    from . import gmap_config
+
+    finalp = gmap_config.finalp_allowed(finalp)
+    nosplicing = gmap_config.NOSPLICING
     reward = (dp.FINAL_CANONICAL_INTRON_HIGHQ if finalp
               else dp.CANONICAL_INTRON_HIGHQ)
     # bridge results stay ON DEVICE and feed traceback directly; one
@@ -360,7 +369,7 @@ def solve_junctions_batch(gcodes, requests, cdna_direction,
         jnp.asarray(loffs), jnp.asarray(roffs),
         M=Mb, W=W, open_=open_, extend=extend,
         canonical_reward=reward, cdna_direction=cdna_direction,
-        finalp=finalp, halfp=False)
+        finalp=finalp, halfp=False, nosplicing=nosplicing)
 
     T = Mb + max(NL, NR) + 2
     tbL = dp.traceback(

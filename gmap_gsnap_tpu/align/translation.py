@@ -42,11 +42,41 @@ def translate_forward(genome_cols: str) -> list[str]:
 # static (gmap.c:315); set by the CLI, read as the default below
 FULLLENGTH_P = False
 
+# gmap -a/--cdsstart (gmap.c:485 cds_startpos, 1-based; 0 = off):
+# translation starts at the given query nucleotide instead of ORF
+# search (translation.c:503 find_bounds_forward_fromstart)
+CDS_STARTPOS = 0
+
+
+def find_bounds_forward_fromstart(aa: list[str], cds_startpos: int):
+    """translation.c:500-567: frame fixed by (cds_startpos-1) % 3; the
+    ORF starts at the first codon at/after cds_startpos-1 and ends at
+    the first stop (the scan terminates on it)."""
+    n = len(aa)
+    frame = (cds_startpos - 1) % 3
+    orf = 0
+    start = 0
+    best = (0, 0, max(0, n - 1), False)
+    for i in range(n):
+        if i % 3 != frame or aa[i] == " " or i < cds_startpos - 1:
+            continue
+        if orf == 0:
+            start = i
+        orf += 1
+        if aa[i] == "*":
+            best = (orf, start, i, True)
+            break
+    if not best[3] and orf > best[0]:
+        best = (orf, start, n - 1, False)
+    return frame, best[1], best[2], best[0], best[3]
+
 
 def find_bounds_forward(aa: list[str], fulllengthp: bool | None = None):
     """Returns (frame, starti, endi, length_aa, endstopp) over column
     indices; aa[i]==' ' columns are skipped.  Mirrors
     find_bounds_forward (translation.c:190-340)."""
+    if CDS_STARTPOS > 0:
+        return find_bounds_forward_fromstart(aa, CDS_STARTPOS)
     if fulllengthp is None:
         fulllengthp = FULLLENGTH_P
     n = len(aa)
@@ -81,6 +111,10 @@ def find_bounds_forward(aa: list[str], fulllengthp: bool | None = None):
 
     # pick longest; higher frame wins ties (translation.c:313-330)
     length = max(best[f][0] for f in range(3))
+    if length == 0 and fulllengthp:
+        # no full-length gene found: assume partial length
+        # (translation.c:1508-1513)
+        return find_bounds_forward(aa, fulllengthp=False)
     for f in (2, 1, 0):
         if best[f][0] == length:
             return f, best[f][1], best[f][2], length, best[f][3]

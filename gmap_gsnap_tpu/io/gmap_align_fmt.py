@@ -21,27 +21,38 @@ _ARROW_REV = {"canonical": "<-", "gcag": "(-", "atac": "[-",
 
 
 def exon_table(path: Path, chr_start: int, chrname: str | None,
-               codes=None) -> str:
+               codes=None, invertmode: int = 0) -> str:
     """Pair_print_exonsummary (pair.c:1524): per-exon summary lines
     with percent identity, direction arrows, intron lengths, and (with
     a genome) donor/acceptor site probabilities.  chrname mode prints
     the signed chromosome once (Chrnum_to_string_signed); user-segment
-    mode (-g) prints bare offsets."""
+    mode (-g) prints bare offsets.  invertmode 1/2 (gmap -I) lists
+    genomic (-) strand alignments in ascending genome order; mode 2
+    drops the strand sign (pair.c:1057-1080)."""
     out = []
     L = path.querylength
-    exons = path.exons if path.watsonp else list(reversed(path.exons))
+    inverted = not path.watsonp and invertmode in (1, 2)
+    exons = (path.exons if path.watsonp or inverted
+             else list(reversed(path.exons)))
     itypes = list(getattr(path, "intron_types", ()) or ())
-    if not path.watsonp:
+    if not path.watsonp and not inverted:
         itypes = list(reversed(itypes))
-    sign = "+" if path.watsonp else "-"
-    # display direction: Path.cdna_direction is plus-text relative
-    fwd = (path.cdna_direction >= 0) == path.watsonp
+    if not path.watsonp and invertmode == 2:
+        sign = "+"  # Chrnum_to_string_signed(watsonp=true), pair.c:1084
+    else:
+        sign = "+" if path.watsonp else "-"
+    # display direction: Path.cdna_direction is plus-text relative;
+    # inversion complements the comp chars (invert_path), flipping it
+    fwd = (path.cdna_direction >= 0) == (path.watsonp or inverted)
     for i, e in enumerate(exons):
         ln = e.qend - e.qstart
         pct = int(100.0 * e.matches / max(1, ln))  # floor, pair.c:1594
         if path.watsonp:
             g1, g2 = e.gstart - chr_start + 1, e.gend - chr_start
             q1, q2 = e.qstart + 1, e.qend
+        elif inverted:
+            g1, g2 = e.gstart - chr_start + 1, e.gend - chr_start
+            q1, q2 = L - e.qstart, L - e.qend + 1
         else:
             g1, g2 = e.gend - chr_start, e.gstart - chr_start + 1
             q1, q2 = L - e.qend + 1, L - e.qstart
@@ -51,38 +62,61 @@ def exon_table(path: Path, chr_start: int, chrname: str | None,
             line = f"    {g1}-{g2}  ({q1}-{q2})   {pct}%"
         if i < len(exons) - 1:
             nxt = exons[i + 1]
-            gap = (nxt.gstart - e.gend) if path.watsonp else (e.gstart - nxt.gend)
+            gap = ((nxt.gstart - e.gend) if path.watsonp or inverted
+                   else (e.gstart - nxt.gend))
+            if inverted:
+                # pair.c:1629-1637: with inverted display watsonp stays
+                # false, so intron_start/intron_end keep the minus-
+                # strand +/-1 conventions against ascending coords —
+                # the reference prints the physical gap + 4
+                gap += 4
             it = itypes[i] if i < len(itypes) else "noncanonical"
             arrow = (_ARROW_FWD if fwd else _ARROW_REV)[it]
             line += f" {arrow}   ...{gap}..."
             if codes is not None:
                 line += "  {:.3f}, {:.3f}".format(
-                    *_junction_probs(path, e, nxt, codes))
+                    *_junction_probs(path, e, nxt, codes,
+                                     inverted=inverted))
         out.append(line)
     return "".join(l + "\n" for l in out)
 
 
-def _junction_probs(path: Path, e, nxt, codes):
-    """Splice-site probabilities at the two boundaries of a DISPLAYED
-    junction, in display order (pair.c:1621-1631 donor/acceptor_score
-    calls; kinds follow cdna_direction and strand)."""
+def _junction_probs(path: Path, e, nxt, codes, inverted: bool = False):
+    """Splice-site probabilities at a DISPLAYED junction — the exact
+    Pair_print_exonsummary formula (pair.c:1645-1656 with donor_score/
+    acceptor_score pair.c:1433-1500): positional args are the boundary
+    bases of the displayed exons, rev flags follow watsonp, and the
+    reference's read-relative cdna_direction picks the branch.  With
+    inverted display (gmap -I 1/2) the exons arrive in ascending
+    genome order while watsonp stays false, which reproduces the
+    reference's (wrong-site, near-zero) probabilities byte-for-byte."""
     import numpy as np
 
     from ..ops import maxent
 
-    # intron boundaries in plus coords; site kinds follow the plus-text
-    # direction, display order follows the strand
-    if path.watsonp:
-        istart, iend = e.gend, nxt.gstart
+    def _p(kind, pos):
+        return float(maxent.splice_prob_np(codes, np.array([pos]), kind)[0])
+
+    def donor_score(pos, rev):
+        return _p("antidonor", pos) if rev else _p("donor", pos + 1)
+
+    def acceptor_score(pos, rev):
+        return _p("antiacceptor", pos + 1) if rev else _p("acceptor", pos)
+
+    wat = path.watsonp
+    # displayed-exon boundary bases (universal 0-based):
+    # chroffset + exon_genomeend - 1 / + exon_genomestart - 1
+    if wat or inverted:
+        arg_end, arg_start = e.gend - 1, nxt.gstart
     else:
-        istart, iend = nxt.gend, e.gstart
-    if path.cdna_direction >= 0:
-        k_start, k_end = "donor", "acceptor"
-    else:
-        k_start, k_end = "antiacceptor", "antidonor"
-    p_start = float(maxent.splice_prob_np(codes, np.array([istart]), k_start)[0])
-    p_end = float(maxent.splice_prob_np(codes, np.array([iend]), k_end)[0])
-    return (p_start, p_end) if path.watsonp else (p_end, p_start)
+        arg_end, arg_start = e.gstart, nxt.gend - 1
+    # Path.cdna_direction is plus-text relative; the reference's is
+    # read-relative
+    ref_dir = path.cdna_direction if wat else -path.cdna_direction
+    if ref_dir >= 0:
+        return (donor_score(arg_end, not wat),
+                acceptor_score(arg_start, not wat))
+    return (acceptor_score(arg_end, wat), donor_score(arg_start, wat))
 
 
 def _columns(path: Path, qstr: str, gstr: str, ngap: int = 3,
@@ -120,18 +154,24 @@ def _columns(path: Path, qstr: str, gstr: str, ngap: int = 3,
                 s = "" if nolengths else str(gap)
                 left = (gw - len(s)) // 2
                 text = " " * left + s + " " * (gw - left - len(s))
+                # inverted-display (gmap -I 1/2) row labels: gap pairs
+                # carry the BUILD-order "right" coords (stage3.c:1632
+                # gapgenomepos/rightquerypos), which for minus paths is
+                # the genomically-lower exon's boundary
+                inv = {"inv_g1": e.gend + ngap, "inv_q1_off": e.qend}
                 for i in range(ngap):
                     cols.append({"g": gstr[e.gend + i], "q": text[i],
                                  "bar": bar, "gpos": e.gend + i,
-                                 "qpos": None, "intron": True})
+                                 "qpos": None, "intron": True, **inv})
                 for i in range(3):
                     cols.append({"g": ".", "q": text[ngap + i], "bar": ".",
-                                 "gpos": None, "qpos": None, "intron": True})
+                                 "gpos": None, "qpos": None, "intron": True,
+                                 **inv})
                 for i in range(ngap):
                     cols.append({"g": gstr[nxt.gstart - ngap + i],
                                  "q": text[ngap + 3 + i], "bar": bar,
                                  "gpos": nxt.gstart - ngap + i, "qpos": None,
-                                 "intron": True})
+                                 "intron": True, **inv})
             elif gap > 0:  # deletion columns
                 for g in range(e.gend, nxt.gstart):
                     cols.append({"g": gstr[g], "q": "-", "bar": " ",
@@ -149,6 +189,10 @@ def _aa_by_qpos(qstr: str):
         return letters, nums
     num = 1
     for i in range(starti, endi + 1, 3):
+        if aa[i] == " ":
+            # incomplete trailing codon: no residue, no aa number
+            # (translate_pairs_* only record complete codons)
+            continue
         letters[i] = aa[i]
         nums[i] = num
         num += 1
@@ -266,16 +310,45 @@ def _read_order_cols(path: Path, cols):
     return cols
 
 
+def _display_cols(path: Path, cols, invertmode: int = 0):
+    """Column stream per gmap -I/--invertmode (pair.c:806-825) for
+    genomic (-) strand alignments:
+      0 = as stored (read-orientation cDNA, minus-strand genome,
+          descending coordinates) — invert nothing;
+      1 = invert_path: ascending genome order, chars as stored
+          (minus-strand genome, given cDNA);
+      2 = invert_and_revcomp_path: ascending genome order with both
+          sequences complemented (plus-strand genome, revcomp cDNA)."""
+    if path.watsonp or invertmode == 0:
+        return _read_order_cols(path, cols)
+    if invertmode == 2:
+        return cols
+    # mode 1 == aligned order with stored (read-orientation) chars:
+    # complement both rows of the aligned columns; bar symbols and the
+    # intron-length texts stay in aligned order (add_intronlengths runs
+    # after inversion in the reference)
+    comp = str.maketrans("ACGTacgt", "TGCAtgca")
+    out = []
+    for c in cols:
+        c = dict(c)
+        if c["g"] not in ".-":
+            c["g"] = c["g"].translate(comp)
+        if c.get("qpos") is not None:
+            c["q"] = c["q"].translate(comp)
+        out.append(c)
+    return out
+
+
 def alignment_body(path: Path, qstr: str, gstr: str, chr_start: int,
                    chrname: str | None,
                    aa_override: "tuple | None" = None,
                    wraplength: int = 50, ngap: int = 3,
-                   nolengths: bool = False) -> str:
+                   nolengths: bool = False, invertmode: int = 0) -> str:
     """aa_override=(letters, nums): aligned-qpos aa maps to use instead
     of translating this path standalone — chimera parts continue one
     merged ORF with continuous numbering (gmap_out.chimera_aa_maps)."""
-    cols = _read_order_cols(
-        path, _columns(path, qstr, gstr, ngap=ngap, nolengths=nolengths))
+    acols = _columns(path, qstr, gstr, ngap=ngap, nolengths=nolengths)
+    cols = _display_cols(path, acols, invertmode)
 
     L = path.querylength
     if aa_override is not None:
@@ -283,10 +356,12 @@ def alignment_body(path: Path, qstr: str, gstr: str, chr_start: int,
         aag, aag_num = aa_override
     else:
         aac, aac_num = _aa_by_qpos(qstr)
-        # genomic-side translation over exon columns (same coords for
-        # clean alignments; mismatches translate the genome letters)
+        # genomic-side translation over exon columns in ALIGNED
+        # orientation (the ORF direction; display transforms only
+        # reorder/complement the letters' columns).  Same coords for
+        # clean alignments; mismatches translate the genome letters.
         gcols = "".join(
-            c["g"] for c in cols if c["qpos"] is not None or
+            c["g"] for c in acols if c["qpos"] is not None or
             (c["gpos"] is not None and not c.get("intron") and c["q"] == "-"))
         aag, aag_num = (_aa_by_qpos(gcols) if gcols != qstr
                         else (aac, aac_num))
@@ -294,9 +369,13 @@ def alignment_body(path: Path, qstr: str, gstr: str, chr_start: int,
     # map aa letters onto display columns
     disp_q = lambda c: (L - 1 - c["qpos"]) if not path.watsonp else c["qpos"]
     # dbmode genome rows label the signed chromosome (Pair_print_
-    # alignment via Chrnum_to_string_signed); usersegment rows are bare
+    # alignment via Chrnum_to_string_signed); usersegment rows are
+    # bare; invertmode 2 prints the UNSIGNED name (pair.c:831-836)
     sign = "+" if path.watsonp else "-"
-    pre = f"{sign}{chrname}:" if chrname else ""
+    if not path.watsonp and invertmode == 2:
+        pre = f"{chrname}:" if chrname else ""
+    else:
+        pre = f"{sign}{chrname}:" if chrname else ""
 
     # gutter width from the first/last pair's label (compute_margin,
     # pair.c:434-459: max(DEFAULT_MARGIN=14, len(label)+1))
@@ -339,36 +418,49 @@ def alignment_body(path: Path, qstr: str, gstr: str, chr_start: int,
 
         out.append(aa_row("aa.g", aag, aag_num))
 
+        inverted = not path.watsonp and invertmode in (1, 2)
         gpos0 = next((c["gpos"] for c in block if c["gpos"] is not None), None)
+        if (inverted and block and block[0]["gpos"] is None
+                and "inv_g1" in block[0]):
+            # block opens on a dot pair: its stored genomepos is the
+            # gap's build-order gapgenomepos (stage3.c:1632)
+            gpos0 = block[0]["inv_g1"] - 1
         gdisp = "" if gpos0 is None else f"{pre}{gpos0 - chr_start + 1}"
         out.append(f"{gdisp:>{margin}} " + "".join(c["g"] for c in block))
         out.append(" " * (margin + 1) + "".join(c["bar"] for c in block))
         qpos0 = next((c["qpos"] for c in block if c["qpos"] is not None), None)
         qdisp = "" if qpos0 is None else str(
             (qpos0 + 1) if path.watsonp else (L - qpos0))
+        if (inverted and block and block[0]["qpos"] is None
+                and "inv_q1_off" in block[0]):
+            # gap pairs carry rightquerypos = the genomically-lower
+            # exon's read boundary
+            qdisp = str(L - block[0]["inv_q1_off"] + 1)
         out.append(f"{qdisp:>{margin}} " + "".join(c["q"] for c in block))
         out.append(aa_row("aa.c", aac, aac_num))
         out.append("")
     return "".join(l + "\n" for l in out)
 
 
-def continuous_body(path: Path, qstr: str, gstr: str) -> str:
+def continuous_body(path: Path, qstr: str, gstr: str,
+                    invertmode: int = 0) -> str:
     """gmap -3 / --continuous (Printtype CONTINUOUS, Pair_print_
     continuous pair.c): the whole alignment as three unwrapped rows —
     genome, bars, query — with introns as 9-column blocks (3 intron
     bases, '...', 3 intron bases; centered intron length in the query
     row)."""
-    cols = _read_order_cols(path, _columns(path, qstr, gstr))
+    cols = _display_cols(path, _columns(path, qstr, gstr), invertmode)
     g = "".join(c["g"] for c in cols)
     b = "".join(c["bar"] for c in cols)
     q = "".join(c["q"] for c in cols)
     return f"{g}\n{b}\n{q}\n"
 
 
-def continuous_by_exon_body(path: Path, qstr: str, gstr: str) -> str:
+def continuous_by_exon_body(path: Path, qstr: str, gstr: str,
+                            invertmode: int = 0) -> str:
     """gmap -4 / --continuous-by-exon (CONTINUOUS_BY_EXON): one
     unwrapped three-row block per exon, blank line between blocks."""
-    cols = _read_order_cols(path, _columns(path, qstr, gstr))
+    cols = _display_cols(path, _columns(path, qstr, gstr), invertmode)
     blocks = []
     cur = []
     for c in cols:

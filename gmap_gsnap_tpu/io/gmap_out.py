@@ -1037,6 +1037,52 @@ def coords_output(path: Path, header: str, qstr: str, gstr: str,
     return "".join(out)
 
 
+def map_hits_exons(path, pathnum: int, iit, mapname: str, chrname: str,
+                   chr_start: int, bothstrands: bool = False,
+                   print_comment: bool = False) -> str:
+    """gmap -e/--mapexons: one 'Map hits for path N, exon E' block per
+    exon in display order (stage3.c:4674 print_exon_map; exon bounds
+    from Pair_exonbounds, minus-strand paths iterate descending)."""
+    if chrname not in iit.intervals and "" not in iit.intervals:
+        return f"  *Map hits for path {pathnum} (0):\n\n"
+    div = chrname if chrname in iit.intervals else ""
+    ivs = iit.intervals.get(div, [])
+    labels = iit.labels.get(div, [])
+    anns = iit.annotations.get(div, [])
+    sign = 1 if path.watsonp else -1
+
+    def hit_line(i):
+        iv = ivs[i]
+        lo, hi = (iv.low, iv.high) if iv.sign >= 0 else (iv.high, iv.low)
+        out = f"\t{mapname}\t{chrname}:{lo}..{hi}\t{labels[i]}"
+        if print_comment:
+            ann = anns[i].decode("ascii", "replace") if i < len(anns) else ""
+            if iit.version >= 5:
+                ann = ann.split("\n", 1)[1] if "\n" in ann else ""
+            out += "\t" + ann.split("\n", 1)[0]
+        return out + "\n"
+
+    exons = path.exons if path.watsonp else list(reversed(path.exons))
+    out = []
+    for en, e in enumerate(exons):
+        chrlow = e.gstart - chr_start + 1
+        chrhigh = e.gend - chr_start
+        if bothstrands:
+            matches = [i for i, iv in enumerate(ivs)
+                       if iv.low <= chrhigh and iv.high >= chrlow]
+        else:
+            matches = sorted(
+                (i for i, iv in enumerate(ivs)
+                 if iv.low <= chrhigh and iv.high >= chrlow
+                 and (iv.sign == 0 or iv.sign == sign)),
+                key=lambda i: (ivs[i].low, ivs[i].high))
+        out.append(f"  Map hits for path {pathnum}, exon {en + 1} "
+                   f"({len(matches)}):\n")
+        out.extend(hit_line(i) for i in matches)
+        out.append("\n")
+    return "".join(out)
+
+
 def map_hits(path, pathnum: int, iit, mapname: str, chrname: str,
              chr_start: int, bothstrands: bool = False,
              nflanking: int = 0, print_comment: bool = False) -> str:

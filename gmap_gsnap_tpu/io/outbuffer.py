@@ -97,7 +97,8 @@ class OutputRouter:
     def __init__(self, out=None, split_root: str | None = None,
                  fmt: str = "sam", header: str = "",
                  fails_as_input: bool = False, failsonly: bool = False,
-                 nofails: bool = False, transform: SamTransform | None = None):
+                 nofails: bool = False, transform: SamTransform | None = None,
+                 input_suffix: str = "fq"):
         self.out = out
         self.split_root = split_root
         self.fmt = fmt
@@ -105,6 +106,7 @@ class OutputRouter:
         self.fails_as_input = fails_as_input
         self.failsonly = failsonly
         self.nofails = nofails
+        self.input_suffix = input_suffix  # gmap uses .fa (outbuffer.c:565)
         self.transform = transform or SamTransform()
         self._files: dict[str, object] = {}
         if (split_root is None and out is not None and header
@@ -135,14 +137,14 @@ class OutputRouter:
                 for r in recs:
                     self.out.write(_fastq_text(r))
             elif len(recs) == 2:
-                self._file("nomapping.1.fq", plain=True).write(
-                    _fastq_text(recs[0]))
-                self._file("nomapping.2.fq", plain=True).write(
-                    _fastq_text(recs[1]))
+                self._file(f"nomapping.1.{self.input_suffix}",
+                           plain=True).write(_fastq_text(recs[0]))
+                self._file(f"nomapping.2.{self.input_suffix}",
+                           plain=True).write(_fastq_text(recs[1]))
             else:
                 for r in recs:
-                    self._file("nomapping.fq", plain=True).write(
-                        _fastq_text(r))
+                    self._file(f"nomapping.{self.input_suffix}",
+                               plain=True).write(_fastq_text(r))
             return
         if self.fmt == "sam":
             text = self.transform.apply(text)

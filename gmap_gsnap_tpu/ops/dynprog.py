@@ -295,13 +295,16 @@ def dinucl_codes_right(grev, N: int):
     return jnp.concatenate([code, jnp.zeros_like(code[:, :1])], axis=1)
 
 
-def intron_score_table(cdna_direction, canonical_reward, finalp):
+def intron_score_table(cdna_direction, canonical_reward, finalp,
+                       nosplicing: bool = False):
     """(scores int32[64], types int32[64]) tables: introntype bitmask
     -> score and normalized introntype (dynprog.c:3152-3210
     intron_score; types outside the direction's table collapse to
-    NONINTRON)."""
+    NONINTRON).  nosplicing (gmap --nosplicing) zeroes every reward."""
     t = np.zeros(64, np.int32)
     ty = np.zeros(64, np.int32)
+    if nosplicing:
+        return t, ty
     gcag = FINAL_GCAG_INTRON if finalp else GCAG_INTRON
     atac = FINAL_ATAC_INTRON if finalp else ATAC_INTRON
     fwd = {GTAG_FWD: canonical_reward, GCAG_FWD: gcag, ATAC_FWD: atac}
@@ -321,13 +324,13 @@ def intron_score_table(cdna_direction, canonical_reward, finalp):
 @functools.partial(
     jax.jit,
     static_argnames=("M", "W", "open_", "extend", "canonical_reward",
-                     "cdna_direction", "finalp", "halfp"))
+                     "cdna_direction", "finalp", "halfp", "nosplicing"))
 def bridge_intron(nogapL, ndiagL, nogapR, ndiagR, len1, len2L, len2R,
                   lbandL, lbandR, leftdi, rightdi, left_known, right_known,
                   leftoffset, rightoffset,
                   M: int, W: int, open_: int, extend: int,
                   canonical_reward: int, cdna_direction: int,
-                  finalp: bool, halfp: bool):
+                  finalp: bool, halfp: bool, nosplicing: bool = False):
     """bridge_intron_gap, novel-splicing branch (dynprog.c:3701-3830).
 
     For each rL in 1..len1-1 (rR = len1-rL) score
@@ -341,7 +344,7 @@ def bridge_intron(nogapL, ndiagL, nogapR, ndiagR, len1, len2L, len2R,
     """
     B = nogapL.shape[0]
     itab_np, ttab_np = intron_score_table(
-        cdna_direction, canonical_reward, finalp)
+        cdna_direction, canonical_reward, finalp, nosplicing)
     itab = jnp.asarray(itab_np)
     ttab = jnp.asarray(ttab_np)
 

@@ -1,5 +1,8 @@
-"""gmap option-surface parity: formatting knobs (-l/-i/-N/-5), compute
-bounds (-K), input modes (-1/-2, -q) vs the reference binary."""
+"""gmap CLI option-surface parity: the round-2 flag batch (pruning,
+nosplicing, canonical-mode, suboptimal-score, cdsstart/truncate,
+version/cmdline, output routing, SAM options) diffed against the
+reference gmap binary where its output is sane, with pinned
+expectations where the 2012 reference is buggy."""
 
 import os
 import pathlib
@@ -11,7 +14,8 @@ import pytest
 ORACLE_GMAP = "/tmp/refbuild/src/gmap"
 ORACLE_DB = "/tmp/refbuild/trytest/gdb"
 REPO = pathlib.Path(__file__).resolve().parent.parent
-REF_TESTS = pathlib.Path("/root/reference/tests")
+FIXTURE = "/root/reference/tests/ss.chr17test"
+HER2 = "/root/reference/tests/ss.her2"
 
 needs_oracle = pytest.mark.skipif(
     not (os.path.exists(ORACLE_GMAP) and os.path.isdir(ORACLE_DB)),
@@ -19,180 +23,176 @@ needs_oracle = pytest.mark.skipif(
 )
 
 
-def _run_both(extra, inputs, db=True):
-    base = (["-D", ORACLE_DB, "-d", "chr17test"] if db else [])
-    ref = subprocess.run(
-        [ORACLE_GMAP] + base + extra + [str(f) for f in inputs],
-        capture_output=True, text=True, check=True,
+def _env():
+    return dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=str(REPO))
+
+
+def _ours(*args):
+    return subprocess.run(
+        [sys.executable, "-m", "gmap_gsnap_tpu.cli.gmap", *args],
+        capture_output=True, text=True, env=_env(), check=True,
     ).stdout
-    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=str(REPO))
-    mine = subprocess.run(
-        [sys.executable, "-m", "gmap_gsnap_tpu.cli.gmap"] + base + extra
-        + [str(f) for f in inputs],
-        capture_output=True, text=True, env=env, check=True,
+
+
+def _ref(*args):
+    return subprocess.run(
+        [ORACLE_GMAP, *args], capture_output=True, text=True, check=True,
     ).stdout
-    return ref, mine
 
 
-@needs_oracle
-def test_alignment_format_knobs():
-    """-A with non-default wraplength (-l), intron gap dots (-i), and
-    suppressed intron lengths (-N)."""
-    her2 = REF_TESTS / "ss.her2"
-    for extra in (["-A", "-l", "30"], ["-A", "-i", "6"], ["-A", "-N"],
-                  ["-A", "-l", "72", "-i", "5", "-N"]):
-        ref, mine = _run_both(extra, [her2])
-        assert ref.splitlines() == mine.splitlines(), extra
-
-
-@needs_oracle
-def test_md5_header():
-    her2 = REF_TESTS / "ss.her2"
-    ref, mine = _run_both(["-S", "-5"], [her2])
-    assert ref.splitlines() == mine.splitlines()
-    assert any("md5:" in l for l in mine.splitlines())
-
-
-def test_intronlength_bound():
-    """-K (maxintronlen_bound) is honored: no emitted intron exceeds
-    it.  (Byte parity under severely restrictive -K is not asserted —
-    the degenerate path reshuffling differs; the bound semantics are.)"""
-    from gmap_gsnap_tpu.align import gmap as gmap_mod
-    from gmap_gsnap_tpu.db import build
-    from gmap_gsnap_tpu.db.datadir import GenomeDB
-    from gmap_gsnap_tpu.io import fasta
-    import tempfile
-
-    tmp = tempfile.mkdtemp()
-    dbdir = build.build_db([str(REF_TESTS / "ss.chr17test")], "chr17test",
-                           tmp, k=12)
-    db = GenomeDB.open(dbdir, "chr17test")
-    rec = next(fasta.read_fasta(str(REF_TESTS / "ss.her2")))
-    for bound in (500, 1500):
-        paths = gmap_mod.align_cdna_paths(db, rec.seq, max_intronlen=bound)
-        assert paths
-        for p in paths:
-            for a, b in zip(p.exons, p.exons[1:]):
-                assert b.gstart - a.gend <= bound
-
-
-def test_selfalign_pairalign(tmp_path):
-    """-1/-2 input modes.  The reference binary SEGFAULTS on both
-    (gmap.c:2165 dereferences the absent genome DB), so no oracle
-    parity is possible — assert our implementation aligns correctly."""
+def _genomic_query(tmp_path):
     seq = "".join(
-        l.strip() for l in open(REF_TESTS / "ss.chr17test")
-        if not l.startswith(">")
+        l.strip() for l in open(FIXTURE) if not l.startswith(">")
     ).upper()
-    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=str(REPO))
-    fa = tmp_path / "two.fa"
-    with open(fa, "w") as f:
-        f.write(f">gseg\n{seq[100000:102000]}\n")
-        f.write(f">qry\n{seq[100400:100900]}\n")
-    mine = subprocess.run(
-        [sys.executable, "-m", "gmap_gsnap_tpu.cli.gmap", "-2", "-S",
-         str(fa)], capture_output=True, text=True, env=env, check=True,
-    ).stdout
-    assert "Paths (1):" in mine
-    assert "query 1..500 (500 bp)" in mine
-    one = tmp_path / "one.fa"
-    with open(one, "w") as f:
-        f.write(f">solo\n{seq[50000:50800]}\n")
-    mine = subprocess.run(
-        [sys.executable, "-m", "gmap_gsnap_tpu.cli.gmap", "-1", "-S",
-         str(one)], capture_output=True, text=True, env=env, check=True,
-    ).stdout
-    assert "Paths (1):" in mine
-    assert "query 1..800 (800 bp)" in mine
-    assert "100.0 (800 matches, 0 mismatches" in mine
+    fa = tmp_path / "gq.fa"
+    fa.write_text(">gq\n" + seq[120000:121500] + "\n")
+    return str(fa)
 
 
 @needs_oracle
-def test_part_sharding(tmp_path):
+@pytest.mark.parametrize("flags", [
+    [],                       # segment-overflow regression: this repeat-
+                              # family query needs the S rescue loop
+    ["--nosplicing"],
+    ["-p", "1"],
+    ["--canonical-mode", "0"],
+    ["--suboptimal-score", "5"],
+    ["--min-intronlength", "20"],
+    ["-n", "1"],
+    ["-S"],
+    ["-f", "samse"],
+])
+def test_genomic_query_flag_parity(tmp_path, flags):
+    fa = _genomic_query(tmp_path)
+    base = ["-D", ORACLE_DB, "-d", "chr17test", *flags, fa]
+    assert _ours(*base) == _ref(*base)
+
+
+@needs_oracle
+@pytest.mark.parametrize("flags", [
+    ["-a", "181"],
+    ["-Y"],
+    ["-F", "-a", "181"],
+])
+def test_her2_translation_flag_parity(flags):
+    base = ["-D", ORACLE_DB, "-d", "chr17test", "-S", *flags, HER2]
+    assert _ours(*base) == _ref(*base)
+
+
+@needs_oracle
+def test_truncate():
+    """-T truncates each path around the full-length protein
+    (truncate_fulllength, stage3.c:4101).  The query-side truncation
+    matches the reference; the reference's printed GENOMIC coordinates
+    after -T are corrupted (stale gregion-window offsets: it reports
+    chr17test:100,237 where the alignment demonstrably starts at
+    110,019), so this pins OUR correct coordinates and checks the
+    query range against the reference's."""
+    out = _ours("-D", ORACLE_DB, "-d", "chr17test", "-S", "-T", HER2)
+    ref = _ref("-D", ORACLE_DB, "-d", "chr17test", "-S", "-T", HER2)
+    assert "query 239..4006 (3768 bp)" in out
+    assert "query 239..4006 (3768 bp)" in ref
+    assert "chr17test:110,019..137,824" in out
+    assert "Translation: 239..4006 (1255 aa)" in out
+    assert "Translation: 239..4006 (1255 aa)" in ref
+
+
+def test_version_and_cmdline(tmp_path):
+    v = _ours("--version")
+    assert "GMAP" in v
     seq = "".join(
-        l.strip() for l in open(REF_TESTS / "ss.chr17test")
-        if not l.startswith(">")
+        l.strip() for l in open(FIXTURE) if not l.startswith(">")
     ).upper()
-    fa = tmp_path / "many.fa"
-    with open(fa, "w") as f:
-        for i in range(4):
-            f.write(f">m{i}\n{seq[10000 + 5000 * i : 10600 + 5000 * i]}\n")
-    ref, mine = _run_both(["-S", "-q", "1/2"], [fa])
-    assert ref.splitlines() == mine.splitlines()
+    gs = seq[120000:120400]
+    out = _ours("--cmdline", f"{gs},{gs[50:350]}")
+    assert "Paths (1):" in out
+    assert "query 1..300 (300 bp)" in out
 
 
 @needs_oracle
-def test_fulllength_translation():
-    """-F starts the reported translation at the first Met."""
-    her2 = REF_TESTS / "ss.her2"
-    for extra in (["-S"], ["-S", "-F"]):
-        ref, mine = _run_both(extra, [her2])
-        assert ref.splitlines() == mine.splitlines(), extra
+def test_split_output_and_fails(tmp_path):
+    """--split-output routes per-category files (.uniq/.mult/.nomapping,
+    outbuffer.c:560-650); --fails-as-input emits .nomapping.fa."""
+    seq = "".join(
+        l.strip() for l in open(FIXTURE) if not l.startswith(">")
+    ).upper()
+    fa = tmp_path / "mix.fa"
+    fa.write_text(
+        ">hit\n" + seq[120000:120400] + "\n"
+        ">miss\n" + "ACGT" * 100 + "\n")
+    root = str(tmp_path / "out")
+    _ours("-D", ORACLE_DB, "-d", "chr17test",
+          "--split-output", root, str(fa))
+    uniq = open(root + ".uniq").read()
+    nomap = open(root + ".nomapping").read()
+    assert ">hit" in uniq and ">miss" not in uniq
+    assert ">miss" in nomap and "Paths (0):" in nomap
+    # fails-as-input: failed reads re-emitted as FASTA
+    _ours("-D", ORACLE_DB, "-d", "chr17test",
+          "--split-output", root + "2", "--fails-as-input", str(fa))
+    fails = open(root + "2.nomapping.fa").read()
+    assert fails.startswith(">miss\n")
+    # failsonly / nofails on stdout
+    only = _ours("-D", ORACLE_DB, "-d", "chr17test", "--failsonly", str(fa))
+    assert ">miss" in only and ">hit" not in only
+    none = _ours("-D", ORACLE_DB, "-d", "chr17test", "--nofails", str(fa))
+    assert ">hit" in none and ">miss" not in none
 
 
 @needs_oracle
-def test_direction_filter():
-    """-z sense_filter / antisense_filter keep only matching-direction
-    paths."""
-    her2 = REF_TESTS / "ss.her2"
-    for extra in (["-S", "-z", "sense_filter"],
-                  ["-S", "-z", "antisense_filter"]):
-        ref, mine = _run_both(extra, [her2])
-        assert ref.splitlines() == mine.splitlines(), extra
+def test_sam_options(tmp_path):
+    seq = "".join(
+        l.strip() for l in open(FIXTURE) if not l.startswith(">")
+    ).upper()
+    fa = tmp_path / "q.fa"
+    fa.write_text(">q1\n" + seq[120000:120400] + "\n")
+    out = _ours("-D", ORACLE_DB, "-d", "chr17test", "-f", "samse",
+                "--read-group-id", "rg1", "--read-group-name", "s1",
+                str(fa))
+    assert "@RG\tID:rg1\tSM:s1" in out
+    body = [l for l in out.splitlines() if not l.startswith("@")]
+    assert all("RG:Z:rg1" in l for l in body)
+    out2 = _ours("-D", ORACLE_DB, "-d", "chr17test", "-f", "samse",
+                 "--no-sam-headers", str(fa))
+    assert not out2.startswith("@")
 
 
 @needs_oracle
-def test_map_annotation(tmp_path):
-    """-m map IIT annotation: signed/both-strand hits, flanking (-u),
-    and --print-comment, byte-compared."""
+def test_quiet_if_excessive(tmp_path):
+    """--quiet-if-excessive: no output when npaths > -n (printp=false,
+    outbuffer.c:1610); samse emits a nomapping record instead."""
+    seq = "".join(
+        l.strip() for l in open(FIXTURE) if not l.startswith(">")
+    ).upper()
+    # a repetitive query with many paths
+    fa = tmp_path / "rep.fa"
+    fa.write_text(">rep\n" + seq[700:1100] + "\n")
+    loud = _ours("-D", ORACLE_DB, "-d", "chr17test", "-n", "1", str(fa))
+    quiet = _ours("-D", ORACLE_DB, "-d", "chr17test", "-n", "1",
+                  "--quiet-if-excessive", str(fa))
+    if "Paths (1):" in loud:
+        pytest.skip("query not multimapping in this DB")
+    assert quiet.strip() == ""
+
+
+@needs_oracle
+def test_mapexons(tmp_path):
+    """-e/--mapexons: one map-hit block per exon (print_exon_map,
+    stage3.c:4674), diffed against the reference binary."""
     import shutil
 
-    src = pathlib.Path(ORACLE_DB) / "chr17test"
-    dbdir = tmp_path / "gdb" / "chr17test"
-    shutil.copytree(src, dbdir, ignore=shutil.ignore_patterns("*.maps"))
-    maps = dbdir / "chr17test.maps"
-    maps.mkdir()
+    gdb = tmp_path / "gdb"
+    dbdir = gdb / "chr17test"
+    shutil.copytree(f"{ORACLE_DB}/chr17test", dbdir)
+    mapsdir = dbdir / "chr17test.maps"
+    mapsdir.mkdir(exist_ok=True)
     from gmap_gsnap_tpu.db.iit_text import iit_from_text
 
-    # entries around the HER2 locus (109781..138442), both strands,
-    # flanking entries on each side
-    txt = (
-        ">geneA chr17test:100000..105000 note A\n"
-        ">geneB chr17test:112000..118000 in-span plus\n"
-        ">geneC chr17test:125000..120000 in-span minus\n"
-        ">geneD chr17test:130000..131000 in-span plus2\n"
-        ">geneE chr17test:150000..155000 right flank\n"
-    )
-    iit_from_text(txt).write(str(maps / "mymap.iit"))
-    her2 = REF_TESTS / "ss.her2"
-    gdb = str(tmp_path / "gdb")
-    for extra in (["-m", "mymap"], ["-m", "mymap", "-b"],
-                  ["-m", "mymap", "-u", "1"],
-                  ["-m", "mymap", "--print-comment"]):
-        args = ["-D", gdb, "-d", "chr17test", "-S"] + extra
-        ref = subprocess.run(
-            [ORACLE_GMAP] + args + [str(her2)],
-            capture_output=True, text=True, check=True).stdout
-        env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=str(REPO))
-        mine = subprocess.run(
-            [sys.executable, "-m", "gmap_gsnap_tpu.cli.gmap"] + args
-            + [str(her2)], capture_output=True, text=True, env=env,
-            check=True).stdout
-        assert ref.splitlines() == mine.splitlines(), extra
-
-
-@needs_oracle
-def test_short_and_empty_sequence(tmp_path):
-    fa = tmp_path / "short.fa"
-    fa.write_text(">tiny\nACGTACG\n>ok\n" + _genome_seq_gm()[20000:20400]
-                  + "\n")
-    for extra in (["-S"], []):
-        ref, mine = _run_both(extra, [fa])
-        assert ref.splitlines() == mine.splitlines(), extra
-
-
-def _genome_seq_gm():
-    return "".join(
-        l.strip() for l in open(REF_TESTS / "ss.chr17test")
-        if not l.startswith(">")
-    ).upper()
+    iit_from_text(
+        ">g1 chr17test:109700..110200 first\n"
+        ">g2 chr17test:116000..130000 middle\n"
+        ">g3 chr17test:137000..138500 last\n"
+    ).write(str(mapsdir / "genes.iit"))
+    base = ["-D", str(gdb), "-d", "chr17test", "-S", "-m", "genes",
+            "-e", HER2]
+    assert _ours(*base) == _ref(*base)

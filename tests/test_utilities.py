@@ -129,25 +129,48 @@ def test_uniqscan_parity():
 
 
 @needs_oracle
-def test_get_genome_snp_modes():
+def test_get_genome_snp_modes(tmp_path):
     """get-genome -v/-f SNP modes and the revcomp header quirk: byte
     parity against the reference binary on a window containing a SNP
-    (built by our snpindex) and a clean window, forward and revcomp."""
+    (built by our snpindex into a copy of the oracle DB) and a clean
+    window, forward and revcomp."""
+    import shutil
+
     oracle = "/tmp/refbuild/src/get-genome"
     if not os.path.exists(oracle):
         pytest.skip("reference get-genome not built")
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=str(REPO))
+    gdb = tmp_path / "gdb"
+    dbdir = gdb / "chr17test"
+    shutil.copytree(f"{ORACLE_DB}/chr17test", dbdir)
+    (dbdir / "chr17test.maps").mkdir(exist_ok=True)
+    seq = "".join(
+        l.strip() for l in open(FIXTURE) if not l.startswith(">")
+    ).upper()
+    flip = {"A": "G", "G": "A", "C": "T", "T": "C"}
+    pos = 15050  # 1-based SNP inside the first query window
+    from gmap_gsnap_tpu.db.iit_text import iit_from_text
+
+    iit_from_text(
+        f">rs0 chr17test:{pos} {seq[pos - 1]}{flip[seq[pos - 1]]}\n"
+    ).write(str(dbdir / "chr17test.maps" / "snps.iit"))
+    subprocess.run(
+        [sys.executable, "-m", "gmap_gsnap_tpu.cli.snpindex",
+         "-D", str(gdb), "-d", "chr17test", "-v", "snps",
+         str(dbdir / "chr17test.maps" / "snps.iit")],
+        capture_output=True, text=True, env=env, check=True,
+    )
     for q in ("chr17test:15030..15100", "chr17test:15100..15030",
               "chr17test:1000..1080"):
         for opts in ([], ["-v", "snps"], ["-v", "snps", "-f", "1"],
                      ["-v", "snps", "-f", "2"]):
             ref = subprocess.run(
-                [oracle, "-D", ORACLE_DB, "-d", "chr17test", *opts, q],
+                [oracle, "-D", str(gdb), "-d", "chr17test", *opts, q],
                 capture_output=True, text=True, check=True,
             ).stdout
             mine = subprocess.run(
                 [sys.executable, "-m", "gmap_gsnap_tpu.cli.get_genome",
-                 "-D", ORACLE_DB, "-d", "chr17test", *opts, q],
+                 "-D", str(gdb), "-d", "chr17test", *opts, q],
                 capture_output=True, text=True, env=env, check=True,
             ).stdout
             assert ref == mine, (opts, q)
