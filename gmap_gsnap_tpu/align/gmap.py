@@ -465,8 +465,14 @@ def align_cdna_batch(db: GenomeDB, queries: list[str],
         return [None] * B
     Q = _bucket(maxq)
     rows = len(qstrs)
-    oligos = np.zeros((rows, Q), np.int64)
-    valid = np.zeros((rows, Q), bool)
+    # bucket the batch dim too: GSNAP rescue calls this with a varying
+    # number of reads per chunk, and every distinct row count would
+    # otherwise compile a fresh XLA program (measured 2s+/compile over
+    # the tunnel); padded rows have valid=False everywhere so they seed
+    # nothing and chains_from_device returns [] for them
+    rows_b = _bucket(rows, lo=8)
+    oligos = np.zeros((rows_b, Q), np.int64)
+    valid = np.zeros((rows_b, Q), bool)
     codes_list = []
     for i, qs in enumerate(qstrs):
         qcodes, qflags = dna.encode(qs)
@@ -502,7 +508,7 @@ def align_cdna_batch(db: GenomeDB, queries: list[str],
             H *= 4
         if nsegs > S:
             S *= 4
-    chains = gmap_engine.chains_from_device(segs, rows, Q, k, max_intronlen,
+    chains = gmap_engine.chains_from_device(segs, rows_b, Q, k, max_intronlen,
                                             genome_range=genome_range,
                                             npaths=npaths)
 

@@ -300,6 +300,14 @@ def solve_junctions_batch(gcodes, requests, cdna_direction,
     if not keep:
         return results
     nb = len(keep)
+    # bucket the batch dim (power of two, min 8): the caller batches a
+    # varying number of junction rescues per chunk and each distinct nb
+    # would compile a fresh kernel set; padded rows replicate row 0 and
+    # their results are never read (the result loop runs over `keep`)
+    nb_real = nb
+    while nb & (nb - 1):
+        nb += 1
+    nb = max(nb, 8)
     NL = Mb + EXTRAMATERIAL_PAIRED
     NR = Mb + EXTRAMATERIAL_PAIRED
 
@@ -330,6 +338,8 @@ def solve_junctions_batch(gcodes, requests, cdna_direction,
         len2L[bi] = len2R[bi] = n_real
         loffs[bi] = diagL + lo
         roffs[bi] = diagR + hi - 1
+    for arr in (q, qr, gl, grv, len1, len2L, len2R, loffs, roffs):
+        arr[nb_real:] = arr[0]
     lbandL, rbandL = dp.compute_bands(len1, len2L, EXTRABAND_PAIRED)
     lbandR, rbandR = dp.compute_bands(len1, len2R, EXTRABAND_PAIRED)
     # static W for the bucket (max possible band width)
