@@ -112,12 +112,16 @@ def main(argv=None) -> int:
                             "psl",
                             "splicesites", "introns", "map_genes",
                             "map_exons", "coords"])
-    p.add_argument("-A", action="store_true", help="alignment output")
-    p.add_argument("-3", dest="continuous", action="store_true",
+    p.add_argument("-A", "--align", dest="A", action="store_true",
+                   help="alignment output")
+    p.add_argument("-3", "--continuous", dest="continuous",
+                   action="store_true",
                    help="show alignment in three continuous lines")
-    p.add_argument("-4", dest="continuous_by_exon", action="store_true",
+    p.add_argument("-4", "--continuous-by-exon", dest="continuous_by_exon",
+                   action="store_true",
                    help="show alignment in three lines per exon")
-    p.add_argument("-S", dest="summary_only", action="store_true",
+    p.add_argument("-S", "--summary", dest="summary_only",
+                   action="store_true",
                    help="summary output + exon table (no alignment rows)")
     p.add_argument("-n", "--npaths", type=int, default=5,
                    help="maximum number of paths to show (0: one path, "
