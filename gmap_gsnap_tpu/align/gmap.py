@@ -431,9 +431,15 @@ def align_cdna(db: GenomeDB, query: str, max_intronlen: int = 1_000_000,
 
 
 def _bucket(n: int, lo: int = 256) -> int:
+    """Quantize a dimension to a small set of bucket sizes (x4 steps).
+
+    Every distinct bucket compiles a fresh XLA program for the seeding/
+    chaining stack (~10-30 s each on a tunneled chip, measured
+    dominating end-to-end runs); x4 steps keep the shape set tiny so a
+    single warmup pass covers it."""
     b = lo
     while b < n:
-        b *= 2
+        b *= 4
     return b
 
 

@@ -295,19 +295,22 @@ def solve_junctions_batch(gcodes, requests, cdna_direction,
     B = len(requests)
     results = [None] * B
     Ms = [hi - lo for (_, lo, hi, _, _) in requests]
-    Mb = min(max(8, -(-max(Ms) // 8) * 8), 64)
+    # Mb is FIXED at 64 (the max window): per-bucket Mb values compiled
+    # a fresh kernel set each (~10 s on a tunneled chip), dwarfing the
+    # extra scan steps of a one-size band sweep
+    Mb = 64
     keep = [i for i in range(B) if 2 <= Ms[i] <= Mb]
     if not keep:
         return results
     nb = len(keep)
-    # bucket the batch dim (power of two, min 8): the caller batches a
-    # varying number of junction rescues per chunk and each distinct nb
-    # would compile a fresh kernel set; padded rows replicate row 0 and
-    # their results are never read (the result loop runs over `keep`)
+    # bucket the batch dim in x4 steps from 32 — same compile-count
+    # rationale; padded rows replicate row 0 and their results are
+    # never read (the result loop runs over `keep`)
     nb_real = nb
-    while nb & (nb - 1):
-        nb += 1
-    nb = max(nb, 8)
+    b = 32
+    while b < nb:
+        b *= 4
+    nb = b
     NL = Mb + EXTRAMATERIAL_PAIRED
     NR = Mb + EXTRAMATERIAL_PAIRED
 

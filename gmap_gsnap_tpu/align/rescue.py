@@ -63,7 +63,7 @@ def trim_term(mm: np.ndarray, side: str) -> int:
 
 def make_terminals(mm_fn, cand_left, cand_plusp, cand_nmm, L: int,
                    max_mm: int, max_terminal_length: int, used=(),
-                   k: int = 12, interval: int = 3):
+                   k: int = 12, interval: int = 3, trims_of=None):
     """Build terminal candidates from unfiltered diagonals
     (find_terminals, stage1hr.c:9012).
 
@@ -94,6 +94,14 @@ def make_terminals(mm_fn, cand_left, cand_plusp, cand_nmm, L: int,
         mm = mm_fn(left, plusp)
         pos = np.flatnonzero(mm)
         npos = len(pos)
+        trims = trims_of(left, plusp) if trims_of is not None else None
+        if trims is None:
+            trims = (None, None)
+
+        def trim_side(side):
+            t = trims[0 if side == "left" else 1]
+            return t if t is not None else trim_term(mm, side)
+
         variants = []
         # clean k-window test for all seed positions at once
         cs = np.concatenate([[0], np.cumsum(mm.astype(np.int32))])
@@ -104,15 +112,15 @@ def make_terminals(mm_fn, cand_left, cand_plusp, cand_nmm, L: int,
             # long seed span: liberal terminal, trim TERM-typed ends
             start_term = present[0] >= interval
             end_term = present[-1] < lastpos - interval
-            t5 = trim_term(mm, "left") if start_term else 0
-            t3 = trim_term(mm, "right") if end_term else 0
+            t5 = trim_side("left") if start_term else 0
+            t3 = trim_side("right") if end_term else 0
             variants.append((t5, t3))
         else:
             # short seed span: need a clean-enough end run
             if npos <= max_mm or pos[max_mm] > mtl:
-                variants.append((0, trim_term(mm, "right")))
+                variants.append((0, trim_side("right")))
             if npos <= max_mm or pos[npos - 1 - max_mm] < L - mtl:
-                variants.append((trim_term(mm, "left"), 0))
+                variants.append((trim_side("left"), 0))
         for t5, t3 in variants:
             span = L - t5 - t3
             nmm_trim = int(mm[t5 : L - t3].sum())

@@ -468,6 +468,8 @@ class GsnapRunner:
         self._alt_str = None
         self._alt_bytes = None
         self._gmap_cache: dict = {}
+        self._lane_masks: dict = {}   # (id(rec), left, plusp) -> (sel, ref)
+        self._lane_trims: dict = {}   # same key -> (t5, t3) at params score
         self._gmap_collect = None
         self._gmap_rows: set = set()
         self._gmap_row = -1
@@ -718,10 +720,10 @@ class GsnapRunner:
         dimension would otherwise trigger a fresh XLA compile (~10 s
         each on the tunneled chip — measured dominating run_pe)."""
         n = len(records)
-        for bsz in (8, 32, 128, 256):
+        for bsz in (8, 32, 128, 512, 2048):
             if n <= bsz:
                 return records + [records[0]] * (bsz - n)
-        return records + [records[0]] * (-n % 256)
+        return records + [records[0]] * (-n % 2048)
 
     def _align_wide(self, records: list[Record]):
         """Overflow rescue: re-align a (rare) subset at wide caps —
@@ -785,6 +787,129 @@ class GsnapRunner:
             mm = mm & (qb != ab)
         return mm, mm_ref
 
+    # -------------------------------------------- batched lane-mask priming
+    def _prime_lane_masks(self, jobs, shifts=None) -> None:
+        """Vectorize the host rescue lanes' mismatch-mask computation.
+
+        jobs: list of (rec, lefts, plusps) — candidate diagonals per
+        record.  For every unique (rec, left+shift, plusp) the selection
+        and ref-relative masks are computed as ONE [P, L] byte compare
+        (gather of genome bytes vs oriented query bytes), replacing the
+        per-candidate `_mismatch_masks` calls that dominated the warm
+        emission profile (terminal + end-indel lanes measured ~2 s per
+        1024 reads before; the lanes consult `self._lane_masks` /
+        `self._lane_trims` first).  shifts covers the end-indel lane's
+        shifted diagonals (±max_end_del / ±max_end_ins).
+        """
+        if shifts is None:
+            shifts = range(-self.params.max_end_deletions,
+                           self.params.max_end_insertions + 1)
+        shifts = list(shifts)
+        entries = []        # (key, qrow_index, g0)
+        qrows = []          # oriented+conv query byte arrays
+        qrows_raw = []      # oriented raw query byte arrays
+        qrow_of = {}        # (id(rec), plusp) -> row index
+        qn_rows = []        # query-N masks
+        by_len: dict[int, list[int]] = {}
+        for rec, lefts, plusps in jobs:
+            L = len(rec.seq)
+            seen = set()
+            for left, plusp in zip(lefts, plusps):
+                left = int(left)
+                plusp = bool(plusp)
+                if (left, plusp) in seen:
+                    continue
+                seen.add((left, plusp))
+                qk = (id(rec), plusp)
+                qi = qrow_of.get(qk)
+                if qi is None:
+                    q = (rec.seq.upper() if plusp
+                         else dna.revcomp_str(rec.seq.upper()))
+                    qb = np.frombuffer(q.encode("latin-1"), np.uint8)
+                    qi = len(qrows)
+                    qrow_of[qk] = qi
+                    conv = self._conv_plus if plusp else self._conv_minus
+                    qrows.append(self._conv_lut(conv)[qb])
+                    qrows_raw.append(qb)
+                    qn_rows.append(qb == ord("N"))
+                for d in shifts:
+                    g0 = left + d
+                    key = (id(rec), g0, plusp)
+                    if key in self._lane_masks:
+                        continue
+                    self._lane_masks[key] = None  # claim slot
+                    by_len.setdefault(L, []).append(len(entries))
+                    entries.append((key, qi, g0))
+        if not entries:
+            return
+        gb_all = self._genome_bytes
+        ab_all = self._alt_bytes
+        G = len(gb_all)
+        for L, idxs in by_len.items():
+            g0s = np.array([entries[i][2] for i in idxs], np.int64)
+            qis = np.array([entries[i][1] for i in idxs], np.int64)
+            gidx = g0s[:, None] + np.arange(L)[None, :]
+            ok = (gidx >= 0) & (gidx < G)
+            gmat = np.where(ok, gb_all[np.clip(gidx, 0, G - 1)], 0)
+            qmat = np.stack([qrows[qi][:L] for qi in qis])
+            qn = np.stack([qn_rows[qi][:L] for qi in qis])
+            # conv lut is already applied to qmat; genome bytes need it
+            # per-entry (plus/minus share the same conv lut pair only
+            # when both convs match — apply per-row)
+            conv_rows = np.array(
+                [self._conv_lut(self._conv_plus
+                                if entries[i][0][2] else self._conv_minus)
+                 for i in idxs])
+            gconv = np.take_along_axis(
+                conv_rows, gmat.astype(np.int64), axis=1)
+            mm = ~qn & (~self._ACGT_SET[gmat] | (qmat != gconv))
+            mm_ref = mm
+            if ab_all is not None:
+                amat = np.where(ok, ab_all[np.clip(gidx, 0, G - 1)], 0)
+                # selection compares RAW query byte to alt byte
+                qraw = np.stack([qrows_raw[qi][:L] for qi in qis])
+                mm = mm & (qraw != amat)
+            t5s, t3s = trim_ends_batch(
+                mm, self.params.trim_mismatch_score)
+            for j, i in enumerate(idxs):
+                key = entries[i][0]
+                self._lane_masks[key] = (mm[j], mm_ref[j])
+                self._lane_trims[key] = (int(t5s[j]), int(t3s[j]))
+
+    def _lane_mask(self, rec: Record, left: int, plusp: bool):
+        """(mm_sel, mm_ref) with lane-cache consult."""
+        v = self._lane_masks.get((id(rec), int(left), bool(plusp)))
+        if v is not None:
+            return v
+        q = rec.seq.upper() if plusp else dna.revcomp_str(rec.seq.upper())
+        conv = self._conv_plus if plusp else self._conv_minus
+        return self._mismatch_masks(q, left, conv)
+
+    def _prime_rows(self, triples) -> None:
+        """Prime the lane-mask cache for fetched full-tree rows.
+
+        triples: iterable of (rec, tree, tree_row) — the candidate
+        diagonals (cand_*) and ranked-hit diagonals of each row are
+        collected and the whole set is mask-computed in one batch."""
+        jobs = []
+        for rec, tree, si in triples:
+            cl = np.asarray(tree["cand_left"][si]).astype(np.int64)
+            cp = np.asarray(tree["cand_plusp"][si]).astype(bool)
+            cn = np.asarray(tree["cand_nmm"][si])
+            keep = cn < 10**6
+            lefts = list(cl[keep])
+            plusps = list(cp[keep])
+            n = min(int(tree["npaths"][si]), 8)
+            if n > 0:
+                lefts += list(np.asarray(
+                    tree["left"][si][:n]).astype(np.int64))
+                plusps += list(np.asarray(
+                    tree["plusp"][si][:n]).astype(bool))
+            if lefts:
+                jobs.append((rec, lefts, plusps))
+        if jobs:
+            self._prime_lane_masks(jobs)
+
     def _hit_details(self, rec: Record, kind: int, left: int, right: int,
                      split: int, nind: int, sense: bool, plusp: bool,
                      mid: int = 0, split2: int = 0) -> PostHit:
@@ -807,7 +932,10 @@ class GsnapRunner:
 
         masks, masks_ref, refs = [], [], []
         for qs, qe, g0 in parts:
-            mm_sel, mm_ref = self._mismatch_masks(q[qs:qe], g0, conv)
+            if qs == 0 and qe == L:
+                mm_sel, mm_ref = self._lane_mask(rec, g0, plusp)
+            else:
+                mm_sel, mm_ref = self._mismatch_masks(q[qs:qe], g0, conv)
             masks.append(mm_sel)
             masks_ref.append(mm_ref)
             refs.append(self._genome_str[g0 : g0 + (qe - qs)])
@@ -815,7 +943,12 @@ class GsnapRunner:
         # end trimming: outer ends only (substring.c trim_left_p /
         # trim_right_p are false at indel/splice inner ends)
         if kind == KIND_SUB:
-            trim5, trim3 = trim_ends(masks[0], self.params.trim_mismatch_score)
+            cached = self._lane_trims.get((id(rec), left, plusp))
+            if cached is not None:
+                trim5, trim3 = cached
+            else:
+                trim5, trim3 = trim_ends(masks[0],
+                                         self.params.trim_mismatch_score)
         else:
             trim5 = trim_ends(masks[0], self.params.trim_mismatch_score)[0]
             trim3 = trim_ends(masks[-1], self.params.trim_mismatch_score)[1]
@@ -914,9 +1047,7 @@ class GsnapRunner:
                       t5: int, t3: int) -> PostHit:
         """Terminal (one-sided) hit details: forced trims, sub-style."""
         L = len(rec.seq)
-        q = rec.seq.upper() if plusp else dna.revcomp_str(rec.seq.upper())
-        conv = self._conv_plus if plusp else self._conv_minus
-        mm_sel, mm_ref = self._mismatch_masks(q, left, conv)
+        mm_sel, mm_ref = self._lane_mask(rec, left, plusp)
         span = slice(t5, L - t3)
         md, nm = sam.md_gapped([(mm_ref[span], self._genome_str[left + t5 : left + L - t3])], [])
         qual = rec.quality if rec.quality else None
@@ -973,10 +1104,7 @@ class GsnapRunner:
             seen.add((left, plusp))
 
             def mask(lft):
-                q = (rec.seq.upper() if plusp
-                     else dna.revcomp_str(rec.seq.upper()))
-                conv = self._conv_plus if plusp else self._conv_minus
-                return self._mismatch_masks(q, lft, conv)[0]
+                return self._lane_mask(rec, lft, plusp)[0]
 
             asc = list(np.flatnonzero(mask(left)))
             if not asc:
@@ -1504,9 +1632,7 @@ class GsnapRunner:
             v = cache.get((left, plusp))
             if v is not None:
                 return v
-            q = rec.seq.upper() if plusp else dna.revcomp_str(rec.seq.upper())
-            conv = self._conv_plus if plusp else self._conv_minus
-            return self._mismatch_masks(q, left, conv)[0]
+            return self._lane_mask(rec, left, plusp)[0]
 
         return mm_fn
 
@@ -1755,12 +1881,17 @@ class GsnapRunner:
                 pp = bool(hits["plusp"][row, i])
                 used.add((int(hits["left"][row, i]), pp))
                 used.add((int(hits["right"][row, i]), pp))
+            trims_of = None
+            if self.params.trim_mismatch_score == -3:
+                def trims_of(left, plusp):
+                    return self._lane_trims.get(
+                        (id(rec), int(left), bool(plusp)))
             terms = rescue.make_terminals(
                 mm_fn, np.asarray(hits["cand_left"][row]),
                 np.asarray(hits["cand_plusp"][row]),
                 np.asarray(hits["cand_nmm"][row]), L, done,
                 spansize + self.db.interval - 1, used=used,
-                k=self.db.k, interval=self.db.interval,
+                k=self.db.k, interval=self.db.interval, trims_of=trims_of,
             )
             term_hits = []
             for left, plusp, t5, t3, nmm_trim, pos in terms:
@@ -3300,6 +3431,14 @@ class GsnapRunner:
                          if int(j) not in wide_row]
             sub = (self.fetch_pair_rows(res, full_rows)
                    if full_rows else None)
+            self._lane_masks.clear()
+            self._lane_trims.clear()
+            if sub is not None:
+                self._prime_rows(
+                    (r, sub[end], si)
+                    for j, si in sub["row_of"].items()
+                    for r, end in ((chunk5[j], "end5"),
+                                   (chunk3_inv[j], "end3")))
 
             def route(j):
                 if sub is not None and j in sub["row_of"]:
@@ -3342,6 +3481,13 @@ class GsnapRunner:
                 wrows = [wi for j, wi in wide_row.items() if wneed[wi]]
                 wide_sub = (self.fetch_pair_rows(wide_res, wrows)
                             if wrows else None)
+                if wide_sub is not None:
+                    self._prime_rows(
+                        (r, wide_sub[end], wide_sub["row_of"][wi])
+                        for j, wi in wide_row.items()
+                        if wi in wide_sub["row_of"]
+                        for r, end in ((chunk5[j], "end5"),
+                                       (chunk3_inv[j], "end3")))
 
                 def wroute(wi):
                     if wide_sub is not None and wi in wide_sub["row_of"]:
@@ -3449,6 +3595,75 @@ class GsnapRunner:
             self.batch_times.append((_time.time() - t_batch, len(chunk5)))
         return total
 
+    def warmup(self, batch_size: int = 256, pe: bool = False) -> None:
+        """Pre-compile every lane the runner can hit mid-run.
+
+        XLA compiles measured 10-40 s each over a tunneled chip; a lane
+        shape first touched DURING a timed run (wide-cap overflow, GMAP
+        rescue row buckets, dynprog junction buckets) stalls that batch
+        by that much.  This drives synthetic reads through the SE/PE
+        pipelines at the production batch size and then touches the
+        rescue-lane entry points at each quantized bucket shape; with
+        the persistent compilation cache (utils/jaxenv.py) the cost is
+        once per machine, not per process."""
+        import io as _io
+
+        from . import gmap as gmap_mod
+        from . import gmap_engine
+
+        g = self._genome_str
+        L = min(self.lmax, 100)
+        base = min(4096, max(0, len(g) - 20000))
+        clean = g[base : base + L]
+        m = list(clean)
+        for p in (L // 4, L // 2, 3 * L // 4):
+            m[p] = "A" if m[p] != "A" else "C"
+        mism = "".join(m)
+        half = L // 2
+        spliced = (g[base + 1000 : base + 1000 + half]
+                   + g[base + 6000 : base + 6000 + (L - half)])
+        rng = np.random.default_rng(0)
+        junk = "".join("ACGT"[int(x)] for x in rng.integers(0, 4, L))
+        pool = [clean, mism, spliced, junk]
+        recs = [Record(f"w{i}", f"w{i}", pool[i % 4], "I" * L)
+                for i in range(batch_size)]
+        self.run(recs, _io.StringIO(), batch_size=batch_size)
+        if pe:
+            mate = [dna.revcomp_str(g[base + 300 : base + 300 + L]),
+                    dna.revcomp_str(mism), spliced, junk]
+            recs3 = [Record(f"w{i}", f"w{i}", mate[i % 4], "I" * L)
+                     for i in range(batch_size)]
+            self.run_pe(recs, recs3, _io.StringIO(),
+                        batch_size=batch_size)
+        # wide-cap overflow lane buckets
+        for nb in (8, 32):
+            try:
+                self.fetch_records(self._dispatch_wide(recs[:nb]))
+            except Exception:
+                break
+        # GMAP rescue row buckets (align_cdna_batch pads rows to x4
+        # buckets from 8: 2 rows/query -> 8, 32, 128)
+        max_il = self.params.shortsplicedist if self.splicing_on else 30
+        for n in (4, 16, 64):
+            qs = [g[base + 1000 + 7 * i : base + 1000 + 7 * i + L]
+                  for i in range(n)]
+            try:
+                gmap_mod.align_cdna_batch(self.db, qs,
+                                          max_intronlen=max_il,
+                                          extend_ends=True)
+            except Exception:
+                break
+        # dynprog junction buckets (nb 32/128 at both gap-cost tiers)
+        gc = gmap_mod._codes_of(g)
+        for n, span in ((1, 30), (33, 30), (1, 60)):
+            qc = gc[base : base + span + 10].copy()
+            reqs = [(qc, 5, 5 + span, base, base + 5000)] * n
+            try:
+                gmap_engine.solve_junctions_batch(gc, reqs, 1, True)
+            except Exception:
+                break
+        self._gmap_cache.clear()
+
     # ------------------------------------------------------------------ main
     def run(self, records: list[Record], out, batch_size: int = 256,
             emit_header: bool = True, fmt: str = "sam", router=None) -> int:
@@ -3505,6 +3720,11 @@ class GsnapRunner:
                          if int(j) not in wide_row]
             sub = (self.fetch_record_rows(res, full_rows)
                    if full_rows else None)
+            self._lane_masks.clear()
+            self._lane_trims.clear()
+            if sub is not None:
+                self._prime_rows(
+                    (chunk[j], sub, si) for j, si in sub["row_of"].items())
 
             def route(j):
                 if sub is not None and j in sub["row_of"]:
@@ -3554,6 +3774,11 @@ class GsnapRunner:
                 wrows = sorted({wide_row[j] for j in wjs if wneed_by_j[j]})
                 wide_sub = (self.fetch_record_rows(wide_res, wrows)
                             if wrows else None)
+                if wide_sub is not None:
+                    self._prime_rows(
+                        (chunk[j], wide_sub,
+                         wide_sub["row_of"][wide_row[j]])
+                        for j in wjs if wide_row[j] in wide_sub["row_of"])
 
                 def wroute(wi):
                     if wide_sub is not None and wi in wide_sub["row_of"]:

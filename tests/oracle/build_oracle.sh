@@ -6,7 +6,7 @@
 set -e
 BUILD=/tmp/refbuild
 REF=/root/reference
-HERE=$(dirname "$0")
+HERE=$(cd "$(dirname "$0")" && pwd)
 
 mkdir -p $BUILD
 cd $BUILD
