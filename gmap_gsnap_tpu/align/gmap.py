@@ -494,18 +494,66 @@ def align_cdna_batch(db: GenomeDB, queries: list[str],
     oligos_d = jnp.asarray(oligos.astype(np.int32))
     valid_d = jnp.asarray(valid)
     H = 8 * Q
-    S = 192
+    # repeat-dense genomes yield hundreds of >=MIN_SEGLEN segments for
+    # kb-scale queries (measured p90=404 on chr17test) — start long
+    # queries at S=1024 so the overflow retry (a full seeding round
+    # trip at 4x the transfer) stays rare instead of routine
+    S = 192 if Q <= 256 else 1024
     while True:
         segs_d = gmap_engine.seed_segments_device(
             index.offsets, index.positions, oligos_d, valid_d,
             k=k, H=H, S=S, threshold=100)
-        # one packed transfer for the whole segment pytree (tunnel RTTs)
+        # chain DP runs on device too; its score/prev ride the SAME
+        # packed transfer as the segments (the host DP measured ~1.5 s
+        # per 128-row batch)
+        dp_d = (None if genome_range is not None else
+                gmap_engine.chain_scores_device(
+                    segs_d["qstart"], segs_d["qend"], segs_d["diag"],
+                    segs_d["valid"], k=k, max_intronlen=max_intronlen))
+        if dp_d is not None and npaths <= 1:
+            # best-chain backtrack runs on device too: only the chain
+            # members cross the tunnel (~0.4 MB vs ~3 MB full arrays)
+            bt = gmap_engine.chain_backtrack_device(
+                segs_d["qstart"], segs_d["qend"], segs_d["diag"],
+                segs_d["valid"], dp_d[0], dp_d[1])
+            (cm, cqs, cqe, cdg, _best, nhits_a, nsegs_a) = (
+                gmap_engine.fetch_packed(
+                    list(bt) + [segs_d["nhits"], segs_d["nsegs"]]))
+            nhits = int(nhits_a.max())
+            nsegs = int(nsegs_a.max())
+            if nhits <= H and nsegs <= S:
+                chains = []
+                for b in range(rows_b):
+                    m = cm[b]
+                    if not m.any():
+                        chains.append([])
+                        continue
+                    idx = np.flatnonzero(m)[::-1]   # end-first -> start
+                    d = cdg[b].astype(np.int64) - Q
+                    chains.append([[
+                        (int(cqs[b, t]), int(cqe[b, t]),
+                         int(d[t] + cqs[b, t]), int(d[t]))
+                        for t in idx]])
+                break
+            if nhits > H:
+                H *= 4
+            if nsegs > S:
+                S *= 4
+            continue
         keys = ("qstart", "qend", "diag", "valid", "nhits", "nsegs")
-        vals = gmap_engine.fetch_packed([segs_d[kk] for kk in keys])
-        segs = dict(zip(keys, vals))
+        arrs = [segs_d[kk] for kk in keys]
+        if dp_d is not None:
+            arrs += [dp_d[0], dp_d[1]]
+        vals = gmap_engine.fetch_packed(arrs)
+        segs = dict(zip(keys, vals[:len(keys)]))
+        dp_scores = tuple(vals[len(keys):]) if dp_d is not None else None
         nhits = int(segs["nhits"].max())
         nsegs = int(segs["nsegs"].max())
         if nhits <= H and nsegs <= S:
+            chains = gmap_engine.chains_from_device(
+                segs, rows_b, Q, k, max_intronlen,
+                genome_range=genome_range, npaths=npaths,
+                dp_scores=dp_scores)
             break
         # overflow rescue: re-run at larger hit/segment budgets (the
         # S truncation keeps the LOWEST diagonals, silently dropping
@@ -514,9 +562,6 @@ def align_cdna_batch(db: GenomeDB, queries: list[str],
             H *= 4
         if nsegs > S:
             S *= 4
-    chains = gmap_engine.chains_from_device(segs, rows_b, Q, k, max_intronlen,
-                                            genome_range=genome_range,
-                                            npaths=npaths)
 
     from . import gmap_engine
 

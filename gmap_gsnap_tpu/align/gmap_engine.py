@@ -100,23 +100,41 @@ def seed_segments_device(offsets, positions, oligos, valid,
     newseg = oks & ((dg != prev_d) | (qq - prev_q > 2 * k))
 
     hidx = jnp.arange(H, dtype=jnp.int32)[None, :]
-    start_key = jnp.where(newseg, hidx, H)
+    # hits beyond the last ok hit are not ok; find per-row last ok index
+    last_ok = jnp.sum(oks.astype(jnp.int32), axis=1) - 1
+    # NOTE: invalid hits have diag 0xFFFFFFFF and sort to the END, so
+    # ok hits occupy a prefix of the sorted order.
+
+    # per-hit segment bounds: index of own segment's start (running max
+    # of start positions) and of its end (next start - 1) — so segment
+    # LENGTH is known per start BEFORE the S-truncation, and sub-
+    # MIN_SEGLEN junk (repeat-seeded 1-2 hit runs dominate on Alu-dense
+    # genomes) neither occupies S slots nor inflates nsegs into
+    # spurious overflow retries (measured 3 seeding round trips per
+    # batch at 4x the transfer each)
+    startidx = jax.lax.cummax(jnp.where(newseg, hidx, -1), axis=1)
+    nxt = jnp.concatenate(
+        [jnp.where(newseg, hidx, H)[:, 1:],
+         jnp.full((B, 1), H, jnp.int32)], axis=1)
+    nextstart = jnp.flip(jax.lax.cummin(jnp.flip(nxt, 1), axis=1), 1)
+    endidx = jnp.minimum(nextstart - 1, last_ok[:, None])
+    q_at_start = jnp.take_along_axis(qq, jnp.clip(startidx, 0, H - 1), axis=1)
+    q_at_end = jnp.take_along_axis(qq, jnp.clip(endidx, 0, H - 1), axis=1)
+    longseg = (q_at_end + k - q_at_start) >= MIN_SEGLEN
+    kept = newseg & longseg
+
+    start_key = jnp.where(kept, hidx, H)
     # nsegs > S means the [:, :S] truncation below dropped segments
     # (they sort by diagonal, so HIGH-diagonal loci vanish silently);
     # the caller must re-run at a larger S bucket
-    nsegs = jnp.sum(newseg.astype(jnp.int32), axis=1)
+    nsegs = jnp.sum(kept.astype(jnp.int32), axis=1)
     starts = jnp.sort(start_key, axis=1)[:, :S]          # [B, S] start idx
     seg_valid = starts < H
-    # segment end = next segment start - 1 (or last valid hit)
-    nstarts = jnp.concatenate(
-        [starts[:, 1:], jnp.full((B, 1), H, jnp.int32)], axis=1)
-    # hits beyond the last ok hit are not ok; find per-row last ok index
-    last_ok = jnp.sum(oks.astype(jnp.int32), axis=1) - 1   # sorted: ok first?
-    # NOTE: invalid hits have diag 0xFFFFFFFF and sort to the END, so
-    # ok hits occupy a prefix of the sorted order.
-    ends = jnp.minimum(nstarts - 1, last_ok[:, None])
-
     sc = jnp.clip(starts, 0, H - 1)
+    # segment end = next segment start (kept or not) - 1, via the
+    # per-hit endidx (a dropped short segment still BOUNDS its
+    # neighbors)
+    ends = jnp.take_along_axis(endidx, sc, axis=1)
     ec = jnp.clip(ends, 0, H - 1)
     seg_qstart = jnp.take_along_axis(qq, sc, axis=1)
     seg_qend = jnp.take_along_axis(qq, ec, axis=1) + k
@@ -138,6 +156,89 @@ def seed_segments_device(offsets, positions, oligos, valid,
 
     return dict(qstart=seg_qstart, qend=seg_qend, diag=seg_diag,
                 valid=seg_valid, nhits=nhits, nsegs=nsegs)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def chain_scores_device(qstart, qend, diag, valid, k: int,
+                        max_intronlen):
+    """Device sparse chain DP over diagonal segments (stage2.c:2921
+    align_compute_scores re-designed): lax.scan over segment index i,
+    each step a [B, S] vector recurrence — replaces the host numpy DP
+    that measured ~1.5 s per 128-row batch.
+
+    Semantics exactly match chains_from_device's host DP: gain =
+    covered query length, intron/insertion transition penalties,
+    strict-'>' first-wins ties (argmax picks the FIRST maximum).
+    Returns (score, prev) int32[B, S]."""
+    B, S = qstart.shape
+    NEG = jnp.int32(-(2**28))
+    qs = qstart.astype(jnp.int32)
+    qe = qend.astype(jnp.int32)
+    # biased uint32 diagonals: differences are exact in int32 for
+    # within-chromosome transitions
+    dg = diag
+    seglen = qe - qs
+    score0 = jnp.where(valid, seglen, NEG)
+    prev0 = jnp.full((B, S), -1, jnp.int32)
+    jidx = jnp.arange(S, dtype=jnp.int32)
+
+    def step(carry, i):
+        score, prev = carry
+        qgap = qs[:, i][:, None] - qe                       # [B, S]
+        gd = (dg[:, i][:, None] - dg).astype(jnp.int32)
+        ok = (valid & (jidx[None, :] < i)
+              & (gd <= jnp.int32(max_intronlen)) & (-gd <= MAX_INSERTLEN)
+              & (qgap >= -k))
+        gain = seglen[:, i][:, None] + jnp.minimum(qgap, 0)
+        pen = jnp.maximum(qgap, 0) + jnp.where(
+            gd > 0, jnp.where(gd >= MIN_INTRONLENGTH, 25, 12),
+            jnp.where(gd < 0, 12, 0))
+        cand = jnp.where(ok, score + gain - pen, NEG)
+        j = jnp.argmax(cand, axis=1).astype(jnp.int32)
+        cj = jnp.take_along_axis(cand, j[:, None], axis=1)[:, 0]
+        upd = valid[:, i] & (cj > score[:, i])
+        onehot = jidx[None, :] == i
+        score = jnp.where(onehot & upd[:, None], cj[:, None], score)
+        prev = jnp.where(onehot & upd[:, None], j[:, None], prev)
+        return (score, prev), None
+
+    (score, prev), _ = jax.lax.scan(
+        step, (score0, prev0), jnp.arange(1, S, dtype=jnp.int32))
+    return score, prev
+
+
+@functools.partial(jax.jit, static_argnames=("C",))
+def chain_backtrack_device(qstart, qend, diag, valid, score, prev,
+                           C: int = 192):
+    """Device backtrack of the best chain per row (npaths == 1 path).
+
+    Follows prev pointers from the first score maximum (argmax = host
+    argsort-stable first-max semantics) for up to C steps and gathers
+    the member segments' (qstart, qend, diag) so the host never needs
+    the full [B, S] segment + score arrays — the 3 MB seeding transfer
+    shrinks to ~0.4 MB.  Members emerge END-first; the host reverses.
+    Returns (mask bool[B, C], qs int32[B, C], qe int32[B, C],
+    dg uint32[B, C], best int32[B])."""
+    B, S = score.shape
+    NEG = jnp.int32(-(2**28))
+    sc = jnp.where(valid, score, NEG)
+    e = jnp.argmax(sc, axis=1).astype(jnp.int32)
+    best = jnp.take_along_axis(sc, e[:, None], axis=1)[:, 0]
+    rows = jnp.arange(B, dtype=jnp.int32)
+    start = jnp.where(best > NEG // 2, e, -1)
+
+    def step(cur, _):
+        nxt = jnp.where(cur >= 0, prev[rows, jnp.clip(cur, 0, S - 1)], -1)
+        return nxt.astype(jnp.int32), cur
+
+    _, idxs = jax.lax.scan(step, start, None, length=C)   # [C, B]
+    idxs = idxs.T                                          # [B, C] end-first
+    mask = idxs >= 0
+    ic = jnp.clip(idxs, 0, S - 1)
+    qs = jnp.take_along_axis(qstart, ic, axis=1)
+    qe = jnp.take_along_axis(qend, ic, axis=1)
+    dg = jnp.take_along_axis(diag, ic, axis=1)
+    return mask, qs, qe, dg, best
 
 
 def fetch_packed(arrays):
@@ -171,7 +272,8 @@ def fetch_packed(arrays):
 
 def chains_from_device(segs, B: int, Q: int, k: int,
                        max_intronlen: int = 1_000_000, npaths: int = 1,
-                       genome_range: "tuple | None" = None):
+                       genome_range: "tuple | None" = None,
+                       dp_scores: "tuple | None" = None):
     """Host chain DP + backtrack over the device-extracted segments.
 
     The DP is the stage2-style sparse chaining of gmap.py
@@ -199,35 +301,41 @@ def chains_from_device(segs, B: int, Q: int, k: int,
     S = qstart.shape[1]
     NEG = -(2**60)
 
-    # chain DP batched ACROSS rows: the i loop is inherently sequential
-    # (score[i] reads score[:i]) but each step vectorizes over [B, i]
-    # — per-row looping dominated the batch profile.  Valid segments
-    # occupy a per-row prefix (the (qstart, diag) sort keys invalid
-    # rows to the end), so prefix slices + masks reproduce the per-row
-    # recurrence exactly.
-    seglen_a = qend - qstart
-    score_a = np.where(valid, seglen_a, NEG)
-    prev_a = np.full((B, S), -1, np.int64)
-    maxv = int(valid.sum(1).max()) if B else 0
-    rows = np.arange(B)
-    for i in range(1, maxv):
-        act = valid[:, i]
-        if not act.any():
-            break
-        qgap = qstart[:, i : i + 1] - qend[:, :i]
-        gd = diag[:, i : i + 1] - diag[:, :i]
-        ok = (valid[:, :i] & (gd <= max_intronlen)
-              & (-gd <= MAX_INSERTLEN) & (qgap >= -k))
-        gain = seglen_a[:, i : i + 1] + np.minimum(qgap, 0)
-        pen = np.maximum(qgap, 0) + np.where(
-            gd > 0, np.where(gd >= MIN_INTRONLENGTH, 25, 12),
-            np.where(gd < 0, 12, 0))
-        cand = np.where(ok, score_a[:, :i] + gain - pen, NEG)
-        j = cand.argmax(axis=1)
-        cj = cand[rows, j]
-        upd = act & (cj > score_a[:, i])
-        score_a[:, i] = np.where(upd, cj, score_a[:, i])
-        prev_a[:, i] = np.where(upd, j, -1)
+    if dp_scores is not None and genome_range is None:
+        # DP already ran on device (chain_scores_device) and rode the
+        # same packed transfer as the segments
+        score_a = np.asarray(dp_scores[0]).astype(np.int64)
+        score_a = np.where(valid, score_a, NEG)
+        prev_a = np.asarray(dp_scores[1]).astype(np.int64)
+    else:
+        # host chain DP fallback (genome_range restricts valid AFTER
+        # the device arrays were built, so the device DP does not
+        # apply).  Batched ACROSS rows: the i loop is inherently
+        # sequential (score[i] reads score[:i]) but each step
+        # vectorizes over [B, i].
+        seglen_a = qend - qstart
+        score_a = np.where(valid, seglen_a, NEG)
+        prev_a = np.full((B, S), -1, np.int64)
+        maxv = int(valid.sum(1).max()) if B else 0
+        rows = np.arange(B)
+        for i in range(1, maxv):
+            act = valid[:, i]
+            if not act.any():
+                break
+            qgap = qstart[:, i : i + 1] - qend[:, :i]
+            gd = diag[:, i : i + 1] - diag[:, :i]
+            ok = (valid[:, :i] & (gd <= max_intronlen)
+                  & (-gd <= MAX_INSERTLEN) & (qgap >= -k))
+            gain = seglen_a[:, i : i + 1] + np.minimum(qgap, 0)
+            pen = np.maximum(qgap, 0) + np.where(
+                gd > 0, np.where(gd >= MIN_INTRONLENGTH, 25, 12),
+                np.where(gd < 0, 12, 0))
+            cand = np.where(ok, score_a[:, :i] + gain - pen, NEG)
+            j = cand.argmax(axis=1)
+            cj = cand[rows, j]
+            upd = act & (cj > score_a[:, i])
+            score_a[:, i] = np.where(upd, cj, score_a[:, i])
+            prev_a[:, i] = np.where(upd, j, -1)
 
     chains = []
     for b in range(B):

@@ -620,6 +620,15 @@ class GsnapRunner:
             _pack_leaves_jit = _make_pack_jit()
         leaves, treedef = jax.tree_util.tree_flatten(res)
         ibuf, bbuf = _pack_leaves_jit(leaves)
+        # start the device->host copy as soon as the pack lands on
+        # device: by fetch time the bytes are already host-side, hiding
+        # the transfer behind the previous chunk's emission (measured
+        # ~60 ms fixed + ~15 MB/s per synchronous fetch on the tunnel)
+        try:
+            ibuf.copy_to_host_async()
+            bbuf.copy_to_host_async()
+        except Exception:
+            pass
         return leaves, treedef, ibuf, bbuf
 
     @staticmethod
@@ -695,9 +704,12 @@ class GsnapRunner:
                 lambda tree, r: jax.tree_util.tree_map(
                     lambda a: a[r], tree))
         rows = [int(r) for r in rows]
+        # x4-step pad buckets: every distinct gather width compiles a
+        # fresh row-gather + pack program over the full tree (measured
+        # seconds each over the tunnel)
         npad = 8
         while npad < len(rows):
-            npad *= 2
+            npad *= 4
         rpad = np.asarray(rows + [rows[-1]] * (npad - len(rows)), np.int32)
         sub = _gather_rows_jit(res_dev, rpad)
         host = cls._fetch_tree(cls._pack_tree(sub))
@@ -720,7 +732,7 @@ class GsnapRunner:
         dimension would otherwise trigger a fresh XLA compile (~10 s
         each on the tunneled chip — measured dominating run_pe)."""
         n = len(records)
-        for bsz in (8, 32, 128, 512, 2048):
+        for bsz in (8, 512, 2048):
             if n <= bsz:
                 return records + [records[0]] * (bsz - n)
         return records + [records[0]] * (-n % 2048)
@@ -2308,7 +2320,7 @@ class GsnapRunner:
         rows = [int(r) for r in rows]
         npad = 8
         while npad < len(rows):
-            npad *= 2
+            npad *= 4   # x4 buckets — see fetch_record_rows
         rpad = np.asarray(rows + [rows[-1]] * (npad - len(rows)), np.int32)
         sub = _gather_rows_jit(res_dev, rpad)
         host = cls._fetch_tree(cls._pack_tree(sub))
@@ -3635,12 +3647,25 @@ class GsnapRunner:
                      for i in range(batch_size)]
             self.run_pe(recs, recs3, _io.StringIO(),
                         batch_size=batch_size)
-        # wide-cap overflow lane buckets
-        for nb in (8, 32):
+        # wide-cap overflow lane buckets (SE and PE) — every _pad_bucket
+        # size the timed run can hit must compile here, not there
+        wide_sizes = [nb for nb, reach in
+                      ((8, True), (512, batch_size > 8),
+                       (2048, batch_size > 512)) if reach]
+        for nb in wide_sizes:
             try:
-                self.fetch_records(self._dispatch_wide(recs[:nb]))
+                self.fetch_records(
+                    self._dispatch_wide(recs[: min(nb, len(recs))]))
             except Exception:
                 break
+        if pe:
+            for nb in wide_sizes:
+                try:
+                    self.fetch_pairs(self._dispatch_wide_pe(
+                        recs[: min(nb, len(recs))],
+                        recs3[: min(nb, len(recs))]))
+                except Exception:
+                    break
         # GMAP rescue row buckets (align_cdna_batch pads rows to x4
         # buckets from 8: 2 rows/query -> 8, 32, 128)
         max_il = self.params.shortsplicedist if self.splicing_on else 30
