@@ -563,6 +563,14 @@ def align_cdna_batch(db: GenomeDB, queries: list[str],
         if nsegs > S:
             S *= 4
 
+    # nonjoinable transitions (genomic jumps the reference could never
+    # bridge) split chains into separate candidate paths
+    for row in range(rows):
+        if any(nxt[3] - prev[3] > MERGELENGTH
+               for ch in chains[row] for prev, nxt in zip(ch, ch[1:])):
+            chains[row] = _split_nonjoinable(
+                db, genome_str, qstrs[row], chains[row])
+
     from . import gmap_engine
 
     gcodes = _codes_of(genome_str)
@@ -968,6 +976,160 @@ def _microexon_int(gstr_a, qstr_a, lo, hi, dL, dR, cdna_direction, db,
     return lo + cL, mlen, c, itype
 
 
+MERGELENGTH = 100_000        # stage3.c:62 + stage1.c:59 HIGHINTRONLENGTH
+LONG_MERGELENGTH = 500_000   # stage3.c:63 (strong donor/acceptor only)
+MERGE_DONOR_THR = 0.90       # stage3.c:64
+MERGE_ACCEPTOR_THR = 0.90    # stage3.c:65
+
+
+def _split_nonjoinable(db, gstr, qstr, chains_row):
+    """Split chains at nonjoinable transitions.
+
+    The reference cannot produce a single path across a genomic jump
+    over MERGELENGTH unless a strong splice junction joins the parts:
+    stage1's exon-chaining DP links segments only within
+    HIGHINTRONLENGTH = 100 kb (stage1.c:2887,2945), and the post-stage3
+    merge (Stage3_mergeable, stage3.c:10343-10366) reconnects parts
+    under MERGELENGTH, or under LONG_MERGELENGTH when donor/acceptor
+    probs clear 0.90.  Our chain DP allows transitions up to
+    max_intronlen, so chains spanning unrelated loci (the chimera
+    cases) are split here; gmap.c's chimera logic pairs the pieces."""
+    from ..ops import maxent as maxent_mod
+
+    def strong_junction(prev, nxt):
+        qL_end, qR_start = prev[1], nxt[0]
+        dL, dR = prev[3], nxt[3]
+        for direction, dk, ak in ((+1, "donor", "acceptor"),
+                                  (-1, "antiacceptor", "antidonor")):
+            r, _, _ = _bridge_intron(gstr, qstr, qL_end, qR_start,
+                                     dL, dR, direction)
+            gl = dL + r
+            gr = dR + r
+            dp = float(maxent_mod.splice_prob_np(
+                db.codes, np.array([gl - 1, gl, gl + 1]), dk).max())
+            ap = float(maxent_mod.splice_prob_np(
+                db.codes, np.array([gr - 1, gr, gr + 1]), ak).max())
+            if dp > MERGE_DONOR_THR and ap >= MERGE_ACCEPTOR_THR:
+                return True
+        return False
+
+    out = []
+    for chain in chains_row:
+        if not chain:
+            continue
+        cur = [chain[0]]
+        for prev, nxt in zip(chain, chain[1:]):
+            gd = nxt[3] - prev[3]
+            join = gd <= MERGELENGTH or (
+                gd <= LONG_MERGELENGTH and strong_junction(prev, nxt))
+            if join:
+                cur.append(nxt)
+            else:
+                out.append(cur)
+                cur = [nxt]
+        out.append(cur)
+    return out
+
+
+def _exon_prob(exonlen: int, intronlen: int, indexsize: int) -> float:
+    """compute_prob (smooth.c:170-187): probability that an exon of
+    exonlen matches arises by chance within intronlen positions."""
+    if exonlen < indexsize:
+        return 1.0
+    return 1.0 - (1.0 - 4.0 ** (-exonlen)) ** max(intronlen, 0)
+
+
+_ZERONETGAP = 9            # smooth.c:20
+_SHORTEXONLEN_NETGAP = 15  # smooth.c:21
+_DELETE_THRESHOLD = 0.1    # smooth.c:24
+_SHORTEXONLEN_END = 10     # smooth.c:28
+_SHORTEXONPROB_END = 0.05  # smooth.c:34 (indexsize-on build)
+_STAGE2_INDEXSIZE = 8      # oligoindex major size (oligoindex.c:67)
+
+
+def _smooth_merged(gstr_a, qstr_a, merged):
+    """Smooth improbable short exons over the chained diagonal
+    segments (Smooth_pairs_by_netgap smooth.c:475 +
+    find_internal_shorts_by_size :295 DELETE branch + trim_ends :325):
+
+      * runs of internal segments under SHORTEXONLEN_NETGAP matches
+        whose intron lengths nearly cancel (|net gap| <= ZERONETGAP)
+        are deleted — the flanking junction re-solves as an indel;
+      * internal segments whose match count is probable by chance
+        within the surrounding introns (prob > DELETE_THRESHOLD) are
+        deleted — the junction re-bridges as one intron;
+      * terminal short exons probable by chance across their adjacent
+        intron are chopped (trim_ends).
+
+    The reference re-solves deleted regions with dual genome gaps
+    (stage3.c traverse_dual_genome_gap); here deletion simply hands
+    the combined gap to the junction/dynprog/microexon ladder below.
+    """
+    n = len(merged)
+    if n < 2:
+        return merged
+    matches = [int(_match_vec(gstr_a, qstr_a, qs, qe, d).sum())
+               for qs, qe, gs, d in merged]
+    intron = [int(merged[i + 1][3] - merged[i][3]) for i in range(n - 1)]
+    status = [0] * n     # 0 KEEP, 1 MARK, 2 DELETE
+
+    # by_netgap: mark internal shorts, delete zero-net-gap runs
+    for i in range(1, n - 1):
+        if matches[i] < _SHORTEXONLEN_NETGAP:
+            status[i] = 1
+    i = 0
+    while i < n:
+        if status[i] == 1:
+            j = i
+            while j < n and status[j] == 1:
+                j += 1
+            adji = i - 1 if i > 0 else 0
+            best, bi, bj = 10**6, -1, -1
+            for k2 in range(adji, j):
+                netgap = 0
+                for l2 in range(k2, j):
+                    netgap += intron[l2] if l2 < n - 1 else 0
+                    if l2 > k2 and abs(netgap) < best:
+                        best, bi, bj = abs(netgap), k2 + 1, l2
+            if bi >= 0 and best <= _ZERONETGAP:
+                for t in range(bi, bj + 1):
+                    status[t] = 2
+            i = j
+        else:
+            i += 1
+
+    # by_size: internal exons probable by chance get deleted
+    for i in range(1, n - 1):
+        if status[i] == 2:
+            continue
+        il = intron[i - 1] + intron[i]
+        if _exon_prob(matches[i] + 4, il, _STAGE2_INDEXSIZE) > _DELETE_THRESHOLD:
+            status[i] = 2
+
+    # trim_ends: chop improbable terminal short exons
+    i = 0
+    while i < n - 1:
+        if (matches[i] < _SHORTEXONLEN_END
+                and _exon_prob(matches[i], intron[i], 0)
+                >= _SHORTEXONPROB_END):
+            status[i] = 2
+            i += 1
+        else:
+            break
+    i = n - 1
+    while i > 0:
+        if (matches[i] < _SHORTEXONLEN_END
+                and _exon_prob(matches[i], intron[i - 1], 0)
+                >= _SHORTEXONPROB_END):
+            status[i] = 2
+            i -= 1
+        else:
+            break
+
+    out = [m for m, s in zip(merged, status) if s != 2]
+    return out if out else merged
+
+
 def _build_path(gstr, qstr, chain, watsonp, db, jx=None) -> Path | None:
     L = len(qstr)
     # merge chained segments into exons, resolving junctions
@@ -978,6 +1140,8 @@ def _build_path(gstr, qstr, chain, watsonp, db, jx=None) -> Path | None:
             merged[-1] = (merged[-1][0], qe, merged[-1][2], d)
         else:
             merged.append((qs, qe, gs, d))
+    if len(merged) > 1:
+        merged = _smooth_merged(_as_bytes(gstr), _as_bytes(qstr), merged)
 
     # direction vote: count canonical GT-AG vs CT-AC across junctions
     def junction_dinucls(r, diagL, diagR):

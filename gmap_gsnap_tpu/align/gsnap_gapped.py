@@ -807,6 +807,11 @@ def _strand_hits(genome, index, queries, codes, nflags, lengths, conv, alt,
         # np.unpackbits(..., bitorder="little")
         "cand_left": top_d, "cand_votes": votes, "cand_nmm": nmm_raw,
         "cand_mm": _bitpack_mask(mm), "overflow": overflow,
+        # truncation-only flag: when False for an overflowing read, the
+        # seed grid was COMPLETE (no position list hit seed_cap), so the
+        # wide re-run only needs a larger candidate budget, not the
+        # ~3.5x seed grid (runner._dispatch_wide widecand config)
+        "overflow_trunc": trunc,
     }
 
 
@@ -862,8 +867,9 @@ def gather_candidates(
     )
     out["plusp"] = plusp
     cands = {k: jnp.concatenate([cf[k], cr[k]], axis=1)
-             for k in cf if k != "overflow"}
+             for k in cf if k not in ("overflow", "overflow_trunc")}
     cands["overflow"] = cf["overflow"] | cr["overflow"]
+    cands["overflow_trunc"] = cf["overflow_trunc"] | cr["overflow_trunc"]
     nc = cf["cand_left"].shape[1]
     cands["cand_plusp"] = jnp.concatenate(
         [jnp.ones((b, nc), bool), jnp.zeros((b, nc), bool)], axis=1
@@ -985,4 +991,6 @@ def compact_se(res, ktop: int = 8):
     out["npaths"] = res["npaths"]
     if "overflow" in res:
         out["overflow"] = res["overflow"]
+    if "overflow_trunc" in res:
+        out["overflow_trunc"] = res["overflow_trunc"]
     return out

@@ -281,6 +281,8 @@ def compact_pe(res, ktop: int = 8):
         "i3": ar,
         "end5_pairing": top5,
         "end3_pairing": top3,
-        "end5": {"overflow": res["cands5"]["overflow"]},
-        "end3": {"overflow": res["cands3"]["overflow"]},
+        "end5": {"overflow": res["cands5"]["overflow"],
+                 "overflow_trunc": res["cands5"]["overflow_trunc"]},
+        "end3": {"overflow": res["cands3"]["overflow"],
+                 "overflow_trunc": res["cands3"]["overflow_trunc"]},
     }

@@ -725,17 +725,23 @@ class GsnapRunner:
         host = self._fetch_tree(self._pack_tree(res_dev))
         return {k: v[:b] for k, v in host.items()}
 
+    # wide-lane pad buckets: fullwide (truncated seed lists, rare) vs
+    # widecand (only the candidate budget overflowed, common) — each
+    # distinct batch dimension is a fresh XLA compile (~10 s each on
+    # the tunneled chip, measured dominating run_pe)
+    _BUCKETS_FULLWIDE = (8, 64, 512, 2048)
+    _BUCKETS_WIDECAND = (8, 512, 2048)
+
     @staticmethod
-    def _pad_bucket(records: list[Record]) -> list[Record]:
+    def _pad_bucket(records: list[Record],
+                    buckets=(8, 64, 512, 2048)) -> list[Record]:
         """Pad a rescue-lane record list to a small set of bucket
-        sizes: overflow counts vary per chunk, and every distinct batch
-        dimension would otherwise trigger a fresh XLA compile (~10 s
-        each on the tunneled chip — measured dominating run_pe)."""
+        sizes (see _BUCKETS_*)."""
         n = len(records)
-        for bsz in (8, 512, 2048):
+        for bsz in buckets:
             if n <= bsz:
                 return records + [records[0]] * (bsz - n)
-        return records + [records[0]] * (-n % 2048)
+        return records + [records[0]] * (-n % buckets[-1])
 
     def _align_wide(self, records: list[Record]):
         """Overflow rescue: re-align a (rare) subset at wide caps —
@@ -743,17 +749,33 @@ class GsnapRunner:
         truncates, and 4x the candidate-diagonal budget."""
         return self.fetch_records(self._dispatch_wide(records))
 
-    def _dispatch_wide(self, records: list[Record]):
+    def _wide_base(self, widen_seeds: bool):
+        """Wide-lane params.  widen_seeds=False is used for reads whose
+        overflow flag came ONLY from the candidate-count cap: their
+        seed position lists did not truncate, so the seed grid at the
+        narrow cap is provably identical and only the candidate budget
+        needs to grow — ~3.5x cheaper than the full-wide config
+        (measured 2.4 s vs 0.19 s per 2048-pair batch)."""
+        import dataclasses
+
+        return dataclasses.replace(
+            self.params,
+            seed_cap=(self.params.size_threshold if widen_seeds
+                      else self.params.seed_cap),
+            ncand=min(4 * self.params.ncand, 128))
+
+    def _dispatch_wide(self, records: list[Record],
+                       widen_seeds: bool = True):
         """Async dispatch of the SE overflow rescue (fetch with
         fetch_records) — lets the wide device work queue behind the
         next chunk instead of paying its round trips synchronously."""
         import dataclasses
 
-        records = self._pad_bucket(records)
-        base = dataclasses.replace(
-            self.params, seed_cap=self.params.size_threshold,
-            ncand=min(4 * self.params.ncand, 128))
-        gp = dataclasses.replace(self.gapped_params, base=base)
+        records = self._pad_bucket(
+            records, self._BUCKETS_FULLWIDE if widen_seeds
+            else self._BUCKETS_WIDECAND)
+        gp = dataclasses.replace(self.gapped_params,
+                                 base=self._wide_base(widen_seeds))
         codes, nflags, lengths = encode_batch(records, self.lmax)
         c, f, l, b = self._shard(codes, nflags, lengths)
         res = gsnap_gapped.align_batch_gapped(
@@ -816,77 +838,99 @@ class GsnapRunner:
         if shifts is None:
             shifts = range(-self.params.max_end_deletions,
                            self.params.max_end_insertions + 1)
-        shifts = list(shifts)
-        entries = []        # (key, qrow_index, g0)
-        qrows = []          # oriented+conv query byte arrays
-        qrows_raw = []      # oriented raw query byte arrays
-        qrow_of = {}        # (id(rec), plusp) -> row index
-        qn_rows = []        # query-N masks
-        by_len: dict[int, list[int]] = {}
+        shifts_a = np.asarray(list(shifts), np.int64)
+        nsh = len(shifts_a)
+        sh0 = int(np.flatnonzero(shifts_a == 0)[0]) if (shifts_a == 0).any() else -1
+        # per (rec, plusp) group: dedupe lefts with np.unique, expand
+        # shifts by broadcasting — the per-(candidate, shift) Python
+        # loop this replaces measured ~2.3 s per 1024-read batch
+        groups = []          # (rec, L, plusp, uniq_lefts)
         for rec, lefts, plusps in jobs:
-            L = len(rec.seq)
-            seen = set()
-            for left, plusp in zip(lefts, plusps):
-                left = int(left)
-                plusp = bool(plusp)
-                if (left, plusp) in seen:
+            la = np.asarray(lefts, np.int64)
+            pa = np.asarray(plusps, bool)
+            for plusp in (True, False):
+                sel = la[pa == plusp]
+                if not len(sel):
                     continue
-                seen.add((left, plusp))
-                qk = (id(rec), plusp)
-                qi = qrow_of.get(qk)
-                if qi is None:
-                    q = (rec.seq.upper() if plusp
-                         else dna.revcomp_str(rec.seq.upper()))
-                    qb = np.frombuffer(q.encode("latin-1"), np.uint8)
-                    qi = len(qrows)
-                    qrow_of[qk] = qi
-                    conv = self._conv_plus if plusp else self._conv_minus
-                    qrows.append(self._conv_lut(conv)[qb])
-                    qrows_raw.append(qb)
-                    qn_rows.append(qb == ord("N"))
-                for d in shifts:
-                    g0 = left + d
-                    key = (id(rec), g0, plusp)
-                    if key in self._lane_masks:
-                        continue
-                    self._lane_masks[key] = None  # claim slot
-                    by_len.setdefault(L, []).append(len(entries))
-                    entries.append((key, qi, g0))
-        if not entries:
+                groups.append((rec, len(rec.seq), bool(plusp),
+                               np.unique(sel)))
+        if not groups:
             return
         gb_all = self._genome_bytes
         ab_all = self._alt_bytes
         G = len(gb_all)
-        for L, idxs in by_len.items():
-            g0s = np.array([entries[i][2] for i in idxs], np.int64)
-            qis = np.array([entries[i][1] for i in idxs], np.int64)
-            gidx = g0s[:, None] + np.arange(L)[None, :]
-            ok = (gidx >= 0) & (gidx < G)
-            gmat = np.where(ok, gb_all[np.clip(gidx, 0, G - 1)], 0)
-            qmat = np.stack([qrows[qi][:L] for qi in qis])
-            qn = np.stack([qn_rows[qi][:L] for qi in qis])
-            # conv lut is already applied to qmat; genome bytes need it
-            # per-entry (plus/minus share the same conv lut pair only
-            # when both convs match — apply per-row)
-            conv_rows = np.array(
-                [self._conv_lut(self._conv_plus
-                                if entries[i][0][2] else self._conv_minus)
-                 for i in idxs])
-            gconv = np.take_along_axis(
-                conv_rows, gmat.astype(np.int64), axis=1)
-            mm = ~qn & (~self._ACGT_SET[gmat] | (qmat != gconv))
+        std = self._conv_plus is None and self._conv_minus is None
+        by_len: dict[int, list] = {}
+        for gi, (rec, L, plusp, uls) in enumerate(groups):
+            by_len.setdefault(L, []).append(gi)
+        for L, gidxs in by_len.items():
+            qmat_g, qn_g, qraw_g, conv_g = [], [], [], []
+            g0_list, ginfo = [], []
+            for gi in gidxs:
+                rec, _, plusp, uls = groups[gi]
+                q = (rec.seq.upper() if plusp
+                     else dna.revcomp_str(rec.seq.upper()))
+                qb = np.frombuffer(q.encode("latin-1"), np.uint8)
+                conv = self._conv_plus if plusp else self._conv_minus
+                g0s = (uls[:, None] + shifts_a[None, :]).ravel()
+                g0_list.append(g0s)
+                ginfo.append((rec, plusp, uls, len(g0s)))
+                qmat_g.append((self._conv_lut(conv)[qb], qb, qb == ord("N"),
+                               conv, len(g0s)))
+            g0_all = np.concatenate(g0_list)
+            P = len(g0_all)
+            gidx = g0_all[:, None] + np.arange(L)[None, :]
+            okm = (gidx >= 0) & (gidx < G)
+            gmat = np.where(okm, gb_all[np.clip(gidx, 0, G - 1)], 0)
+            qmat = np.concatenate(
+                [np.broadcast_to(qc, (n, L)) for qc, _, _, _, n in qmat_g])
+            qn = np.concatenate(
+                [np.broadcast_to(qnn, (n, L)) for _, _, qnn, _, n in qmat_g])
+            if std:
+                diff = qmat != gmat
+            else:
+                gconv = gmat.copy()
+                off = 0
+                for qc, _, _, conv, n in qmat_g:
+                    gconv[off : off + n] = self._conv_lut(conv)[
+                        gmat[off : off + n]]
+                    off += n
+                diff = qmat != gconv
+            mm = ~qn & (~self._ACGT_SET[gmat] | diff)
             mm_ref = mm
             if ab_all is not None:
-                amat = np.where(ok, ab_all[np.clip(gidx, 0, G - 1)], 0)
-                # selection compares RAW query byte to alt byte
-                qraw = np.stack([qrows_raw[qi][:L] for qi in qis])
+                amat = np.where(okm, ab_all[np.clip(gidx, 0, G - 1)], 0)
+                qraw = np.concatenate(
+                    [np.broadcast_to(qb, (n, L)) for _, qb, _, _, n in qmat_g])
                 mm = mm & (qraw != amat)
-            t5s, t3s = trim_ends_batch(
-                mm, self.params.trim_mismatch_score)
-            for j, i in enumerate(idxs):
-                key = entries[i][0]
-                self._lane_masks[key] = (mm[j], mm_ref[j])
-                self._lane_trims[key] = (int(t5s[j]), int(t3s[j]))
+            # trims are consulted only for the UNSHIFTED diagonals
+            off = 0
+            t5s = t3s = None
+            if sh0 >= 0:
+                base_rows = np.concatenate(
+                    [off0 + np.arange(len(uls)) * nsh + sh0
+                     for off0, (_, _, uls, _) in zip(
+                         np.cumsum([0] + [n for _, _, _, n in ginfo])[:-1],
+                         ginfo)])
+                t5s, t3s = trim_ends_batch(
+                    mm[base_rows], self.params.trim_mismatch_score)
+            off = 0
+            bpos = 0
+            for rec, plusp, uls, n in ginfo:
+                rid = id(rec)
+                for ui, left in enumerate(uls):
+                    for si in range(nsh):
+                        row = off + ui * nsh + si
+                        key = (rid, int(left + shifts_a[si]), plusp)
+                        if key not in self._lane_masks:
+                            self._lane_masks[key] = (mm[row], mm_ref[row])
+                    if sh0 >= 0:
+                        bkey = (rid, int(left), plusp)
+                        if bkey not in self._lane_trims:
+                            self._lane_trims[bkey] = (
+                                int(t5s[bpos]), int(t3s[bpos]))
+                        bpos += 1
+                off += n
 
     def _lane_mask(self, rec: Record, left: int, plusp: bool):
         """(mm_sel, mm_ref) with lane-cache consult."""
@@ -896,6 +940,101 @@ class GsnapRunner:
         q = rec.seq.upper() if plusp else dna.revcomp_str(rec.seq.upper())
         conv = self._conv_plus if plusp else self._conv_minus
         return self._mismatch_masks(q, left, conv)
+
+    def _se_lane_noop(self, rec: Record, tree, si: int, done: int) -> bool:
+        """True when the SE rescue lanes (end indels, terminals, and
+        therefore GMAP improvement, which only fires on terminals)
+        provably produce NOTHING for this row, so the single-SUB fast
+        emission path is byte-identical to the full scalar path.
+
+        Exact replication of the lanes' entry conditions over the
+        primed lane masks (stage1hr.c find_end_indels entry mismatches;
+        find_terminals/Substring_new acceptance):
+          - end-indel lane: an entry mismatch must exist at/below
+            firstbound or at/above lastbound among the outermost
+            max_mm+1 mismatches of some candidate diagonal;
+          - terminal lane: some candidate must yield an accepted
+            trimmed variant (make_terminals gates).
+        Distant splicing needs npaths == 0 and the shortend lane needs
+        known sites — both excluded by the caller's npaths==1 /
+        known_sites checks."""
+        from . import rescue
+
+        if self.params.trim_mismatch_score != -3:
+            return False   # cached trims use the params score; lanes
+            # are -3-trimmed (trim_term), so only the default matches
+        L = len(rec.seq)
+        k, iv = self.db.k, self.db.interval
+        spansize = -(-k // iv) * iv
+        firstbound = iv + (iv - 1) + k
+        lastbound = (L - k) - iv - 1
+        minlength = min(L // 3, rescue.TERMINAL_MINLENGTH)
+        mtl = min(spansize + iv - 1, L // 2)
+        lastpos = L - k
+        sp = list(range(0, max(lastpos, 0) + 1, iv))
+        if lastpos > 0 and lastpos not in sp:
+            sp.append(lastpos)
+        sp = np.asarray(sp)
+        max_mm_ind = done - self.params.indel_penalty_end
+        check_ind = done >= self.params.indel_penalty_end
+        check_term = done >= self.params.terminal_threshold
+        used = {(int(tree["left"][si][0]), bool(tree["plusp"][si][0])),
+                (int(tree["right"][si][0]), bool(tree["plusp"][si][0]))}
+        rid = id(rec)
+        seen = set()
+        for left, plusp, nmm_full in zip(tree["cand_left"][si],
+                                         tree["cand_plusp"][si],
+                                         tree["cand_nmm"][si]):
+            left = int(left)
+            plusp = bool(plusp)
+            if int(nmm_full) >= 10**6 or (left, plusp) in seen:
+                continue
+            seen.add((left, plusp))
+            mv = self._lane_masks.get((rid, left, plusp))
+            tv = self._lane_trims.get((rid, left, plusp))
+            if mv is None or tv is None:
+                return False     # not primed: cannot prove, go scalar
+            mm = mv[0]
+            cs = np.concatenate([[0], np.cumsum(mm.astype(np.int32))])
+            npos = int(cs[-1])
+            if check_ind and npos > 0:
+                mmi = max_mm_ind
+                lowc = int(cs[min(firstbound + 1, L)])
+                if lowc >= 1 and npos - lowc <= mmi:
+                    return False     # low-end indel entry exists
+                lbc = int(cs[max(lastbound, 0)])
+                if npos - lbc >= 1 and lbc <= mmi:
+                    return False     # high-end indel entry exists
+            if not check_term or (left, plusp) in used:
+                continue
+            # make_terminals variant construction + acceptance
+            clean = cs[np.minimum(sp + k, L)] - cs[sp] == 0
+            present = sp[clean]
+            variants = []
+            t5c, t3c = tv
+            if len(present) and present[-1] - present[0] > k:
+                start_term = present[0] >= iv
+                end_term = present[-1] < lastpos - iv
+                variants.append((t5c if start_term else 0,
+                                 t3c if end_term else 0))
+            else:
+                if npos <= done or int(cs[min(mtl + 1, L)]) <= done:
+                    variants.append((0, t3c))
+                if npos <= done or int(cs[max(L - mtl, 0)]) >= npos - done:
+                    variants.append((t5c, 0))
+            for t5, t3 in variants:
+                span = L - t5 - t3
+                if span <= minlength:
+                    continue
+                nmm_trim = int(cs[L - t3] - cs[t5])
+                if (span - nmm_trim) - 3 * nmm_trim < 0:
+                    continue
+                if nmm_trim > done:
+                    continue
+                if t5 == 0 and t3 == 0 and int(nmm_full) <= done:
+                    continue
+                return False         # a terminal would be emitted
+        return True
 
     def _prime_rows(self, triples) -> None:
         """Prime the lane-mask cache for fetched full-tree rows.
@@ -2349,7 +2488,7 @@ class GsnapRunner:
         counterpart of _align_wide."""
         return self.fetch_pairs(self._dispatch_wide_pe(recs5, recs3_inv))
 
-    def _dispatch_wide_pe(self, recs5, recs3_inv):
+    def _dispatch_wide_pe(self, recs5, recs3_inv, widen_seeds: bool = True):
         """Async dispatch of the PE overflow rescue (fetch with
         fetch_pairs)."""
         import dataclasses
@@ -2357,12 +2496,12 @@ class GsnapRunner:
         from . import gsnap_pe
 
         n = len(recs5)
-        recs5 = self._pad_bucket(recs5)
+        recs5 = self._pad_bucket(
+            recs5, self._BUCKETS_FULLWIDE if widen_seeds
+            else self._BUCKETS_WIDECAND)
         recs3_inv = recs3_inv + [recs3_inv[0]] * (len(recs5) - n)
-        base = dataclasses.replace(
-            self.params, seed_cap=self.params.size_threshold,
-            ncand=min(4 * self.params.ncand, 128))
-        gp = dataclasses.replace(self.gapped_params, base=base)
+        gp = dataclasses.replace(self.gapped_params,
+                                 base=self._wide_base(widen_seeds))
         pairmax = self._pairmax()
         params = gsnap_pe.PEParams(gapped=gp, pairmax=pairmax)
         c5, f5, l5 = encode_batch(recs5, self.lmax)
@@ -3412,15 +3551,30 @@ class GsnapRunner:
             # wide batch is DISPATCHED first and fetched only after the
             # non-overflow rows emit, so its device work and round
             # trips overlap host emission
-            ovf = np.flatnonzero(
-                np.asarray(res["end5"].get("overflow", np.zeros(0)), bool)
-                | np.asarray(res["end3"].get("overflow", np.zeros(0)), bool))
-            wide_disp, wide_res, wide_row = None, None, {}
+            o5 = np.asarray(res["end5"].get("overflow", np.zeros(0)), bool)
+            o3 = np.asarray(res["end3"].get("overflow", np.zeros(0)), bool)
+            ovf = np.flatnonzero(o5 | o3)
+            tr5 = np.asarray(res["end5"].get(
+                "overflow_trunc", np.ones_like(o5)), bool)
+            tr3 = np.asarray(res["end3"].get(
+                "overflow_trunc", np.ones_like(o3)), bool)
+            trunc_any = tr5 | tr3
+            wide_lanes, wide_row = [], {}
             if len(ovf):
-                wide_disp = self._dispatch_wide_pe(
-                    [chunk5[int(j)] for j in ovf],
-                    [chunk3_inv[int(j)] for j in ovf])
-                wide_row = {int(j): wi for wi, j in enumerate(ovf)}
+                for rows_sel, widen in (
+                        ([int(j) for j in ovf if trunc_any[j]], True),
+                        ([int(j) for j in ovf if not trunc_any[j]], False)):
+                    if not rows_sel:
+                        continue
+                    lane_disp = self._dispatch_wide_pe(
+                        [chunk5[j] for j in rows_sel],
+                        [chunk3_inv[j] for j in rows_sel],
+                        widen_seeds=widen)
+                    li = len(wide_lanes)
+                    wide_lanes.append((lane_disp, {j: wi for wi, j
+                                                   in enumerate(rows_sel)}))
+                    for j in rows_sel:
+                        wide_row[j] = li
             # pass 1 collects GMAP-rescue requests; one batched device
             # call resolves them; affected pairs re-emit (pass 2)
             t_batch = _time.time()
@@ -3481,34 +3635,37 @@ class GsnapRunner:
                 except Exception:
                     _offending_read(chunk5[j], chunk3[j])
                     raise
-            wide_sub = None
-            if wide_disp is not None:
-                wide_res = self.fetch_pairs(wide_disp)
+            wide_ctx = {}   # chunk_j -> (tree, row) for re-emission
+            for wdisp, lane_rows in wide_lanes:
+                wide_res = self.fetch_pairs(wdisp)
                 wn = np.asarray(wide_res["npairs"])
                 wc = np.asarray(wide_res["pair_concordant"], bool)
                 if fmt == "sam":
                     wneed = (wn == 0) | ~wc | (wn > PAIR_KTOP)
                 else:
                     wneed = np.ones(len(wn), bool)
-                wrows = [wi for j, wi in wide_row.items() if wneed[wi]]
+                wrows = [wi for j, wi in lane_rows.items() if wneed[wi]]
                 wide_sub = (self.fetch_pair_rows(wide_res, wrows)
                             if wrows else None)
                 if wide_sub is not None:
                     self._prime_rows(
                         (r, wide_sub[end], wide_sub["row_of"][wi])
-                        for j, wi in wide_row.items()
+                        for j, wi in lane_rows.items()
                         if wi in wide_sub["row_of"]
                         for r, end in ((chunk5[j], "end5"),
                                        (chunk3_inv[j], "end3")))
 
-                def wroute(wi):
+                def wroute(wi, wide_sub=wide_sub, wide_res=wide_res):
                     if wide_sub is not None and wi in wide_sub["row_of"]:
                         return wide_sub, wide_sub["row_of"][wi]
                     return wide_res, wi
 
+                for j, wi in lane_rows.items():
+                    wide_ctx[j] = wroute(wi)
+
                 if (fmt == "sam" and self.params.maxpaths >= 1
                         and self.pe_fast and not self.clip_overlap):
-                    w_fast = [(j, wi) for j, wi in wide_row.items()
+                    w_fast = [(j, wi) for j, wi in lane_rows.items()
                               if wn[wi] == 1 and wc[wi] and not wneed[wi]]
                     if w_fast:
                         ft = self._pe_sam_fast(
@@ -3520,7 +3677,7 @@ class GsnapRunner:
                                 texts[j] = ft[wi]
                                 self._categories[j] = "concordant_uniq"
 
-                for j, wi in wide_row.items():
+                for j, wi in lane_rows.items():
                     if texts[j] is not None:
                         continue
                     self._cat_row(j)
@@ -3537,7 +3694,7 @@ class GsnapRunner:
             if pending:
                 self.prefetch_gmap(pending)
                 for j in sorted(rows):
-                    rres, rrow = (wroute(wide_row[j]) if j in wide_row
+                    rres, rrow = (wide_ctx[j] if j in wide_ctx
                                   else route(j))
                     self._cat_row(j)
                     try:
@@ -3648,22 +3805,31 @@ class GsnapRunner:
             self.run_pe(recs, recs3, _io.StringIO(),
                         batch_size=batch_size)
         # wide-cap overflow lane buckets (SE and PE) — every _pad_bucket
-        # size the timed run can hit must compile here, not there
-        wide_sizes = [nb for nb, reach in
-                      ((8, True), (512, batch_size > 8),
-                       (2048, batch_size > 512)) if reach]
-        for nb in wide_sizes:
+        # size the timed run is likely to hit must compile here, not
+        # there.  fullwide (truncated seeds) counts are small in
+        # practice, widecand (candidate-budget only) tracks the batch
+        def reach(buckets):
+            out, prev = [], 0
+            for nb in buckets:
+                if prev < batch_size:
+                    out.append(nb)
+                prev = nb
+            return out
+
+        lanes = ([(nb, True) for nb in reach(self._BUCKETS_FULLWIDE[:2])]
+                 + [(nb, False) for nb in reach(self._BUCKETS_WIDECAND)])
+        for nb, widen in lanes:
             try:
-                self.fetch_records(
-                    self._dispatch_wide(recs[: min(nb, len(recs))]))
+                self.fetch_records(self._dispatch_wide(
+                    recs[: min(nb, len(recs))], widen_seeds=widen))
             except Exception:
                 break
         if pe:
-            for nb in wide_sizes:
+            for nb, widen in lanes:
                 try:
                     self.fetch_pairs(self._dispatch_wide_pe(
                         recs[: min(nb, len(recs))],
-                        recs3[: min(nb, len(recs))]))
+                        recs3[: min(nb, len(recs))], widen_seeds=widen))
                 except Exception:
                     break
         # GMAP rescue row buckets (align_cdna_batch pads rows to x4
@@ -3678,13 +3844,16 @@ class GsnapRunner:
                                           extend_ends=True)
             except Exception:
                 break
-        # dynprog junction buckets (nb 32/128 at both gap-cost tiers)
+        # dynprog junction buckets: nb 32/128 at both gap-cost tiers and
+        # ALL cdna directions (+1/-1/0 are separate static-arg compiles
+        # of bridge_intron — a first-touch mid-run costs a full compile)
         gc = gmap_mod._codes_of(g)
-        for n, span in ((1, 30), (33, 30), (1, 60)):
+        for n, span, direction in ((1, 30, 1), (33, 30, 1), (1, 60, 1),
+                                   (1, 30, -1), (1, 30, 0)):
             qc = gc[base : base + span + 10].copy()
             reqs = [(qc, 5, 5 + span, base, base + 5000)] * n
             try:
-                gmap_engine.solve_junctions_batch(gc, reqs, 1, True)
+                gmap_engine.solve_junctions_batch(gc, reqs, direction, True)
             except Exception:
                 break
         self._gmap_cache.clear()
@@ -3716,11 +3885,23 @@ class GsnapRunner:
             # diagonals exceeded ncand re-run at wider caps so
             # repetitive-region candidates are not silently lost
             ovf = np.flatnonzero(res.get("overflow", np.zeros(0, bool)))
-            wide_disp, wide_res, wide_row = None, None, {}
+            trunc_a = np.asarray(res.get(
+                "overflow_trunc",
+                np.ones_like(np.asarray(res.get("overflow",
+                                                np.zeros(0, bool))))), bool)
+            wide_lanes, wide_row = [], {}
             if len(ovf):
-                wide_disp = self._dispatch_wide(
-                    [chunk[int(j)] for j in ovf])
-                wide_row = {int(j): wi for wi, j in enumerate(ovf)}
+                for rows_sel, widen in (
+                        ([int(j) for j in ovf if trunc_a[j]], True),
+                        ([int(j) for j in ovf if not trunc_a[j]], False)):
+                    if not rows_sel:
+                        continue
+                    lane_disp = self._dispatch_wide(
+                        [chunk[j] for j in rows_sel], widen_seeds=widen)
+                    wide_lanes.append((lane_disp, {j: wi for wi, j
+                                                   in enumerate(rows_sel)}))
+                    for j in rows_sel:
+                        wide_row[j] = len(wide_lanes) - 1
             # pass 1: GMAP-rescue requests are collected, not solved;
             # wide-lane rows emit after their async fetch below
             t_batch = _time.time()
@@ -3761,6 +3942,16 @@ class GsnapRunner:
                 fast_cand = [j for j in range(len(chunk))
                              if np_a[j] == 1 and not need_full[j]
                              and j not in wide_row]
+                # need_full rows whose rescue lanes provably change
+                # nothing (vectorized gate over the primed masks) emit
+                # through the same fast path — the scalar lane walk
+                # measured ~4 ms/row
+                if sub is not None and self._known_sites is None:
+                    for j, si in sub["row_of"].items():
+                        if (np_a[j] == 1 and j not in wide_row
+                                and self._se_lane_noop(
+                                    chunk[j], sub, si, int(done_a[j]))):
+                            fast_cand.append(j)
                 for j, t in self._se_sam_fast(
                         [chunk[j] for j in fast_cand],
                         res, fast_cand).items():
@@ -3779,40 +3970,43 @@ class GsnapRunner:
                 except Exception:
                     _offending_read(rec)
                     raise
-            wide_sub = None
-            if wide_disp is not None:
-                wide_res = self.fetch_records(wide_disp)
-                wjs = [j for j, _ in wide_row.items()]
+            wide_ctx = {}   # chunk_j -> (tree, row) for re-emission
+            for wdisp, lane_rows in wide_lanes:
+                wide_res = self.fetch_records(wdisp)
+                wjs = list(lane_rows)
                 wn = np.asarray(wide_res["npaths"])
                 wdone = self._se_done_level([chunk[j] for j in wjs],
                                             wide_res,
-                                            [wide_row[j] for j in wjs])
+                                            [lane_rows[j] for j in wjs])
                 wneed_by_j = {}
                 for t, j in enumerate(wjs):
-                    wi = wide_row[j]
+                    wi = lane_rows[j]
                     if fmt == "sam":
                         wneed_by_j[j] = (wn[wi] == 0 or wn[wi] > PAIR_KTOP
                                          or wdone[t] >= self.params.indel_penalty_end
                                          or self._known_sites is not None)
                     else:
                         wneed_by_j[j] = True
-                wrows = sorted({wide_row[j] for j in wjs if wneed_by_j[j]})
+                wrows = sorted({lane_rows[j] for j in wjs if wneed_by_j[j]})
                 wide_sub = (self.fetch_record_rows(wide_res, wrows)
                             if wrows else None)
                 if wide_sub is not None:
                     self._prime_rows(
                         (chunk[j], wide_sub,
-                         wide_sub["row_of"][wide_row[j]])
-                        for j in wjs if wide_row[j] in wide_sub["row_of"])
+                         wide_sub["row_of"][lane_rows[j]])
+                        for j in wjs if lane_rows[j] in wide_sub["row_of"])
 
-                def wroute(wi):
+                def wroute(wi, wide_sub=wide_sub, wide_res=wide_res):
                     if wide_sub is not None and wi in wide_sub["row_of"]:
                         return wide_sub, wide_sub["row_of"][wi]
                     return wide_res, wi
 
+                for j, wi in lane_rows.items():
+                    wide_ctx[j] = wroute(wi)
+
                 if fmt == "sam" and self.params.maxpaths >= 1 and self.pe_fast:
-                    w_fast = [(j, wide_row[j]) for j in wjs
-                              if wn[wide_row[j]] == 1 and not wneed_by_j[j]]
+                    w_fast = [(j, lane_rows[j]) for j in wjs
+                              if wn[lane_rows[j]] == 1 and not wneed_by_j[j]]
                     if w_fast:
                         ft = self._se_sam_fast(
                             [chunk[j] for j, _ in w_fast],
@@ -3822,7 +4016,7 @@ class GsnapRunner:
                                 texts[j] = ft[wi]
                                 self._categories[j] = "unpaired_uniq"
 
-                for j, wi in wide_row.items():
+                for j, wi in lane_rows.items():
                     if texts[j] is not None:
                         continue
                     self._cat_row(j)
@@ -3842,7 +4036,7 @@ class GsnapRunner:
                 # only the affected reads re-emit (pass 2)
                 self.prefetch_gmap(pending)
                 for j in sorted(rows):
-                    rres, rrow = (wroute(wide_row[j]) if j in wide_row
+                    rres, rrow = (wide_ctx[j] if j in wide_ctx
                                   else route(j))
                     self._cat_row(j)
                     try:
