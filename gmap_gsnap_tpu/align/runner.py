@@ -3816,22 +3816,25 @@ class GsnapRunner:
                 prev = nb
             return out
 
-        lanes = ([(nb, True) for nb in reach(self._BUCKETS_FULLWIDE[:2])]
+        import warnings as _warnings
+
+        lanes = ([(nb, True) for nb in reach(self._BUCKETS_FULLWIDE)]
                  + [(nb, False) for nb in reach(self._BUCKETS_WIDECAND)])
         for nb, widen in lanes:
             try:
                 self.fetch_records(self._dispatch_wide(
                     recs[: min(nb, len(recs))], widen_seeds=widen))
-            except Exception:
-                break
+            except Exception as e:
+                _warnings.warn(f"warmup: SE wide lane {nb}/{widen}: {e}")
         if pe:
             for nb, widen in lanes:
                 try:
                     self.fetch_pairs(self._dispatch_wide_pe(
                         recs[: min(nb, len(recs))],
                         recs3[: min(nb, len(recs))], widen_seeds=widen))
-                except Exception:
-                    break
+                except Exception as e:
+                    _warnings.warn(
+                        f"warmup: PE wide lane {nb}/{widen}: {e}")
         # GMAP rescue row buckets (align_cdna_batch pads rows to x4
         # buckets from 8: 2 rows/query -> 8, 32, 128)
         max_il = self.params.shortsplicedist if self.splicing_on else 30
