@@ -53,7 +53,7 @@ BASELINE_PE_QPS = 7447.27   # reference gsnap PE, 1 thread, this workload
 BASELINE_SE_QPS = 1460.25   # reference gsnap SE, 1 thread (r1 workload)
 BASELINE_GMAP_QPS = 45.6    # reference gmap, 1 thread, spliced cDNAs
 
-NPAIRS = 4096
+NPAIRS = 8192
 BATCH = 2048  # tunnel RTTs amortize over the batch; 256 measured RTT-bound
 L = 100
 

@@ -116,6 +116,188 @@ def _prefix_mm(genome, queries, diags, lengths, conversion, alt):
     return mm, pref
 
 
+def _trim_ends_device(mm, lengths, trim_mm_score: int):
+    """Device trim_left_end + trim_right_end (substring.c) over
+    [B, K, L] mismatch matrices — exact runner.trim_ends semantics
+    including the '>=' tie rule (smallest trim5 / trim3 wins).
+    Returns (t5, t3) int32[B, K]."""
+    B, K, L = mm.shape
+    La = lengths.astype(jnp.int32)[:, None]
+    mmi = mm.astype(jnp.int32)
+
+    def step5(carry, p):
+        s, best, t5 = carry
+        active = (p < La) & jnp.ones((B, K), bool)
+        ismm = (mmi[:, :, p] == 1) & active
+        upd = ismm & (s >= best)
+        best = jnp.where(upd, s, best)
+        t5 = jnp.where(upd, p + 1, t5)
+        s = jnp.where(ismm, jnp.maximum(s + trim_mm_score, 0),
+                      jnp.where(active, s + 1, s))
+        return (s, best, t5), None
+
+    z = jnp.zeros((B, K), jnp.int32)
+    (s, best, t5), _ = jax.lax.scan(
+        step5, (z, z, z), jnp.arange(L - 1, -1, -1, dtype=jnp.int32))
+    t5 = jnp.where(s >= best, 0, t5)
+
+    def step3(carry, p):
+        s, best, t3 = carry
+        active = (p < La) & jnp.ones((B, K), bool)
+        ismm = (mmi[:, :, p] == 1) & active
+        upd = ismm & (s >= best)
+        best = jnp.where(upd, s, best)
+        t3 = jnp.where(upd, La - p, t3)
+        s = jnp.where(ismm, jnp.maximum(s + trim_mm_score, 0),
+                      jnp.where(active, s + 1, s))
+        return (s, best, t3), None
+
+    (s, best, t3), _ = jax.lax.scan(
+        step3, (z, z, z), jnp.arange(L, dtype=jnp.int32))
+    t3 = jnp.where(s >= best, 0, t3)
+    return t5, t3
+
+
+def _lane_features(mm, pref, nmm_raw, lengths, k: int, interval: int,
+                   trim_mm_score: int):
+    """Per-candidate features for the device lane-noop gate (the
+    host rescue lanes' ENTRY/acceptance tests; see runner._se_lane_noop
+    for the host mirror and the stage1hr.c citations).  All values are
+    independent of the per-read done level, which is applied later."""
+    B, K, L = mm.shape
+    La = lengths.astype(jnp.int32)
+    spansize = -(-k // interval) * interval
+    firstbound = interval + (interval - 1) + k
+    lastpos = La - k                                    # [B]
+    lastbound = lastpos - interval - 1
+    mtl = jnp.minimum(spansize + interval - 1, La // 2)
+
+    def gather_pref(idx):
+        # pref [B, K, L+1]; idx [B] or [B, K] -> [B, K]
+        if idx.ndim == 1:
+            idx = idx[:, None].repeat(K, 1)
+        idx = jnp.clip(idx, 0, L)
+        return jnp.take_along_axis(pref, idx[:, :, None], axis=2)[:, :, 0]
+
+    npos = pref[:, :, -1]
+    lowc = gather_pref(jnp.full((B,), min(firstbound + 1, L), jnp.int32))
+    lbc = gather_pref(jnp.maximum(lastbound, 0))
+    cnt_le_mtl = gather_pref(mtl + 1)
+    cnt_lt_lmtl = gather_pref(La - mtl)
+
+    # clean k-window seeds at 0, interval, 2*interval, ... <= lastpos,
+    # plus lastpos itself
+    smax = max(1, (L - k) // interval + 1)
+    sp = jnp.arange(smax, dtype=jnp.int32) * interval    # [S]
+    sp_ok = sp[None, :] <= lastpos[:, None]              # [B, S]
+    spk = jnp.clip(sp[None, :] + k, 0, L)
+    cs_hi = jnp.take_along_axis(
+        pref, jnp.broadcast_to(spk[:, None, :], (B, K, smax)), axis=2)
+    cs_lo = jnp.take_along_axis(
+        pref, jnp.broadcast_to(
+            jnp.clip(sp, 0, L)[None, None, :], (B, K, smax)), axis=2)
+    clean = (cs_hi - cs_lo == 0) & sp_ok[:, None, :]     # [B, K, S]
+    lp = jnp.clip(lastpos, 0, L)
+    lp_hi = gather_pref(jnp.clip(lastpos + k, 0, L))
+    lp_lo = gather_pref(lp)
+    clean_last = (lp_hi - lp_lo == 0) & (lastpos > 0)[:, None]
+    spb = jnp.broadcast_to(sp[None, None, :], (B, K, smax))
+    BIGP = jnp.int32(2**30)
+    pfirst = jnp.min(jnp.where(clean, spb, BIGP), axis=2)
+    plast = jnp.max(jnp.where(clean, spb, -1), axis=2)
+    pfirst = jnp.where(clean_last,
+                       jnp.minimum(pfirst, lastpos[:, None]), pfirst)
+    plast = jnp.where(clean_last,
+                      jnp.maximum(plast, lastpos[:, None]), plast)
+    has_present = pfirst < BIGP
+
+    t5, t3 = _trim_ends_device(mm, lengths, trim_mm_score)
+    nmm_tt = gather_pref(La[:, None] - t3) - gather_pref(t5)
+    nmm_0t3 = gather_pref(La[:, None] - t3)
+    nmm_t50 = npos - gather_pref(t5)
+    return dict(lane_npos=npos, lane_t5=t5, lane_t3=t3,
+                lane_lowc=lowc, lane_lbc=lbc,
+                lane_cle=cnt_le_mtl, lane_clt=cnt_lt_lmtl,
+                lane_pfirst=pfirst, lane_plast=plast,
+                lane_present=has_present,
+                lane_nmm_tt=nmm_tt, lane_nmm_0t3=nmm_0t3,
+                lane_nmm_t50=nmm_t50)
+
+
+def _lane_noop_device(final, cands, lengths, k: int, interval: int,
+                      base, ktop_kind_sub: int):
+    """bool[B]: True when the SE host rescue lanes (end indels +
+    terminals, and therefore the GMAP improvement pass that only fires
+    on terminals) provably produce NOTHING, so emission can use the
+    compact fast path without fetching the full tree.  Mirrors
+    runner._se_lane_noop exactly; rows it cannot prove stay False."""
+    B = lengths.shape[0]
+    La = lengths.astype(jnp.int32)
+    spansize = -(-k // interval) * interval
+    budget = jnp.maximum((La + interval - 1) // spansize - 2, 0)
+    np_ = final["npaths"]
+    score0 = final["score"][:, 0]
+    done = jnp.minimum(budget, jnp.where(np_ > 0, score0, 10**6))
+    lastpos = La - k
+    minlength = jnp.minimum(La // 3, 40)
+
+    cl = cands["cand_left"]
+    cp = cands["cand_plusp"]
+    cn = cands["cand_nmm"]
+    valid = cn < BIG_NMM
+    left0 = final["left"][:, 0][:, None]
+    right0 = final["right"][:, 0][:, None]
+    pl0 = final["plusp"][:, 0][:, None]
+    used = ((cl == left0) | (cl == right0)) & (cp == pl0)
+
+    d = done[:, None]
+    # end-indel entry mismatches (find_end_indels, stage1hr.c:6001)
+    mmi = d - base.indel_penalty_end
+    npos = cands["lane_npos"]
+    lowc = cands["lane_lowc"]
+    lbc = cands["lane_lbc"]
+    ind_entry = ((npos > 0)
+                 & (((lowc >= 1) & (npos - lowc <= mmi))
+                    | ((npos - lbc >= 1) & (lbc <= mmi))))
+    ind_fires = (done >= base.indel_penalty_end)[:, None] & valid & ind_entry
+
+    # terminal variants (make_terminals)
+    t5 = cands["lane_t5"]
+    t3 = cands["lane_t3"]
+    pfirst = cands["lane_pfirst"]
+    plast = cands["lane_plast"]
+    longb = cands["lane_present"] & (plast - pfirst > k)
+    start_term = pfirst >= interval
+    end_term = plast < (lastpos - interval)[:, None]
+
+    def accept(t5v, t3v, nmm_trim):
+        span = La[:, None] - t5v - t3v
+        ok = span > minlength[:, None]
+        ok &= (span - nmm_trim) - 3 * nmm_trim >= 0
+        ok &= nmm_trim <= d
+        ok &= ~((t5v == 0) & (t3v == 0) & (cn <= d))
+        return ok
+
+    z = jnp.zeros_like(t5)
+    lt5 = jnp.where(start_term, t5, z)
+    lt3 = jnp.where(end_term, t3, z)
+    # long-branch nmm over [lt5, L - lt3): recompose from the
+    # precomputed spans (nmm_tt covers [t5, L-t3))
+    nmm_long = (jnp.where(start_term & end_term, cands["lane_nmm_tt"],
+                jnp.where(start_term, cands["lane_nmm_t50"],
+                jnp.where(end_term, cands["lane_nmm_0t3"], npos))))
+    v_long = longb & accept(lt5, lt3, nmm_long)
+    c1 = (npos <= d) | (cands["lane_cle"] <= d)
+    c2 = (npos <= d) | (cands["lane_clt"] >= npos - d)
+    v1 = ~longb & c1 & accept(z, t3, cands["lane_nmm_0t3"])
+    v2 = ~longb & c2 & accept(t5, z, cands["lane_nmm_t50"])
+    term_exists = valid & ~used & (v_long | v1 | v2)
+    term_fires = (done >= base.terminal_threshold)[:, None] & term_exists
+
+    gated = (np_ == 1) & (final["kind"][:, 0] == KIND_SUB)
+    return gated & ~jnp.any(ind_fires | term_fires, axis=1)
+
+
 # ------------------------------------------------------------- pair selection
 
 def _select_pairs(top_d, votes, mask_fn, maxpairs: int):
@@ -807,6 +989,8 @@ def _strand_hits(genome, index, queries, codes, nflags, lengths, conv, alt,
         # np.unpackbits(..., bitorder="little")
         "cand_left": top_d, "cand_votes": votes, "cand_nmm": nmm_raw,
         "cand_mm": _bitpack_mask(mm), "overflow": overflow,
+        **_lane_features(mm, pref, nmm_raw, lengths, index.k,
+                         index.interval, base.trim_mismatch_score),
         # truncation-only flag: when False for an overflowing read, the
         # seed grid was COMPLETE (no position list hit seed_cap), so the
         # wide re-run only needs a larger candidate budget, not the
@@ -971,6 +1155,15 @@ def align_batch_gapped(
     )
     final = rank_hits(out, params.base)
     final.update(cands)
+    # device lane-noop gate: rows where the host rescue lanes provably
+    # change nothing can emit from the compact view alone, skipping the
+    # full-tree row-subset fetch entirely (runner.run need_full)
+    if params.base.trim_mismatch_score == -3:
+        final["lane_noop"] = _lane_noop_device(
+            final, final, lengths, index.k, index.interval, params.base,
+            KIND_SUB)
+    else:
+        final["lane_noop"] = jnp.zeros(lengths.shape[0], bool)
     return final
 
 
@@ -989,8 +1182,7 @@ def compact_se(res, ktop: int = 8):
     gsnap_pe.compact_pe."""
     out = {k: res[k][:, :ktop] for k in SE_EMIT_FIELDS if k in res}
     out["npaths"] = res["npaths"]
-    if "overflow" in res:
-        out["overflow"] = res["overflow"]
-    if "overflow_trunc" in res:
-        out["overflow_trunc"] = res["overflow_trunc"]
+    for key in ("overflow", "overflow_trunc", "lane_noop"):
+        if key in res:
+            out[key] = res[key]
     return out

@@ -1973,10 +1973,18 @@ class GsnapRunner:
         best = int(hits["score"][row, 0]) if n > 0 else 10**6
         done = min(budget, best)
 
+        # device lane-noop gate: the end-indel and terminal lanes (and
+        # the GMAP improvement pass that only fires on terminals) are
+        # provably empty for this row — skip them.  Required for rows
+        # the gate cleared out of the full-tree fetch (compact views
+        # carry no cand_* arrays), and a pure speedup elsewhere.
+        lane_clear = ("lane_noop" in hits
+                      and bool(np.asarray(hits["lane_noop"])[row]))
+
         # 6. end indels (host lane; the device covers middle indels)
         end_used = set()
         end_found = False
-        if done >= self.params.indel_penalty_end:
+        if done >= self.params.indel_penalty_end and not lane_clear:
             for h, score, anchor in self._end_indel_hits(rec, hits, row, done):
                 if score > done:
                     continue
@@ -2016,7 +2024,7 @@ class GsnapRunner:
                 gmap_cache[1] = self._gmap_hosthit(rec)
             return gmap_cache[1]
 
-        if done >= self.params.terminal_threshold:
+        if done >= self.params.terminal_threshold and not lane_clear:
             mm_fn = self._cand_mm_fn(rec, hits, row, L)
 
             # every reported hit marks its diagonals usedp on the
@@ -3919,9 +3927,14 @@ class GsnapRunner:
             # top-ktop hits: fetch their full trees as one row subset
             np_a = np.asarray(res["npaths"])[:len(chunk)]
             done_a = self._se_done_level(chunk, res)
+            # rows the DEVICE lane-noop gate clears skip the full-tree
+            # fetch and the host rescue lanes entirely
+            noop_a = np.asarray(res.get(
+                "lane_noop", np.zeros(len(chunk), bool)))[:len(chunk)]
             if fmt == "sam":
                 need_full = ((np_a == 0) | (np_a > PAIR_KTOP)
-                             | (done_a >= self.params.indel_penalty_end)
+                             | ((done_a >= self.params.indel_penalty_end)
+                                & ~noop_a)
                              | (self._known_sites is not None))
             else:
                 need_full = np.ones(len(chunk), bool)
@@ -3945,16 +3958,6 @@ class GsnapRunner:
                 fast_cand = [j for j in range(len(chunk))
                              if np_a[j] == 1 and not need_full[j]
                              and j not in wide_row]
-                # need_full rows whose rescue lanes provably change
-                # nothing (vectorized gate over the primed masks) emit
-                # through the same fast path — the scalar lane walk
-                # measured ~4 ms/row
-                if sub is not None and self._known_sites is None:
-                    for j, si in sub["row_of"].items():
-                        if (np_a[j] == 1 and j not in wide_row
-                                and self._se_lane_noop(
-                                    chunk[j], sub, si, int(done_a[j]))):
-                            fast_cand.append(j)
                 for j, t in self._se_sam_fast(
                         [chunk[j] for j in fast_cand],
                         res, fast_cand).items():
@@ -3981,12 +3984,15 @@ class GsnapRunner:
                 wdone = self._se_done_level([chunk[j] for j in wjs],
                                             wide_res,
                                             [lane_rows[j] for j in wjs])
+                wnoop = np.asarray(wide_res.get(
+                    "lane_noop", np.zeros(len(wn), bool)))
                 wneed_by_j = {}
                 for t, j in enumerate(wjs):
                     wi = lane_rows[j]
                     if fmt == "sam":
                         wneed_by_j[j] = (wn[wi] == 0 or wn[wi] > PAIR_KTOP
-                                         or wdone[t] >= self.params.indel_penalty_end
+                                         or (wdone[t] >= self.params.indel_penalty_end
+                                             and not wnoop[wi])
                                          or self._known_sites is not None)
                     else:
                         wneed_by_j[j] = True
