@@ -119,42 +119,51 @@ def _prefix_mm(genome, queries, diags, lengths, conversion, alt):
 def _trim_ends_device(mm, lengths, trim_mm_score: int):
     """Device trim_left_end + trim_right_end (substring.c) over
     [B, K, L] mismatch matrices — exact runner.trim_ends semantics
-    including the '>=' tie rule (smallest trim5 / trim3 wins).
-    Returns (t5, t3) int32[B, K]."""
+    including the '>=' tie rule (smallest trim5 / largest pre-trim3
+    position wins).  Returns (t5, t3) int32[B, K].
+
+    Closed form instead of a sequential scan: the reference walks the
+    read accumulating s' = max(s + v, 0) (v = +1 match,
+    trim_mm_score mismatch) — a zero-clamped Kadane recurrence whose
+    state at any position is  max(0, best subarray sum ending there),
+    expressible with one cumsum plus running max/min of the prefix
+    sums.  Everything below is vectorized log-depth ops; no scan."""
     B, K, L = mm.shape
-    La = lengths.astype(jnp.int32)[:, None]
-    mmi = mm.astype(jnp.int32)
+    La = lengths.astype(jnp.int32)[:, None]              # [B, 1]
+    iota = jnp.arange(L, dtype=jnp.int32)
+    active = iota[None, None, :] < La[:, :, None]        # [B, K, L]
+    w = jnp.int32(trim_mm_score)
+    v = jnp.where(active, jnp.where(mm, w, 1), 0)
+    P = jnp.concatenate(
+        [jnp.zeros((B, K, 1), jnp.int32),
+         jnp.cumsum(v, axis=2, dtype=jnp.int32)], axis=2)   # [B, K, L+1]
+    NEG = jnp.int32(-(2**30))
 
-    def step5(carry, p):
-        s, best, t5 = carry
-        active = (p < La) & jnp.ones((B, K), bool)
-        ismm = (mmi[:, :, p] == 1) & active
-        upd = ismm & (s >= best)
-        best = jnp.where(upd, s, best)
-        t5 = jnp.where(upd, p + 1, t5)
-        s = jnp.where(ismm, jnp.maximum(s + trim_mm_score, 0),
-                      jnp.where(active, s + 1, s))
-        return (s, best, t5), None
+    # trim5 walks p = L-1 .. 0; candidate value at mismatch p is the
+    # clamped Kadane state over positions > p:
+    #   sig5(p) = max(0, max_{i in [p+2, L]} P_i  -  P_{p+1})
+    T = jax.lax.cummax(P[:, :, ::-1], axis=2)[:, :, ::-1]   # suffix max
+    Tpad = jnp.concatenate([T, jnp.full((B, K, 1), NEG)], axis=2)
+    sig5 = jnp.maximum(Tpad[:, :, 2:] - P[:, :, 1:], 0)     # [B, K, L]
+    cand5 = jnp.where(mm & active, sig5, NEG)
+    best5 = jnp.max(cand5, axis=2)
+    # '>=' with descending p => smallest p wins ties = first argmax
+    p5 = jnp.argmax(cand5, axis=2).astype(jnp.int32)
+    sfin5 = jnp.maximum(T[:, :, 1], 0)                      # state after p=0
+    t5 = jnp.where(sfin5 >= best5, 0, p5 + 1)
 
-    z = jnp.zeros((B, K), jnp.int32)
-    (s, best, t5), _ = jax.lax.scan(
-        step5, (z, z, z), jnp.arange(L - 1, -1, -1, dtype=jnp.int32))
-    t5 = jnp.where(s >= best, 0, t5)
-
-    def step3(carry, p):
-        s, best, t3 = carry
-        active = (p < La) & jnp.ones((B, K), bool)
-        ismm = (mmi[:, :, p] == 1) & active
-        upd = ismm & (s >= best)
-        best = jnp.where(upd, s, best)
-        t3 = jnp.where(upd, La - p, t3)
-        s = jnp.where(ismm, jnp.maximum(s + trim_mm_score, 0),
-                      jnp.where(active, s + 1, s))
-        return (s, best, t3), None
-
-    (s, best, t3), _ = jax.lax.scan(
-        step3, (z, z, z), jnp.arange(L, dtype=jnp.int32))
-    t3 = jnp.where(s >= best, 0, t3)
+    # trim3 walks p = 0 .. L-1; candidate at mismatch p:
+    #   sig3(p) = max(0, P_p - min_{q in [0, p-1]} P_q)
+    Cm = jax.lax.cummin(P, axis=2)
+    Cpad = jnp.concatenate(
+        [jnp.full((B, K, 1), jnp.int32(2**30)), Cm], axis=2)
+    sig3 = jnp.maximum(P[:, :, :L] - Cpad[:, :, :L], 0)
+    cand3 = jnp.where(mm & active, sig3, NEG)
+    best3 = jnp.max(cand3, axis=2)
+    # '>=' with ascending p => largest p wins ties = last argmax
+    p3 = (L - 1) - jnp.argmax(cand3[:, :, ::-1], axis=2).astype(jnp.int32)
+    sfin3 = jnp.maximum(P[:, :, L] - Cm[:, :, L - 1], 0)
+    t3 = jnp.where(sfin3 >= best3, 0, La - p3)
     return t5, t3
 
 
@@ -172,36 +181,42 @@ def _lane_features(mm, pref, nmm_raw, lengths, k: int, interval: int,
     lastbound = lastpos - interval - 1
     mtl = jnp.minimum(spansize + interval - 1, La // 2)
 
-    def gather_pref(idx):
-        # pref [B, K, L+1]; idx [B] or [B, K] -> [B, K]
-        if idx.ndim == 1:
-            idx = idx[:, None].repeat(K, 1)
-        idx = jnp.clip(idx, 0, L)
-        return jnp.take_along_axis(pref, idx[:, :, None], axis=2)[:, :, 0]
+    # NO gathers here: TPU gathers execute elementwise (~85M elem/s
+    # measured) and this runs inside the hot cascade for every strand.
+    # [B]-indexed prefix counts become ONE batched mask matmul on the
+    # MXU; candidate-indexed counts (trims) are fused masked reduces;
+    # seed windows are static prefix-array slices.
+    mmf = mm.astype(jnp.float32)                        # [B, K, L]
+    iota = jnp.arange(L, dtype=jnp.int32)
+
+    idxs = jnp.stack([
+        jnp.maximum(lastbound, 0),                      # lbc
+        mtl + 1,                                        # cnt <= mtl
+        La - mtl,                                       # cnt < La - mtl
+        lastpos + k,                                    # last-seed hi
+        lastpos,                                        # last-seed lo
+    ], axis=1)                                          # [B, 5]
+    masks = (iota[None, None, :] < idxs[:, :, None]).astype(jnp.float32)
+    cnts = jnp.einsum("bkl,bnl->bkn", mmf, masks).astype(jnp.int32)
+    lbc, cnt_le_mtl, cnt_lt_lmtl, lp_hi, lp_lo = (
+        cnts[:, :, 0], cnts[:, :, 1], cnts[:, :, 2],
+        cnts[:, :, 3], cnts[:, :, 4])
 
     npos = pref[:, :, -1]
-    lowc = gather_pref(jnp.full((B,), min(firstbound + 1, L), jnp.int32))
-    lbc = gather_pref(jnp.maximum(lastbound, 0))
-    cnt_le_mtl = gather_pref(mtl + 1)
-    cnt_lt_lmtl = gather_pref(La - mtl)
+    lowc = pref[:, :, min(firstbound + 1, L)]
 
     # clean k-window seeds at 0, interval, 2*interval, ... <= lastpos,
-    # plus lastpos itself
+    # plus lastpos itself — static slices of the prefix array
     smax = max(1, (L - k) // interval + 1)
-    sp = jnp.arange(smax, dtype=jnp.int32) * interval    # [S]
+    sps = [s * interval for s in range(smax)]
+    clean = jnp.stack(
+        [(pref[:, :, min(s + k, L)] - pref[:, :, s]) == 0 for s in sps],
+        axis=2)                                          # [B, K, S]
+    sp = jnp.asarray(sps, jnp.int32)
     sp_ok = sp[None, :] <= lastpos[:, None]              # [B, S]
-    spk = jnp.clip(sp[None, :] + k, 0, L)
-    cs_hi = jnp.take_along_axis(
-        pref, jnp.broadcast_to(spk[:, None, :], (B, K, smax)), axis=2)
-    cs_lo = jnp.take_along_axis(
-        pref, jnp.broadcast_to(
-            jnp.clip(sp, 0, L)[None, None, :], (B, K, smax)), axis=2)
-    clean = (cs_hi - cs_lo == 0) & sp_ok[:, None, :]     # [B, K, S]
-    lp = jnp.clip(lastpos, 0, L)
-    lp_hi = gather_pref(jnp.clip(lastpos + k, 0, L))
-    lp_lo = gather_pref(lp)
+    clean = clean & sp_ok[:, None, :]
     clean_last = (lp_hi - lp_lo == 0) & (lastpos > 0)[:, None]
-    spb = jnp.broadcast_to(sp[None, None, :], (B, K, smax))
+    spb = sp[None, None, :]
     BIGP = jnp.int32(2**30)
     pfirst = jnp.min(jnp.where(clean, spb, BIGP), axis=2)
     plast = jnp.max(jnp.where(clean, spb, -1), axis=2)
@@ -212,9 +227,14 @@ def _lane_features(mm, pref, nmm_raw, lengths, k: int, interval: int,
     has_present = pfirst < BIGP
 
     t5, t3 = _trim_ends_device(mm, lengths, trim_mm_score)
-    nmm_tt = gather_pref(La[:, None] - t3) - gather_pref(t5)
-    nmm_0t3 = gather_pref(La[:, None] - t3)
-    nmm_t50 = npos - gather_pref(t5)
+    mmi = mm.astype(jnp.int32)
+    nmm_0t3 = jnp.sum(
+        mmi * (iota[None, None, :] < (La[:, None] - t3)[:, :, None]),
+        axis=2)
+    cb_t5 = jnp.sum(
+        mmi * (iota[None, None, :] < t5[:, :, None]), axis=2)
+    nmm_tt = nmm_0t3 - cb_t5
+    nmm_t50 = npos - cb_t5
     return dict(lane_npos=npos, lane_t5=t5, lane_t3=t3,
                 lane_lowc=lowc, lane_lbc=lbc,
                 lane_cle=cnt_le_mtl, lane_clt=cnt_lt_lmtl,
