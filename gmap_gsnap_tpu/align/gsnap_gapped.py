@@ -244,13 +244,22 @@ def _lane_features(mm, pref, nmm_raw, lengths, k: int, interval: int,
                 lane_nmm_t50=nmm_t50)
 
 
+_LANE_FEATURE_KEYS = (
+    "lane_npos", "lane_t5", "lane_t3", "lane_lowc", "lane_lbc",
+    "lane_cle", "lane_clt", "lane_pfirst", "lane_plast", "lane_present",
+    "lane_nmm_tt", "lane_nmm_0t3", "lane_nmm_t50")
+
+
 def _lane_noop_device(final, cands, lengths, k: int, interval: int,
                       base, ktop_kind_sub: int):
-    """bool[B]: True when the SE host rescue lanes (end indels +
-    terminals, and therefore the GMAP improvement pass that only fires
-    on terminals) provably produce NOTHING, so emission can use the
+    """(noop bool[B], ind_fires bool[B, K], term_fires bool[B, K]):
+    noop is True when the SE host rescue lanes (end indels + terminals,
+    and therefore the GMAP improvement pass that only fires on
+    terminals) provably produce NOTHING, so emission can use the
     compact fast path without fetching the full tree.  Mirrors
-    runner._se_lane_noop exactly; rows it cannot prove stay False."""
+    runner._se_lane_noop exactly; rows it cannot prove stay False.
+    ind_fires/term_fires flag the candidate slots each lane must
+    examine (supersets of the host tests at its own done level)."""
     B = lengths.shape[0]
     La = lengths.astype(jnp.int32)
     spansize = -(-k // interval) * interval
@@ -268,7 +277,8 @@ def _lane_noop_device(final, cands, lengths, k: int, interval: int,
     left0 = final["left"][:, 0][:, None]
     right0 = final["right"][:, 0][:, None]
     pl0 = final["plusp"][:, 0][:, None]
-    used = ((cl == left0) | (cl == right0)) & (cp == pl0)
+    used = (((cl == left0) | (cl == right0)) & (cp == pl0)
+            & (np_ > 0)[:, None])
 
     d = done[:, None]
     # end-indel entry mismatches (find_end_indels, stage1hr.c:6001)
@@ -315,7 +325,11 @@ def _lane_noop_device(final, cands, lengths, k: int, interval: int,
     term_fires = (done >= base.terminal_threshold)[:, None] & term_exists
 
     gated = (np_ == 1) & (final["kind"][:, 0] == KIND_SUB)
-    return gated & ~jnp.any(ind_fires | term_fires, axis=1)
+    noop = gated & ~jnp.any(ind_fires | term_fires, axis=1)
+    # per-candidate verdicts: host lanes iterate ONLY flagged slots
+    # (ind_fires/term_fires are supersets of the host lanes' entry/
+    # acceptance tests at the host's — possibly lower — done level)
+    return noop, ind_fires, term_fires
 
 
 # ------------------------------------------------------------- pair selection
@@ -1177,13 +1191,23 @@ def align_batch_gapped(
     final.update(cands)
     # device lane-noop gate: rows where the host rescue lanes provably
     # change nothing can emit from the compact view alone, skipping the
-    # full-tree row-subset fetch entirely (runner.run need_full)
+    # full-tree row-subset fetch entirely (runner.run need_full);
+    # lane_ind/lane_term are per-candidate verdicts so the host lanes
+    # only touch flagged slots
     if params.base.trim_mismatch_score == -3:
-        final["lane_noop"] = _lane_noop_device(
+        noop, ind_f, term_f = _lane_noop_device(
             final, final, lengths, index.k, index.interval, params.base,
             KIND_SUB)
+        final["lane_noop"] = noop
+        final["lane_ind"] = ind_f
+        final["lane_term"] = term_f
     else:
         final["lane_noop"] = jnp.zeros(lengths.shape[0], bool)
+    # the intermediate lane features exist only to feed the gate —
+    # drop them from the result tree (they dominated the row-subset
+    # fetch payload: 13 x [B, 2K] int32)
+    for key in _LANE_FEATURE_KEYS:
+        final.pop(key, None)
     return final
 
 

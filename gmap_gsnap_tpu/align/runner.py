@@ -1042,14 +1042,27 @@ class GsnapRunner:
         triples: iterable of (rec, tree, tree_row) — the candidate
         diagonals (cand_*) and ranked-hit diagonals of each row are
         collected and the whole set is mask-computed in one batch."""
-        jobs = []
+        jobs = []          # full shift range (end-indel lane)
+        jobs_zero = []     # shift 0 only (trims + hit/terminal masks)
         for rec, tree, si in triples:
             cl = np.asarray(tree["cand_left"][si]).astype(np.int64)
             cp = np.asarray(tree["cand_plusp"][si]).astype(bool)
             cn = np.asarray(tree["cand_nmm"][si])
             keep = cn < 10**6
-            lefts = list(cl[keep])
-            plusps = list(cp[keep])
+            flagged = "lane_ind" in tree and "lane_term" in tree
+            if flagged:
+                # device per-candidate verdicts: the lanes only touch
+                # flagged slots, so only those need primed masks
+                ind = np.asarray(tree["lane_ind"][si], bool) & keep
+                term = np.asarray(tree["lane_term"][si], bool) & keep
+                if ind.any():
+                    jobs.append((rec, list(cl[ind]), list(cp[ind])))
+                zsel = term & ~ind
+            else:
+                zsel = np.zeros(len(cl), bool)
+                jobs.append((rec, list(cl[keep]), list(cp[keep])))
+            lefts = list(cl[zsel])
+            plusps = list(cp[zsel])
             n = min(int(tree["npaths"][si]), 8)
             if n > 0:
                 lefts += list(np.asarray(
@@ -1057,9 +1070,11 @@ class GsnapRunner:
                 plusps += list(np.asarray(
                     tree["plusp"][si][:n]).astype(bool))
             if lefts:
-                jobs.append((rec, lefts, plusps))
+                jobs_zero.append((rec, lefts, plusps))
         if jobs:
             self._prime_lane_masks(jobs)
+        if jobs_zero:
+            self._prime_lane_masks(jobs_zero, shifts=(0,))
 
     def _hit_details(self, rec: Record, kind: int, left: int, right: int,
                      split: int, nind: int, sense: bool, plusp: bool,
@@ -1245,9 +1260,16 @@ class GsnapRunner:
         lastbound = (L - k) - iv - 1
         out = []
         seen = set()
-        for left, plusp, nmm_full in zip(hits["cand_left"][row],
-                                         hits["cand_plusp"][row],
-                                         hits["cand_nmm"][row]):
+        cl = hits["cand_left"][row]
+        cp = hits["cand_plusp"][row]
+        cn = hits["cand_nmm"][row]
+        if "lane_ind" in hits:
+            # device per-candidate verdicts: only flagged slots can
+            # pass the entry tests below (superset; gsnap_gapped
+            # _lane_noop_device)
+            fl = np.flatnonzero(np.asarray(hits["lane_ind"][row]))
+            cl, cp, cn = cl[fl], cp[fl], cn[fl]
+        for left, plusp, nmm_full in zip(cl, cp, cn):
             left = int(left)
             plusp = bool(plusp)
             if int(nmm_full) >= 10**6 or (left, plusp) in seen:
@@ -2045,10 +2067,16 @@ class GsnapRunner:
                 def trims_of(left, plusp):
                     return self._lane_trims.get(
                         (id(rec), int(left), bool(plusp)))
+            tcl = np.asarray(hits["cand_left"][row])
+            tcp = np.asarray(hits["cand_plusp"][row])
+            tcn = np.asarray(hits["cand_nmm"][row])
+            if "lane_term" in hits:
+                # device per-candidate verdicts (superset at the
+                # original done level; acceptance is re-checked below)
+                fl = np.flatnonzero(np.asarray(hits["lane_term"][row]))
+                tcl, tcp, tcn = tcl[fl], tcp[fl], tcn[fl]
             terms = rescue.make_terminals(
-                mm_fn, np.asarray(hits["cand_left"][row]),
-                np.asarray(hits["cand_plusp"][row]),
-                np.asarray(hits["cand_nmm"][row]), L, done,
+                mm_fn, tcl, tcp, tcn, L, done,
                 spansize + self.db.interval - 1, used=used,
                 k=self.db.k, interval=self.db.interval, trims_of=trims_of,
             )
@@ -3825,6 +3853,31 @@ class GsnapRunner:
             return out
 
         import warnings as _warnings
+
+        # row-subset gather buckets: fetch_record_rows/fetch_pair_rows
+        # pad to x4 steps from 8 — each distinct pad width is a fresh
+        # gather+pack compile of the full result tree (~1 s each
+        # measured mid-run)
+        res_w = self.fetch_records(self.dispatch_records(recs))
+        b_w = len(recs)
+        npad = 8
+        while npad // 4 < b_w:
+            try:
+                self.fetch_record_rows(
+                    res_w, [i % b_w for i in range(npad)])
+            except Exception as e:
+                _warnings.warn(f"warmup: SE row gather {npad}: {e}")
+            npad *= 4
+        if pe:
+            pres_w = self.fetch_pairs(self.dispatch_pairs(recs, recs))
+            npad = 8
+            while npad // 4 < b_w:
+                try:
+                    self.fetch_pair_rows(
+                        pres_w, [i % b_w for i in range(npad)])
+                except Exception as e:
+                    _warnings.warn(f"warmup: PE row gather {npad}: {e}")
+                npad *= 4
 
         lanes = ([(nb, True) for nb in reach(self._BUCKETS_FULLWIDE)]
                  + [(nb, False) for nb in reach(self._BUCKETS_WIDECAND)])

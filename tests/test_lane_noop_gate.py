@@ -86,8 +86,18 @@ def test_device_gate_matches_host_gate(runner):
 
     runner._lane_masks.clear()
     runner._lane_trims.clear()
-    runner._prime_rows(
-        (recs[j], full, full["row_of"][j]) for j in range(len(recs)))
+    # prime EVERY candidate (the production _prime_rows now primes only
+    # device-flagged slots; the host mirror needs them all)
+    jobs = []
+    for j in range(len(recs)):
+        si = full["row_of"][j]
+        cl = np.asarray(full["cand_left"][si]).astype(np.int64)
+        cp = np.asarray(full["cand_plusp"][si], bool)
+        cn = np.asarray(full["cand_nmm"][si])
+        keep = cn < 10**6
+        if keep.any():
+            jobs.append((recs[j], list(cl[keep]), list(cp[keep])))
+    runner._prime_lane_masks(jobs)
     mismatches = []
     for j in range(len(recs)):
         host = (np_a[j] == 1
@@ -97,3 +107,59 @@ def test_device_gate_matches_host_gate(runner):
         if bool(dev[j]) != bool(host):
             mismatches.append((j, bool(dev[j]), bool(host)))
     assert not mismatches, mismatches[:10]
+
+
+def test_lane_flag_filtering_byte_identical(runner):
+    """run() output with device per-candidate lane flags vs with the
+    flags stripped (full lane iteration) must be byte-identical — the
+    flags may only SKIP provably-empty work."""
+    import io
+
+    from gmap_gsnap_tpu.align import runner as runner_mod
+    from gmap_gsnap_tpu.align.runner import Record
+
+    seq = _genome_seq()
+    rng = np.random.default_rng(41)
+    L = 100
+    recs = []
+    for i in range(96):
+        p = int(rng.integers(0, len(seq) - 300))
+        a = seq[p : p + L]
+        mode = i % 8
+        if mode < 4:
+            a = list(a)
+            for _ in range(int(rng.integers(0, 5))):
+                a[int(rng.integers(0, L))] = "ACGT"[int(rng.integers(0, 4))]
+            a = "".join(a)
+        elif mode == 4:  # end-indel shaped
+            a = seq[p : p + 55] + seq[p + 57 : p + 57 + 45]
+        elif mode == 5:  # terminal shaped (half junk)
+            a = seq[p : p + 55] + "".join(
+                "ACGT"[int(x)] for x in rng.integers(0, 4, 45))
+        elif mode == 6:  # unmapped
+            a = "".join("ACGT"[int(x)] for x in rng.integers(0, 4, L))
+        else:
+            a = a[:30] + "N" * 3 + a[33:]
+        if i % 2:
+            a = _rc(a)
+        recs.append(Record(f"f{i}", f"f{i}", a, "I" * L))
+
+    orig_fetch = runner_mod.GsnapRunner.fetch_record_rows
+
+    outs = {}
+    for strip in (False, True):
+        if strip:
+            def stripped(res, rows, _orig=orig_fetch):
+                out = _orig(res, rows)
+                out.pop("lane_ind", None)
+                out.pop("lane_term", None)
+                return out
+            runner.fetch_record_rows = stripped
+        buf = io.StringIO()
+        try:
+            runner.run(recs, buf, batch_size=32)
+        finally:
+            if strip:
+                del runner.fetch_record_rows
+        outs[strip] = buf.getvalue()
+    assert outs[False] == outs[True]
