@@ -136,6 +136,19 @@ PAIR_KTOP = 8
 
 _gather_rows_jit = None
 
+# full-tree fields never consulted by the host lanes — excluded from
+# row-subset fetches (they'd otherwise ride the slow device->host link)
+_DEVICE_ONLY_FIELDS = frozenset({"cand_votes"})
+
+
+def _drop_device_only(tree):
+    out = {}
+    for k, v in tree.items():
+        if k in _DEVICE_ONLY_FIELDS:
+            continue
+        out[k] = _drop_device_only(v) if isinstance(v, dict) else v
+    return out
+
 
 def trim_ends(mm: np.ndarray, trim_mismatch_score: int = -3) -> tuple[int, int]:
     """Exact reimplementation of trim_left_end + trim_right_end
@@ -381,15 +394,22 @@ class PostHit:
 
 
 def encode_batch(records: list[Record], lmax: int):
+    """Batch 2-bit encode: ONE table lookup over the concatenated
+    reads instead of a per-record loop (measured ~8 us/read before)."""
     b = len(records)
+    seqs = [r.seq[:lmax] for r in records]
+    lengths = np.fromiter((len(s) for s in seqs), np.int32, b)
+    buf = np.frombuffer("".join(seqs).encode("ascii"), np.uint8)
+    call = dna.CODE_TABLE[buf]
+    fall = dna.FLAG_TABLE[buf]
+    if b and int(lengths[0]) == lmax and (lengths == lmax).all():
+        return (np.ascontiguousarray(call.reshape(b, lmax)),
+                fall.reshape(b, lmax), lengths)
     codes = np.zeros((b, lmax), np.uint8)
     nflags = np.zeros((b, lmax), bool)
-    lengths = np.zeros(b, np.int32)
-    for i, r in enumerate(records):
-        c, f = dna.encode(r.seq[:lmax])
-        codes[i, : len(c)] = c
-        nflags[i, : len(c)] = f
-        lengths[i] = len(c)
+    mask = np.arange(lmax)[None, :] < lengths[:, None]
+    codes[mask] = call
+    nflags[mask] = fall
     return codes, nflags, lengths
 
 
@@ -698,6 +718,7 @@ class GsnapRunner:
         import jax
 
         res_dev, b = res["_full"]
+        res_dev = _drop_device_only(res_dev)
         global _gather_rows_jit
         if _gather_rows_jit is None:
             _gather_rows_jit = jax.jit(
@@ -2487,6 +2508,7 @@ class GsnapRunner:
         import jax
 
         res_dev, b = res["_full"]
+        res_dev = _drop_device_only(res_dev)
         global _gather_rows_jit
         if _gather_rows_jit is None:
             _gather_rows_jit = jax.jit(
