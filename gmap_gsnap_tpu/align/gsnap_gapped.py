@@ -884,8 +884,10 @@ def _strand_hits(genome, index, queries, codes, nflags, lengths, conv, alt,
     oligos, valid = _extract_oligos(
         _convert_codes(codes, conv), nflags, lengths, index.k
     )
-    diag, trunc = _seed_diagonals(index, oligos, valid, base)
-    top_d, votes, ndistinct = _top_diagonals(diag, base.ncand)
+    diag, tail_diag, tail_qpos, trunc, nphase_min = _seed_diagonals(
+        index, oligos, valid, base)
+    top_d, votes, ndistinct = _top_diagonals(
+        jnp.concatenate([diag, tail_diag], axis=1), base.ncand)
     overflow = trunc | (ndistinct > base.ncand)
 
     mm, pref = _prefix_mm(genome, queries, top_d, lengths, conv, alt)
@@ -916,7 +918,7 @@ def _strand_hits(genome, index, queries, codes, nflags, lengths, conv, alt,
         params.indel_pairs,
     )
     slots = (base.seed_cap // 8 + 1) * 8  # _seed_diagonals grid layout
-    qp5, qp3 = _qpos_ranges(diag, top_d, slots)
+    qp5, qp3 = _qpos_ranges(diag, top_d, slots, tail_diag, tail_qpos)
     indels = _solve_indels(top_d, mm, pref, ii, jj, pv, lengths, budget,
                            queries.lmax, qp5=qp5, qp3=qp3,
                            max_ins=base.max_middle_insertions,
@@ -1030,6 +1032,19 @@ def _strand_hits(genome, index, queries, codes, nflags, lengths, conv, alt,
         # wide re-run only needs a larger candidate budget, not the
         # ~3.5x seed grid (runner._dispatch_wide widecand config)
         "overflow_trunc": trunc,
+        # pigeonhole lower bound on the mismatches of ANY diagonal the
+        # top-ncand cut dropped (stage1hr.c FLOOR_* floors analog): a
+        # placement with m mismatches keeps >= nphase_min - m*ceil(k/q)
+        # phase-aligned seeds, and every dropped diagonal has votes <=
+        # votes[:, -1] (top_k keeps the ncand largest) => its m >=
+        # ceil((nphase_min - v_drop) / ceil(k/q)).  BIG when nothing
+        # was dropped.
+        "ovf_bound": jnp.where(
+            ndistinct > base.ncand,
+            jnp.maximum(
+                -(-(nphase_min - votes[:, -1])
+                  // -(-index.k // index.interval)), 0),
+            BIG_NMM),
     }
 
 
@@ -1085,9 +1100,11 @@ def gather_candidates(
     )
     out["plusp"] = plusp
     cands = {k: jnp.concatenate([cf[k], cr[k]], axis=1)
-             for k in cf if k not in ("overflow", "overflow_trunc")}
+             for k in cf
+             if k not in ("overflow", "overflow_trunc", "ovf_bound")}
     cands["overflow"] = cf["overflow"] | cr["overflow"]
     cands["overflow_trunc"] = cf["overflow_trunc"] | cr["overflow_trunc"]
+    cands["ovf_bound"] = jnp.minimum(cf["ovf_bound"], cr["ovf_bound"])
     nc = cf["cand_left"].shape[1]
     cands["cand_plusp"] = jnp.concatenate(
         [jnp.ones((b, nc), bool), jnp.zeros((b, nc), bool)], axis=1
@@ -1189,6 +1206,33 @@ def align_batch_gapped(
     )
     final = rank_hits(out, params.base)
     final.update(cands)
+    # candidate-budget overflow gate (reference floors analog): with
+    # splicing off, the rescue lanes that could consume a dropped
+    # diagonal (end indels, terminals, middle indel pairs) are all
+    # done-level-gated at >= min(indel_penalty, terminal_threshold); for
+    # rows below that level only SUB ties matter, and ovf_bound proves
+    # no dropped diagonal can reach them — the wide re-run is a no-op,
+    # so clear the flag (stage1hr.c FLOOR_END/FLOOR_MIDDLE gating:
+    # segments whose floor exceeds done_level are never examined).
+    if not params.novelsplicing and known is None:
+        base = params.base
+        lengths_i = lengths.astype(jnp.int32)
+        if base.max_mismatches >= 0:
+            budget = jnp.full(lengths_i.shape, base.max_mismatches, jnp.int32)
+        else:
+            spansize = -(-index.k // index.interval) * index.interval
+            budget = jnp.maximum(
+                (lengths_i + index.interval - 1) // spansize - 2, 0)
+        score0 = final["score"][:, 0]
+        done = jnp.minimum(
+            budget, jnp.where(final["npaths"] > 0, score0, BIG_NMM))
+        lane_gate = min(base.indel_penalty_middle, base.indel_penalty_end,
+                        base.terminal_threshold)
+        safe = ((done + base.subopt_levels < lane_gate)
+                & (final["ovf_bound"] > done + base.subopt_levels))
+        final["overflow"] = final["overflow"] & ~safe
+        final["overflow_trunc"] = final["overflow_trunc"] & final["overflow"]
+    final.pop("ovf_bound")
     # device lane-noop gate: rows where the host rescue lanes provably
     # change nothing can emit from the compact view alone, skipping the
     # full-tree row-subset fetch entirely (runner.run need_full);

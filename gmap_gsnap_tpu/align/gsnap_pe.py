@@ -229,6 +229,34 @@ def align_batch_pe(
     insf = take_cols(
         jnp.broadcast_to(insert, (b, np_, np_)).reshape(b, -1), idx)
 
+    # candidate-budget overflow gate, pair form (see align_batch_gapped):
+    # for a CONCORDANT pair the host rescue lanes never run (run_pe
+    # need_full tests only pairing outcomes), so a dropped diagonal can
+    # only matter through the device solvers — as a SUB end of a pair
+    # that reaches the best pair score (bounded by ovf_bound + the
+    # mate's best) or as a middle-indel piece (possible only when the
+    # end's score budget reaches the indel penalty).  novelsplicing /
+    # known-splice runs keep the rescue unconditionally.
+    if not gp.novelsplicing and known is None:
+        npairs_ = jnp.sum(ok, axis=1).astype(jnp.int32)
+        conc_ok = have_conc[:, 0, 0] & (npairs_ > 0)
+        so = base.subopt_levels
+        pbest = eff2[:, 0]
+        s5b = h5["score"][:, 0]
+        s3b = h3["score"][:, 0]
+        b5 = cands5["ovf_bound"]
+        b3 = cands3["ovf_bound"]
+        sub_ok = ((b5 + s3b > pbest + so) & (b3 + s5b > pbest + so)
+                  & (b5 + b3 > pbest + so))
+        ind_ok = ((pbest + so - s3b < base.indel_penalty_middle)
+                  & (pbest + so - s5b < base.indel_penalty_middle))
+        safe = conc_ok & sub_ok & ind_ok
+        for c in (cands5, cands3):
+            c["overflow"] = c["overflow"] & ~safe
+            c["overflow_trunc"] = c["overflow_trunc"] & c["overflow"]
+    cands5.pop("ovf_bound")
+    cands3.pop("ovf_bound")
+
     return {
         "i5": jnp.where(ok, i5, 0),
         "i3": jnp.where(ok, i3, 0),

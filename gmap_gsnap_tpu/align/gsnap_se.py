@@ -160,9 +160,27 @@ def _extract_oligos(codes: jax.Array, nflags: jax.Array, lengths: jax.Array, k: 
     return oligo, valid
 
 
+N_TAIL = 4  # truncated oligos whose full position lists ride the tail grid
+
+
 def _seed_diagonals(index: IndexArrays, oligos, valid, params: GsnapParams):
     """Gather up to seed_cap positions per valid k-mer; return candidate
     diagonals uint32[B, S*W] with invalid slots = INVALID_DIAG.
+
+    Returns ``(diag, tail_diag, tail_qpos, trunc, nphase_min)``:
+
+    * ``tail_diag`` uint32[B, N_TAIL*W2] / ``tail_qpos`` int32[B, N_TAIL]:
+      for up to N_TAIL oligos whose position lists exceeded seed_cap,
+      the REMAINING positions (seed_cap..size_threshold) are gathered
+      into a small side grid, so the seed set is complete — the
+      reference uses every position of any in-threshold oligo
+      (stage1hr.c:1029 policy) and this removes the truncation rescue
+      lane for all but pathological reads.
+    * ``trunc`` now fires only when MORE than N_TAIL oligos truncated.
+    * ``nphase_min`` int32[B]: min over the ``interval`` sampling phases
+      of the number of in-threshold valid oligos in that phase — the
+      pigeonhole floor input (stage1hr.c FLOOR_* analog) used to bound
+      the mismatches of any diagonal dropped by the top-ncand cut.
 
     A ShardedIndexArrays index routes to the sharded-positions seeding
     (parallel.shard.sharded_seed_diagonals).
@@ -173,6 +191,19 @@ def _seed_diagonals(index: IndexArrays, oligos, valid, params: GsnapParams):
     masking on the global element index."""
     from ..parallel import shard as shard_mod
 
+    b, s = oligos.shape
+    q = index.interval
+    qpos_iota = jnp.arange(s, dtype=jnp.int32)
+
+    def phase_min(bound_ok):
+        counts = [
+            jnp.sum(bound_ok & (qpos_iota[None, :] % q == c), axis=1)
+            for c in range(q)
+        ]
+        return jnp.minimum(
+            jnp.min(jnp.stack(counts, axis=1), axis=1).astype(jnp.int32),
+            jnp.sum(bound_ok, axis=1).astype(jnp.int32))
+
     if isinstance(index, shard_mod.ShardedIndexArrays):
         diag = shard_mod.sharded_seed_diagonals(index, oligos, valid, params)
         off = index.offsets
@@ -181,8 +212,10 @@ def _seed_diagonals(index: IndexArrays, oligos, valid, params: GsnapParams):
         trunc = jnp.any(
             valid & (count > params.seed_cap)
             & (count <= params.size_threshold), axis=1)
-        return diag, trunc
-    b, s = oligos.shape
+        nphase_min = phase_min(valid & (count <= params.size_threshold))
+        tail_diag = jnp.full((b, 0), INVALID_DIAG, jnp.uint32)
+        tail_qpos = jnp.zeros((b, N_TAIL), jnp.int32)
+        return diag, tail_diag, tail_qpos, trunc, nphase_min
     c = params.seed_cap
     row = 8
     nrows = c // row + 1
@@ -206,11 +239,41 @@ def _seed_diagonals(index: IndexArrays, oligos, valid, params: GsnapParams):
     qpos = jnp.arange(s, dtype=jnp.uint32)[None, :, None, None]
     ok = ok & (pos >= qpos)
     diag = jnp.where(ok, pos - qpos, INVALID_DIAG)
-    # overflow: some in-threshold oligo had its position list truncated
-    # at seed_cap — candidates may be missing (rescue lane re-runs the
-    # read at wider caps, SURVEY 7 / stage1hr.c:1029 policy)
-    trunc = jnp.any(usable & (count > c), axis=1)
-    return diag.reshape(b, s * nrows * row), trunc
+
+    # tail grid: complete the position lists of up to N_TAIL truncated
+    # oligos (count in (seed_cap, size_threshold])
+    tr = usable & (count > c)
+    ntr = jnp.sum(tr, axis=1).astype(jnp.int32)
+    w2 = max(params.size_threshold - c, 0)
+    if w2 > 0:
+        nrows2 = w2 // row + 2  # arbitrary start alignment needs +1 row
+        tv, tidx = jax.lax.top_k(tr.astype(jnp.int32), min(N_TAIL, s))
+        has = tv > 0
+        tstart = jnp.take_along_axis(start, tidx, axis=1)  # [B, T]
+        tend = tstart + jnp.minimum(
+            jnp.take_along_axis(count, tidx, axis=1), params.size_threshold)
+        lo = jnp.take_along_axis(cap_end, tidx, axis=1)
+        rows2 = (lo >> 3)[:, :, None] + jnp.arange(nrows2, dtype=jnp.int32)
+        rows2 = jnp.clip(rows2, 0, pos2d.shape[0] - 1)
+        pos2 = pos2d[rows2]  # uint32 [B, T, nrows2, row]
+        gidx2 = rows2[:, :, :, None] * row + jnp.arange(row, dtype=jnp.int32)
+        ok2 = (
+            has[:, :, None, None]
+            & (gidx2 >= lo[:, :, None, None])
+            & (gidx2 < tend[:, :, None, None])
+        )
+        tq = tidx.astype(jnp.uint32)  # oligo index IS its query position
+        ok2 = ok2 & (pos2 >= tq[:, :, None, None])
+        tail = jnp.where(ok2, pos2 - tq[:, :, None, None], INVALID_DIAG)
+        tail_diag = tail.reshape(b, -1)
+        tail_qpos = tidx.astype(jnp.int32)
+    else:
+        tail_diag = jnp.full((b, 0), INVALID_DIAG, jnp.uint32)
+        tail_qpos = jnp.zeros((b, min(N_TAIL, s)), jnp.int32)
+    trunc = ntr > N_TAIL
+    nphase_min = phase_min(valid & (count <= params.size_threshold))
+    return (diag.reshape(b, s * nrows * row), tail_diag, tail_qpos, trunc,
+            nphase_min)
 
 
 def _top_diagonals(diag, ncand: int):
@@ -244,7 +307,8 @@ def _top_diagonals(diag, ncand: int):
     return top_d, top_v, ndistinct
 
 
-def _qpos_ranges(diag_grid, d_sel, slots_per_oligo: int):
+def _qpos_ranges(diag_grid, d_sel, slots_per_oligo: int,
+                 tail_diag=None, tail_qpos=None):
     """First/last seed query position per selected diagonal — the
     reference Segment querypos5/querypos3 (stage1hr.c:9000) used to
     gate indel pairing.  Computed lazily against the UNSORTED seed grid
@@ -257,6 +321,14 @@ def _qpos_ranges(diag_grid, d_sel, slots_per_oligo: int):
     eq = diag_grid[:, None, :] == d_sel[:, :, None]          # [B, P, N]
     qp5 = jnp.min(jnp.where(eq, qpos, jnp.int32(2**30)), axis=2)
     qp3 = jnp.max(jnp.where(eq, qpos, jnp.int32(-1)), axis=2)
+    if tail_diag is not None and tail_diag.shape[1]:
+        w2slots = tail_diag.shape[1] // tail_qpos.shape[1]
+        tq = jnp.repeat(tail_qpos, w2slots, axis=1)[:, None, :]
+        eq2 = tail_diag[:, None, :] == d_sel[:, :, None]
+        qp5 = jnp.minimum(
+            qp5, jnp.min(jnp.where(eq2, tq, jnp.int32(2**30)), axis=2))
+        qp3 = jnp.maximum(
+            qp3, jnp.max(jnp.where(eq2, tq, jnp.int32(-1)), axis=2))
     return qp5, qp3
 
 
@@ -335,11 +407,15 @@ def align_batch(
         _convert_codes(codes_rc, conv_minus), nflags_rc, lengths, index.k
     )
 
-    diag_f, trunc_f = _seed_diagonals(index, oligos_f, valid_f, params)
-    diag_r, trunc_r = _seed_diagonals(index_minus, oligos_r, valid_r, params)
+    diag_f, tail_f, _, trunc_f, _ = _seed_diagonals(
+        index, oligos_f, valid_f, params)
+    diag_r, tail_r, _, trunc_r, _ = _seed_diagonals(
+        index_minus, oligos_r, valid_r, params)
 
-    top_f, _, nd_f = _top_diagonals(diag_f, params.ncand)
-    top_r, _, nd_r = _top_diagonals(diag_r, params.ncand)
+    top_f, _, nd_f = _top_diagonals(
+        jnp.concatenate([diag_f, tail_f], axis=1), params.ncand)
+    top_r, _, nd_r = _top_diagonals(
+        jnp.concatenate([diag_r, tail_r], axis=1), params.ncand)
 
     nmm_f = _verify(genome, queries_fwd, top_f, lengths, conv_plus, alt)
     nmm_r = _verify(genome, queries_rev, top_r, lengths, conv_minus, alt)
