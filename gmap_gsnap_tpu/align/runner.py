@@ -2951,15 +2951,18 @@ class GsnapRunner:
         return rescue.HostHit(d, kind, d.nmatches_whole,
                               np.array(d.mmpos, int), d.loglik)
 
-    def _sub_batch(self, seqs, lefts, plusps):
+    def _sub_batch(self, seqs, lefts, plusps, want_md: bool = True):
         """Vectorized KIND_SUB hit details for a group of same-length
         oriented (end, read) jobs: mismatch masks, trims, NM, MD.
 
         seqs: read strings (original orientation, pre-upper);
         lefts/plusps: int64/bool arrays.  Returns dict of per-job
-        arrays; md is a list of strings.  Exactly mirrors the scalar
-        _mismatch_masks -> trim_ends -> sam.md_gapped chain of
-        _hit_details for the single-part KIND_SUB case."""
+        arrays; md is a list of strings (only when want_md — the
+        native emitter consumes the raw mdpos/mdoff/mdch runs
+        instead); qb is the aligned-orientation byte matrix, which IS
+        the SAM print orientation for both strands.  Exactly mirrors
+        the scalar _mismatch_masks -> trim_ends -> sam.md_gapped chain
+        of _hit_details for the single-part KIND_SUB case."""
         n = len(seqs)
         L = len(seqs[0])
         qb = np.frombuffer("".join(s.upper() for s in seqs)
@@ -2990,15 +2993,23 @@ class GsnapRunner:
         mm_span = mm_ref & span
         nm = mm_span.sum(1).astype(np.int64)
         r, c = np.nonzero(mm_span)
-        starts = np.concatenate([[0], np.cumsum(nm)[:-1]])
-        chars = gb[r, c].tobytes().decode("latin-1")
+        out = {"trim5": trim5, "trim3": trim3, "nm": nm, "qb": qb,
+               "mdpos": (c - trim5[r]).astype(np.int32),
+               "mdoff": np.concatenate(
+                   [[0], np.cumsum(nm)]).astype(np.uint32),
+               "mdch": gb[r, c].tobytes()}
+        if not want_md:
+            return out
+        starts = out["mdoff"]
+        chars = out["mdch"].decode("latin-1")
         mds = []
         for i in range(n):
-            lo, hi = starts[i], starts[i] + nm[i]
+            lo, hi = int(starts[i]), int(starts[i + 1])
             mds.append(_md_from_positions(
                 (c[lo:hi] - trim5[i]).tolist(), chars[lo:hi],
                 int(L - trim5[i] - trim3[i])))
-        return {"trim5": trim5, "trim3": trim3, "nm": nm, "md": mds}
+        out["md"] = mds
+        return out
 
     @staticmethod
     def _pairlength_sub_batch(l5, p5, L5, t55, t35, l3, p3, L3, t53, t33):
@@ -3067,27 +3078,36 @@ class GsnapRunner:
             return {}
 
         # per-end detail jobs, grouped by read length
+        from .. import native as native_mod
+
         njobs = 2 * len(idx)
+        native_ok = (not sam.INSERT_0M
+                     and native_mod.get_lib() is not None)
         t5a = np.zeros(njobs, np.int64)
         t3a = np.zeros(njobs, np.int64)
         nma = np.zeros(njobs, np.int64)
         mda = [None] * njobs
+        groups = []
         jobs = {}
         for k, i in enumerate(idx):
             jobs.setdefault(int(L5[i]), []).append(
-                (2 * k, recs5[i].seq, l5[i], p5[i]))
+                (2 * k, recs5[i], l5[i], p5[i]))
             jobs.setdefault(int(L3[i]), []).append(
-                (2 * k + 1, recs3_inv[i].seq, l3[i], p3[i]))
+                (2 * k + 1, recs3_inv[i], l3[i], p3[i]))
         for L, grp in jobs.items():
             slots = [g[0] for g in grp]
-            d = self._sub_batch([g[1] for g in grp],
+            d = self._sub_batch([g[1].seq for g in grp],
                                 np.array([g[2] for g in grp], np.int64),
-                                np.array([g[3] for g in grp], bool))
+                                np.array([g[3] for g in grp], bool),
+                                want_md=not native_ok)
             t5a[slots] = d["trim5"]
             t3a[slots] = d["trim3"]
             nma[slots] = d["nm"]
-            for s, m in zip(slots, d["md"]):
-                mda[s] = m
+            if native_ok:
+                groups.append((L, slots, grp, d))
+            else:
+                for s, m in zip(slots, d["md"]):
+                    mda[s] = m
 
         ev = np.arange(len(idx)) * 2
         t55, t35, nm5 = t5a[ev], t3a[ev], nma[ev]
@@ -3114,6 +3134,24 @@ class GsnapRunner:
         flag3 = (0x83 | sam.FLAG_PROPER
                  | np.where(pl3 == inv2, sam.FLAG_REVCOMP, 0)
                  | np.where(pl5 == inv1, sam.FLAG_MATE_REVCOMP, 0))
+
+        if native_ok:
+            out = self._emit_pe_native(
+                recs5, recs3_inv, rows, idx, groups, chr5, chr3, pos5, pos3,
+                flag5, flag3, t5sgn, t3sgn)
+            if out is not None:
+                return out
+            # native emit declined (buffer sizing): fall back to the
+            # Python path — rebuild the MD strings it skipped
+            for L, slots, grp, d in groups:
+                starts = d["mdoff"]
+                chars = d["mdch"].decode("latin-1")
+                relpos = d["mdpos"]
+                for t, s in enumerate(slots):
+                    lo, hi = int(starts[t]), int(starts[t + 1])
+                    mda[s] = _md_from_positions(
+                        relpos[lo:hi].tolist(), chars[lo:hi],
+                        int(L - d["trim5"][t] - d["trim3"][t]))
 
         names = self.db.chr_names
         out = {}
@@ -3156,6 +3194,95 @@ class GsnapRunner:
                                 nh=1, hi=1))
         return out
 
+    def _chr_blob(self):
+        """(blob, offsets) of chromosome names for the native emitter."""
+        if getattr(self, "_chrblob_c", None) is None:
+            names = [str(n) for n in self.db.chr_names]
+            blob = "".join(names).encode("latin-1")
+            off = np.zeros(len(names) + 1, np.uint32)
+            off[1:] = np.cumsum([len(n) for n in names])
+            self._chrblob_c = (blob, off)
+        return self._chrblob_c
+
+    def _emit_pe_native(self, recs5, recs3_inv, rows, idx, groups,
+                        chr5, chr3, pos5, pos3, flag5, flag3,
+                        t5sgn, t3sgn):
+        """Native (C) SAM assembly for the PE SUB/SUB fast path: one
+        sam_sub_lines call per read-length group builds every line;
+        Python only slices the result per pair.  Returns {row: text}
+        or None when the emitter declines (caller falls back)."""
+        from .. import native as native_mod
+
+        nidx = len(idx)
+        njobs = 2 * nidx
+        maxq = np.full(njobs, -1, np.int64)
+        gq = []
+        for L, slots, grp, d in groups:
+            quals = [(g[1].quality or "") for g in grp]
+            has = np.array([len(q) == L for q in quals], bool)
+            qs = "".join(q if len(q) == L else "!" * L for q in quals)
+            qm = np.frombuffer(qs.encode("latin-1"),
+                               np.uint8).reshape(len(grp), L)
+            maxq[slots] = np.where(has, qm.max(1), -1)
+            minus = ~np.array([bool(g[3]) for g in grp], bool)
+            qp = qm.copy()
+            qp[minus] = qp[minus, ::-1]
+            gq.append((qp, has))
+        ev = np.arange(nidx) * 2
+        mq_pair = np.maximum(maxq[ev], maxq[ev + 1])
+        mq_pair = np.where(
+            mq_pair < 0, MAX_QUALITY_SCORE,
+            np.clip(mq_pair - QUALITY_ADJ, 1, MAX_QUALITY_SCORE))
+
+        chrs = np.empty(njobs, np.int64)
+        poss = np.empty(njobs, np.int64)
+        flags = np.empty(njobs, np.int64)
+        tlens = np.empty(njobs, np.int64)
+        pnexts = np.empty(njobs, np.int64)
+        rnexts = np.empty(njobs, np.int64)
+        chrs[ev], chrs[ev + 1] = chr5, chr3
+        poss[ev], poss[ev + 1] = pos5, pos3
+        flags[ev], flags[ev + 1] = flag5, flag3
+        tlens[ev], tlens[ev + 1] = t5sgn, t3sgn
+        pnexts[ev], pnexts[ev + 1] = pos3, pos5
+        same = chr5 == chr3
+        rnexts[ev] = np.where(same, -1, chr3)
+        rnexts[ev + 1] = np.where(same, -1, chr5)
+        labs = [recs5[i].label for i in idx]
+        lablens = np.array([len(l) for l in labs], np.int64)
+        laboff = np.zeros(nidx + 1, np.int64)
+        laboff[1:] = np.cumsum(lablens)
+        labblob = "".join(labs).encode("latin-1")
+        lab_start = np.repeat(laboff[:-1], 2)
+        lab_len = np.repeat(lablens, 2)
+        mqs = np.repeat(mq_pair, 2)
+        blob, choff = self._chr_blob()
+
+        slot_line = [None] * njobs
+        for (L, slots, grp, d), (qp, has) in zip(groups, gq):
+            sl = np.asarray(slots, np.int64)
+            ns = len(sl)
+            res = native_mod.sam_sub_lines(
+                labblob, lab_start[sl], lab_len[sl],
+                d["qb"], qp, np.full(ns, L, np.int32),
+                has.astype(np.uint8),
+                blob, choff, chrs[sl], poss[sl], flags[sl], mqs[sl],
+                rnexts[sl], pnexts[sl], tlens[sl],
+                d["trim5"], d["trim3"], d["nm"],
+                np.ones(ns, np.int32), np.ones(ns, np.int32),
+                np.full(ns, MAPQ_MAXIMUM_SCORE, np.int32),
+                np.zeros(ns, np.int32),
+                d["mdpos"], d["mdoff"], d["mdch"])
+            if res is None:
+                return None
+            text, offs = res
+            for t, s in enumerate(slots):
+                slot_line[s] = text[offs[t]:offs[t + 1]]
+        out = {}
+        for k, i in enumerate(idx):
+            out[int(rows[i])] = slot_line[2 * k] + slot_line[2 * k + 1]
+        return out
+
     def _se_done_level(self, recs, res, rows=None):
         """Per-row done level = min(budget, best score) — the gate the
         SE rescue lanes key on (_rescued_hits; stage1hr.c done_level).
@@ -3192,28 +3319,50 @@ class GsnapRunner:
         if not len(idx):
             return {}
 
+        from .. import native as native_mod
+
+        native_ok = (not sam.INSERT_0M
+                     and native_mod.get_lib() is not None)
         t5a = np.zeros(len(idx), np.int64)
         t3a = np.zeros(len(idx), np.int64)
         nma = np.zeros(len(idx), np.int64)
         mda = [None] * len(idx)
+        groups = []
         jobs = {}
         for k, i in enumerate(idx):
             jobs.setdefault(int(L_a[i]), []).append(
-                (k, recs[i].seq, left[i], plusp[i]))
+                (k, recs[i], left[i], plusp[i]))
         for L, grp in jobs.items():
             slots = [g[0] for g in grp]
-            d = self._sub_batch([g[1] for g in grp],
+            d = self._sub_batch([g[1].seq for g in grp],
                                 np.array([g[2] for g in grp], np.int64),
-                                np.array([g[3] for g in grp], bool))
+                                np.array([g[3] for g in grp], bool),
+                                want_md=not native_ok)
             t5a[slots] = d["trim5"]
             t3a[slots] = d["trim3"]
             nma[slots] = d["nm"]
-            for s, m in zip(slots, d["md"]):
-                mda[s] = m
+            if native_ok:
+                groups.append((L, slots, grp, d))
+            else:
+                for s, m in zip(slots, d["md"]):
+                    mda[s] = m
 
         le, pl, rl = left[idx], plusp[idx], L_a[idx]
         chrn = np.searchsorted(self.db.chr_ends, le, side="right")
         pos = le - self.db.chr_starts[chrn] + 1 + t5a
+        if native_ok:
+            out = self._emit_se_native(recs, rows, idx, groups, chrn, pos, pl)
+            if out is not None:
+                return out
+            for L, slots, grp, d in groups:
+                starts = d["mdoff"]
+                chars = d["mdch"].decode("latin-1")
+                relpos = d["mdpos"]
+                for t, s in enumerate(slots):
+                    lo, hi = int(starts[t]), int(starts[t + 1])
+                    mda[s] = _md_from_positions(
+                        relpos[lo:hi].tolist(), chars[lo:hi],
+                        int(L - d["trim5"][t] - d["trim3"][t]))
         names = self.db.chr_names
         out = {}
         for k, i in enumerate(idx):
@@ -3234,6 +3383,59 @@ class GsnapRunner:
             out[int(rows[i])] = sam.se_record(
                 rec.label, rec.seq.upper(), qual, hit, nh=1, hi=1)
         return out
+
+    def _emit_se_native(self, recs, rows, idx, groups, chrn, pos, pl):
+        """Native SAM assembly for the SE SUB fast path; see
+        _emit_pe_native."""
+        from .. import native as native_mod
+
+        nidx = len(idx)
+        maxq = np.full(nidx, -1, np.int64)
+        gq = []
+        for L, slots, grp, d in groups:
+            quals = [(g[1].quality or "") for g in grp]
+            has = np.array([len(q) == L for q in quals], bool)
+            qs = "".join(q if len(q) == L else "!" * L for q in quals)
+            qm = np.frombuffer(qs.encode("latin-1"),
+                               np.uint8).reshape(len(grp), L)
+            maxq[slots] = np.where(has, qm.max(1), -1)
+            minus = ~np.array([bool(g[3]) for g in grp], bool)
+            qp = qm.copy()
+            qp[minus] = qp[minus, ::-1]
+            gq.append((qp, has))
+        mqs = np.where(
+            maxq < 0, MAX_QUALITY_SCORE,
+            np.clip(maxq - QUALITY_ADJ, 1, MAX_QUALITY_SCORE))
+        flags = np.where(pl, 0, sam.FLAG_REVCOMP).astype(np.int64)
+        labs = [recs[i].label for i in idx]
+        lablens = np.array([len(l) for l in labs], np.int64)
+        laboff = np.zeros(nidx + 1, np.int64)
+        laboff[1:] = np.cumsum(lablens)
+        labblob = "".join(labs).encode("latin-1")
+        blob, choff = self._chr_blob()
+
+        slot_line = [None] * nidx
+        for (L, slots, grp, d), (qp, has) in zip(groups, gq):
+            sl = np.asarray(slots, np.int64)
+            ns = len(sl)
+            res = native_mod.sam_sub_lines(
+                labblob, laboff[:-1][sl], lablens[sl],
+                d["qb"], qp, np.full(ns, L, np.int32),
+                has.astype(np.uint8),
+                blob, choff, chrn[sl], pos[sl], flags[sl], mqs[sl],
+                np.full(ns, -2, np.int64), np.zeros(ns, np.int64),
+                np.zeros(ns, np.int64),
+                d["trim5"], d["trim3"], d["nm"],
+                np.ones(ns, np.int32), np.ones(ns, np.int32),
+                np.full(ns, MAPQ_MAXIMUM_SCORE, np.int32),
+                np.zeros(ns, np.int32),
+                d["mdpos"], d["mdoff"], d["mdch"])
+            if res is None:
+                return None
+            text, offs = res
+            for t, s in enumerate(slots):
+                slot_line[s] = text[offs[t]:offs[t + 1]]
+        return {int(rows[i]): slot_line[k] for k, i in enumerate(idx)}
 
     def _clip_sub(self, rec: Record, d: PostHit, h_low: int, h_high: int):
         """Hard-clip a single-M-span hit at query coords [0, h_low) and
