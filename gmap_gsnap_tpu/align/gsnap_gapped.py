@@ -1229,9 +1229,13 @@ def align_batch_gapped(
         lane_gate = min(base.indel_penalty_middle, base.indel_penalty_end,
                         base.terminal_threshold)
         safe = ((done + base.subopt_levels < lane_gate)
-                & (final["ovf_bound"] > done + base.subopt_levels))
+                & (final["ovf_bound"] > done + base.subopt_levels)
+                # the floor bound assumes the seed grid was COMPLETE:
+                # truncation past the tail grid means positions are
+                # missing entirely, so trunc-type overflow always
+                # rescues
+                & ~final["overflow_trunc"])
         final["overflow"] = final["overflow"] & ~safe
-        final["overflow_trunc"] = final["overflow_trunc"] & final["overflow"]
     final.pop("ovf_bound")
     # device lane-noop gate: rows where the host rescue lanes provably
     # change nothing can emit from the compact view alone, skipping the

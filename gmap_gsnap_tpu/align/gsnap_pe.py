@@ -252,8 +252,8 @@ def align_batch_pe(
                   & (pbest + so - s5b < base.indel_penalty_middle))
         safe = conc_ok & sub_ok & ind_ok
         for c in (cands5, cands3):
-            c["overflow"] = c["overflow"] & ~safe
-            c["overflow_trunc"] = c["overflow_trunc"] & c["overflow"]
+            # floor bound only covers top-ncand drops, not truncation
+            c["overflow"] = c["overflow"] & ~(safe & ~c["overflow_trunc"])
     cands5.pop("ovf_bound")
     cands3.pop("ovf_bound")
 

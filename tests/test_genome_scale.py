@@ -63,15 +63,18 @@ def test_se_pipeline_without_genome_string(tmp_path):
 
 
 def test_overflow_rescue_lane(tmp_path):
-    """Reads whose oligo position lists truncate at seed_cap re-run at
-    wide caps (SURVEY 7 overflow rescue): a read built over the most
-    frequent chr17test 12-mer (79 positions > seed_cap=32) must flag
-    overflow and still match the reference byte-for-byte."""
+    """Truncated-oligo handling (SURVEY 7 overflow rescue, updated for
+    tail-seeding): a read over the most frequent chr17test 12-mer (79
+    positions > seed_cap=32) is completed by the tail seed grid — its
+    candidate set is exact WITHOUT the wide re-run, so overflow must
+    NOT fire (the floor-bound gate also clears the candidate-budget
+    flag) — while a tandem-repeat window whose truncated query
+    positions exceed N_TAIL still flags overflow and re-runs at wide
+    caps.  Both must match the reference byte-for-byte."""
     import io
     import subprocess
-    import sys as _sys
 
-    from gmap_gsnap_tpu.align import runner as runner_mod
+    from gmap_gsnap_tpu.align import gsnap_se, runner as runner_mod
     from gmap_gsnap_tpu.db.datadir import GenomeDB
 
     if not os.path.isdir("/tmp/refbuild/trytest/gdb"):
@@ -80,19 +83,44 @@ def test_overflow_rescue_lane(tmp_path):
     cnt = np.diff(db.offsets.astype(np.int64))
     big = np.flatnonzero((cnt > 32) & (cnt <= 100))
     assert len(big), "fixture lost its frequent oligo"
-    o = int(big[np.argmax(cnt[big])])
-    pos = int(db.positions[db.offsets[o]])
+
+    # classify genome windows by how many of their query positions hit
+    # a truncating (count > seed_cap) oligo, BOTH strands (trunc fires
+    # on either)
+    code_of = np.zeros(256, np.int64)
+    for i, c in enumerate(b"ACGT"):
+        code_of[c] = i
+    g = code_of[db.genome_str.ascii]
+    k = db.k
+    km = np.zeros(len(g) - k + 1, np.int64)
+    kmr = np.zeros(len(g) - k + 1, np.int64)
+    gr = g ^ 3
+    for i in range(k):
+        km = (km << 2) | g[i : len(g) - k + 1 + i]
+        kmr = (kmr >> 2) | (gr[i : len(g) - k + 1 + i] << (2 * (k - 1)))
+    hits = (np.isin(km, big) | np.isin(kmr, big)).astype(int)
+    dense = np.convolve(hits, np.ones(89, int), "valid")
+    within = np.flatnonzero((dense >= 1) & (dense <= gsnap_se.N_TAIL))
+    assert len(within), "fixture lost its isolated frequent-oligo site"
+    pos = int(within[0])
     seq = db.genome_str[pos : pos + 100]
-    rec = runner_mod.Record("ovf", "ovf", seq, "I" * 100)
+    j = int(np.argmax(dense))
+    assert dense[j] > gsnap_se.N_TAIL, "fixture lost its tandem repeat"
+    seq_tandem = db.genome_str[j : j + 100]
+
     runner = runner_mod.GsnapRunner(db)
-    res = runner.align_records([rec])
-    assert bool(res["overflow"][0])
+    rec = runner_mod.Record("ovf", "ovf", seq, "I" * 100)
+    rec_t = runner_mod.Record("ovt", "ovt", seq_tandem, "I" * 100)
+    res = runner.align_records([rec, rec_t])
+    assert not bool(res["overflow"][0]), "tail grid should complete it"
+    assert bool(res["overflow"][1]), "tandem window should still rescue"
     out = io.StringIO()
-    runner.run([rec], out)
+    runner.run([rec, rec_t], out)
     mine = [l for l in out.getvalue().splitlines() if not l.startswith("@")]
 
     fq = tmp_path / "ovf.fq"
-    fq.write_text(f"@ovf\n{seq}\n+\n{'I' * 100}\n")
+    fq.write_text(f"@ovf\n{seq}\n+\n{'I' * 100}\n"
+                  f"@ovt\n{seq_tandem}\n+\n{'I' * 100}\n")
     ref = subprocess.run(
         ["/tmp/refbuild/src/gsnap", "-D", "/tmp/refbuild/trytest/gdb",
          "-d", "chr17test", "--format=sam", str(fq)],
