@@ -3821,20 +3821,20 @@ class GsnapRunner:
             trunc_any = tr5 | tr3
             wide_lanes, wide_row = [], {}
             if len(ovf):
-                for rows_sel, widen in (
-                        ([int(j) for j in ovf if trunc_any[j]], True),
-                        ([int(j) for j in ovf if not trunc_any[j]], False)):
-                    if not rows_sel:
-                        continue
-                    lane_disp = self._dispatch_wide_pe(
-                        [chunk5[j] for j in rows_sel],
-                        [chunk3_inv[j] for j in rows_sel],
-                        widen_seeds=widen)
-                    li = len(wide_lanes)
-                    wide_lanes.append((lane_disp, {j: wi for wi, j
-                                                   in enumerate(rows_sel)}))
-                    for j in rows_sel:
-                        wide_row[j] = li
+                # one merged lane per batch (each lane costs a fetch
+                # round trip): widen the seed grid whenever ANY row
+                # truncated — the fullwide config is a superset of the
+                # widecand one
+                rows_sel = [int(j) for j in ovf]
+                widen = bool(any(trunc_any[j] for j in rows_sel))
+                lane_disp = self._dispatch_wide_pe(
+                    [chunk5[j] for j in rows_sel],
+                    [chunk3_inv[j] for j in rows_sel],
+                    widen_seeds=widen)
+                wide_lanes.append((lane_disp, {j: wi for wi, j
+                                               in enumerate(rows_sel)}))
+                for j in rows_sel:
+                    wide_row[j] = 0
             # pass 1 collects GMAP-rescue requests; one batched device
             # call resolves them; affected pairs re-emit (pass 2)
             t_batch = _time.time()
@@ -4179,17 +4179,16 @@ class GsnapRunner:
                                                 np.zeros(0, bool))))), bool)
             wide_lanes, wide_row = [], {}
             if len(ovf):
-                for rows_sel, widen in (
-                        ([int(j) for j in ovf if trunc_a[j]], True),
-                        ([int(j) for j in ovf if not trunc_a[j]], False)):
-                    if not rows_sel:
-                        continue
-                    lane_disp = self._dispatch_wide(
-                        [chunk[j] for j in rows_sel], widen_seeds=widen)
-                    wide_lanes.append((lane_disp, {j: wi for wi, j
-                                                   in enumerate(rows_sel)}))
-                    for j in rows_sel:
-                        wide_row[j] = len(wide_lanes) - 1
+                # one merged lane per batch (a lane = one fetch round
+                # trip); widen seeds whenever any row truncated
+                rows_sel = [int(j) for j in ovf]
+                widen = bool(any(trunc_a[j] for j in rows_sel))
+                lane_disp = self._dispatch_wide(
+                    [chunk[j] for j in rows_sel], widen_seeds=widen)
+                wide_lanes.append((lane_disp, {j: wi for wi, j
+                                               in enumerate(rows_sel)}))
+                for j in rows_sel:
+                    wide_row[j] = 0
             # pass 1: GMAP-rescue requests are collected, not solved;
             # wide-lane rows emit after their async fetch below
             t_batch = _time.time()
