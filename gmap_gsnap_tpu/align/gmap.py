@@ -430,6 +430,10 @@ def align_cdna(db: GenomeDB, query: str, max_intronlen: int = 1_000_000,
     return paths[0]
 
 
+# sticky per-(Q, rows) seeding budgets: retries prove the size once
+_HS_STICKY: dict = {}
+
+
 def _bucket(n: int, lo: int = 256) -> int:
     """Quantize a dimension to a small set of bucket sizes (x4 steps).
 
@@ -493,12 +497,15 @@ def align_cdna_batch(db: GenomeDB, queries: list[str],
     index = db.device_index
     oligos_d = jnp.asarray(oligos.astype(np.int32))
     valid_d = jnp.asarray(valid)
-    H = 8 * Q
     # repeat-dense genomes yield hundreds of >=MIN_SEGLEN segments for
     # kb-scale queries (measured p90=404 on chr17test) — start long
     # queries at S=1024 so the overflow retry (a full seeding round
-    # trip at 4x the transfer) stays rare instead of routine
-    S = 192 if Q <= 256 else 1024
+    # trip at 4x the transfer) stays rare instead of routine.  Budgets
+    # are sticky per (Q, rows) bucket: a retry in one call (measured
+    # ~0.3 s of device round trip each in the SE GMAP-rescue lane)
+    # starts every later call at the proven size.
+    H, S = _HS_STICKY.get(
+        (Q, rows_b), (8 * Q, 192 if Q <= 256 else 1024))
     while True:
         segs_d = gmap_engine.seed_segments_device(
             index.offsets, index.positions, oligos_d, valid_d,
@@ -539,6 +546,7 @@ def align_cdna_batch(db: GenomeDB, queries: list[str],
                 H *= 4
             if nsegs > S:
                 S *= 4
+            _HS_STICKY[(Q, rows_b)] = (H, S)
             continue
         keys = ("qstart", "qend", "diag", "valid", "nhits", "nsegs")
         arrs = [segs_d[kk] for kk in keys]
@@ -562,6 +570,7 @@ def align_cdna_batch(db: GenomeDB, queries: list[str],
             H *= 4
         if nsegs > S:
             S *= 4
+        _HS_STICKY[(Q, rows_b)] = (H, S)
 
     # nonjoinable transitions (genomic jumps the reference could never
     # bridge) split chains into separate candidate paths

@@ -75,12 +75,33 @@ def seed_segments_device(offsets, positions, oligos, valid,
     cumbase = cum - cnt                                  # exclusive
     t = jnp.arange(H, dtype=jnp.int32)
 
-    qidx = jax.vmap(
-        lambda cu: jnp.searchsorted(cu, t, side="right"))(cum)
-    qidx = jnp.minimum(qidx, Q - 1)
+    # slot -> owning query position WITHOUT a binary search: runs are
+    # contiguous, so scatter each kept oligo's (qpos, run base, run
+    # start) at its first slot and carry them forward with cummax — a
+    # searchsorted here is log2(Q) elementwise gather steps over [B, H]
+    # (measured dominating this whole kernel at ~85M gathered elem/s),
+    # the scatter is only [B, Q] and the scans are vector ops.
+    bi = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None],
+                          cumbase.shape)
+    # kept oligos have STRICTLY increasing cumbase (cnt > 0), so each
+    # scatters to a distinct slot; non-kept and overflowing (>= H)
+    # oligos index out of bounds and drop.  (.at[].set compiles in
+    # seconds on the TPU backend; .at[].max measured 260 s.)
+    sl = jnp.where(keep, cumbase, H)
+    neg = jnp.int32(-1)
+    qmark = jnp.full((B, H), neg).at[bi, sl].set(
+        jnp.broadcast_to(jnp.arange(Q, dtype=jnp.int32)[None, :],
+                         cumbase.shape), mode="drop")
+    bmark = jnp.full((B, H), neg).at[bi, sl].set(cumbase, mode="drop")
+    # q and cumbase are co-monotone among kept oligos so cummax carries
+    # the owner forward; s is NOT monotone in q, so it comes from one
+    # [B, H] gather through the carried qidx (still 13x fewer gathers
+    # than the searchsorted it replaces)
+    qidx = jnp.maximum(jax.lax.cummax(qmark, axis=1), 0)
+    base_at = jax.lax.cummax(bmark, axis=1)
+    s_at = jnp.take_along_axis(s, qidx, axis=1)
     ok = t[None, :] < jnp.minimum(nhits, H)[:, None]     # [B, H]
-    off = t[None, :] - jnp.take_along_axis(cumbase, qidx, axis=1)
-    pidx = jnp.take_along_axis(s, qidx, axis=1) + off
+    pidx = s_at + (t[None, :] - base_at)
     pidx = jnp.clip(pidx, 0, positions.shape[0] - 1)
     pos = positions[pidx].astype(jnp.uint32)             # [B, H] gather
 
@@ -88,12 +109,13 @@ def seed_segments_device(offsets, positions, oligos, valid,
     diag_f = pos - qq0 + jnp.uint32(Q)                   # biased diagonal
     diag_f = jnp.where(ok, diag_f, jnp.uint32(0xFFFFFFFF))
 
-    # hits are qpos-ascending by construction; one stable sort by diag
-    # gives (diag, qpos) order with invalid slots at the end
-    order = jnp.argsort(diag_f, axis=1, stable=True)
-    dg = jnp.take_along_axis(diag_f, order, axis=1)
-    qq = jnp.take_along_axis(qq0, order, axis=1).astype(jnp.int32)
-    oks = jnp.take_along_axis(ok, order, axis=1)
+    # hits are qpos-ascending by construction; one stable multi-operand
+    # sort by diag gives (diag, qpos) order with invalid slots at the
+    # end — lax.sort carries qq/ok along instead of three elementwise
+    # take_along_axis gathers over [B, H]
+    dg, qq, oks = jax.lax.sort(
+        (diag_f, qq0.astype(jnp.int32), ok), dimension=1,
+        is_stable=True, num_keys=1)
 
     prev_d = jnp.concatenate([dg[:, :1] ^ 1, dg[:, :-1]], axis=1)
     prev_q = jnp.concatenate([qq[:, :1], qq[:, :-1]], axis=1)
