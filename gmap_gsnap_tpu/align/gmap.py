@@ -603,10 +603,16 @@ def align_cdna_batch(db: GenomeDB, queries: list[str],
         (row, ci): build_one(row, ci, (coll, (row, ci)))
         for row in range(rows) for ci in range(len(chains[row]))}
     if coll["requests"]:
+        # dispatch every direction bucket before fetching any — the
+        # buckets' device work and transfers overlap instead of paying
+        # one blocking round trip each
+        handles = {
+            direction: gmap_engine.solve_junctions_dispatch(
+                gcodes, [r for _, r in reqs], direction)
+            for direction, reqs in coll["requests"].items()}
         for direction, reqs in coll["requests"].items():
             keys = [k for k, _ in reqs]
-            sols = gmap_engine.solve_junctions_batch(
-                gcodes, [r for _, r in reqs], direction)
+            sols = gmap_engine.solve_junctions_finish(handles[direction])
             for k, sol in zip(keys, sols):
                 if sol is not None:
                     coll["solutions"][k] = sol

@@ -263,11 +263,12 @@ def chain_backtrack_device(qstart, qend, diag, valid, score, prev,
     return mask, qs, qe, dg, best
 
 
-def fetch_packed(arrays):
-    """ONE device->host transfer for a list of integer arrays (each
-    round trip on a tunneled chip costs a full RTT; packing the result
-    pytree into a single buffer is the same trick as runner._pack_tree).
-    uint32 arrays ride as bitcast int32 and are viewed back on host."""
+def pack_dispatch(arrays):
+    """Queue the device-side packing of a list of integer arrays into
+    one buffer and start its async device->host copy.  Pair with
+    pack_finish — splitting lets several packed results' device work
+    and transfers overlap instead of serializing one blocking fetch
+    per call site."""
     import jax
 
     flat, metas = [], []
@@ -279,7 +280,19 @@ def fetch_packed(arrays):
         flat.append(jnp.ravel(v.astype(jnp.int32)))
         metas.append((a.shape, int(np.prod(a.shape, dtype=np.int64)),
                       u32, a.dtype == jnp.bool_))
-    buf = np.asarray(jnp.concatenate(flat)) if flat else np.zeros(0, np.int32)
+    buf_d = jnp.concatenate(flat) if flat else None
+    if buf_d is not None:
+        try:
+            buf_d.copy_to_host_async()
+        except Exception:
+            pass
+    return buf_d, metas
+
+
+def pack_finish(handle):
+    """Host side of pack_dispatch: one blocking transfer + unpack."""
+    buf_d, metas = handle
+    buf = np.asarray(buf_d) if buf_d is not None else np.zeros(0, np.int32)
     out, off = [], 0
     for shape, sz, u32, boolean in metas:
         v = buf[off : off + sz].reshape(shape)
@@ -290,6 +303,14 @@ def fetch_packed(arrays):
         out.append(v)
         off += sz
     return out
+
+
+def fetch_packed(arrays):
+    """ONE device->host transfer for a list of integer arrays (each
+    round trip on a tunneled chip costs a full RTT; packing the result
+    pytree into a single buffer is the same trick as runner._pack_tree).
+    uint32 arrays ride as bitcast int32 and are viewed back on host."""
+    return pack_finish(pack_dispatch(arrays))
 
 
 def chains_from_device(segs, B: int, Q: int, k: int,
@@ -420,6 +441,16 @@ def solve_junctions_batch(gcodes, requests, cdna_direction,
     introntype) with pieces = diagonal runs covering [lo, hi) in
     aligned query coords, or None for failures.
     """
+    return solve_junctions_finish(
+        solve_junctions_dispatch(gcodes, requests, cdna_direction, finalp))
+
+
+def solve_junctions_dispatch(gcodes, requests, cdna_direction,
+                             finalp: bool = True):
+    """Device half of solve_junctions_batch: queues the DP kernel set
+    and the packed transfer, returns a handle for
+    solve_junctions_finish.  Lets several direction buckets' device
+    work overlap instead of one blocking round trip per bucket."""
     import jax.numpy as jnp
 
     B = len(requests)
@@ -431,7 +462,7 @@ def solve_junctions_batch(gcodes, requests, cdna_direction,
     Mb = 64
     keep = [i for i in range(B) if 2 <= Ms[i] <= Mb]
     if not keep:
-        return results
+        return (None, results, None, None)
     nb = len(keep)
     # bucket the batch dim in x4 steps from 32 — same compile-count
     # rationale; padded rows replicate row 0 and their results are
@@ -523,8 +554,17 @@ def solve_junctions_batch(gcodes, requests, cdna_direction,
         matsR[0], matsR[1], matsR[2], brR_d.astype(jnp.int32),
         bcR_d.astype(jnp.int32), jnp.asarray(lbandR), later,
         T=T, W=W, open_=open_, extend=extend)
-    (fs, ityp, opsL, oprL, opcL, opsR, oprR, opcR) = fetch_packed(
-        [fs_d, ityp_d, *tbL, *tbR])
+    handle = pack_dispatch([fs_d, ityp_d, *tbL, *tbR])
+    return (handle, results, keep, requests)
+
+
+def solve_junctions_finish(dispatched):
+    """Host half of solve_junctions_dispatch: one packed transfer +
+    piece assembly."""
+    handle, results, keep, requests = dispatched
+    if handle is None:
+        return results
+    (fs, ityp, opsL, oprL, opcL, opsR, oprR, opcR) = pack_finish(handle)
 
     def pieces_from(bi, ops, opr, opc, rev, lo, hi, diagL, diagR):
         # convert diag-run ops into (qpos, gpos) pairs in aligned coords
