@@ -884,10 +884,9 @@ def _strand_hits(genome, index, queries, codes, nflags, lengths, conv, alt,
     oligos, valid = _extract_oligos(
         _convert_codes(codes, conv), nflags, lengths, index.k
     )
-    diag, tail_diag, tail_qpos, trunc, nphase_min = _seed_diagonals(
+    diag, qpos_grid, trunc, nphase_min = _seed_diagonals(
         index, oligos, valid, base)
-    top_d, votes, ndistinct = _top_diagonals(
-        jnp.concatenate([diag, tail_diag], axis=1), base.ncand)
+    top_d, votes, ndistinct = _top_diagonals(diag, base.ncand)
     overflow = trunc | (ndistinct > base.ncand)
 
     mm, pref = _prefix_mm(genome, queries, top_d, lengths, conv, alt)
@@ -917,8 +916,7 @@ def _strand_hits(genome, index, queries, codes, nflags, lengths, conv, alt,
         ),
         params.indel_pairs,
     )
-    slots = (base.seed_cap // 8 + 1) * 8  # _seed_diagonals grid layout
-    qp5, qp3 = _qpos_ranges(diag, top_d, slots, tail_diag, tail_qpos)
+    qp5, qp3 = _qpos_ranges(diag, qpos_grid, top_d)
     indels = _solve_indels(top_d, mm, pref, ii, jj, pv, lengths, budget,
                            queries.lmax, qp5=qp5, qp3=qp3,
                            max_ins=base.max_middle_insertions,
@@ -1072,7 +1070,8 @@ def gather_candidates(
         index_minus = index
 
     queries_fwd = _pack_device(codes, nflags, lengths, lmax)
-    codes_rc, nflags_rc = _revcomp_batch(codes, nflags, lengths)
+    codes_rc, nflags_rc = _revcomp_batch(codes, nflags, lengths,
+                                         base.uniform_len)
     queries_rev = _pack_device(codes_rc, nflags_rc, lengths, lmax)
 
     if base.max_mismatches >= 0:
@@ -1081,14 +1080,40 @@ def gather_candidates(
         spansize = -(-index.k // index.interval) * index.interval
         budget = jnp.maximum((lengths + index.interval - 1) // spansize - 2, 0)
 
-    hf, cf = _strand_hits(
-        genome, index, queries_fwd, codes, nflags, lengths, conv_plus, alt,
-        budget, params, known,
-    )
-    hr, cr = _strand_hits(
-        genome, index_minus, queries_rev, codes_rc, nflags_rc, lengths,
-        conv_minus, alt, budget, params, known,
-    )
+    if conv_plus is None and conv_minus is None and index_minus is index:
+        # standard mode: both strands share the conversion and index —
+        # run them as ONE [2B] batch through the cascade core.  Halves
+        # the op count (per-op dispatch/fixed costs dominate many of
+        # the small fused kernels) and doubles every gather's batch.
+        q2 = mm_ops.PackedQueries(
+            codes16=jnp.concatenate([queries_fwd.codes16,
+                                     queries_rev.codes16]),
+            nflags16=jnp.concatenate([queries_fwd.nflags16,
+                                      queries_rev.nflags16]),
+            length=jnp.concatenate([queries_fwd.length,
+                                    queries_rev.length]),
+            lmax=queries_fwd.lmax,
+        )
+        h2, c2 = _strand_hits(
+            genome, index, q2,
+            jnp.concatenate([codes, codes_rc]),
+            jnp.concatenate([nflags, nflags_rc]),
+            jnp.concatenate([lengths, lengths]),
+            None, alt, jnp.concatenate([budget, budget]), params, known,
+        )
+        hf = {k: v[:b] for k, v in h2.items()}
+        hr = {k: v[b:] for k, v in h2.items()}
+        cf = {k: v[:b] for k, v in c2.items()}
+        cr = {k: v[b:] for k, v in c2.items()}
+    else:
+        hf, cf = _strand_hits(
+            genome, index, queries_fwd, codes, nflags, lengths, conv_plus,
+            alt, budget, params, known,
+        )
+        hr, cr = _strand_hits(
+            genome, index_minus, queries_rev, codes_rc, nflags_rc, lengths,
+            conv_minus, alt, budget, params, known,
+        )
 
     out = {}
     for k in hf:
@@ -1265,6 +1290,19 @@ SE_EMIT_FIELDS = ("kind", "left", "right", "split", "nindels", "sense",
                   "plusp", "mid", "split2", "score", "nmm")
 
 
+# compact-view dtype slimming: the tunnel link moves ~13 MB/s D2H, so
+# every byte of the per-batch payload is ~75 ns of wall clock; these
+# fields have small value ranges and ride the uint8 buffer
+_SMALL_FIELDS = {"kind": jnp.uint8, "nindels": jnp.int8}
+
+
+def _slim(out):
+    for k, dt in _SMALL_FIELDS.items():
+        if k in out:
+            out[k] = out[k].astype(dt)
+    return out
+
+
 def compact_se(res, ktop: int = 8):
     """Emission-compact view of an align_batch_gapped result: the
     top-ktop ranked hit fields plus npaths/overflow.  The full tree
@@ -1277,4 +1315,4 @@ def compact_se(res, ktop: int = 8):
     for key in ("overflow", "overflow_trunc", "lane_noop"):
         if key in res:
             out[key] = res[key]
-    return out
+    return _slim(out)

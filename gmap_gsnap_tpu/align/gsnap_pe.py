@@ -96,10 +96,19 @@ def align_batch_pe(
     base = gp.base
     np_ = params.npair_end
 
-    out5, cands5 = gsnap_gapped.gather_candidates(
-        genome, index, index_minus, codes5, nflags5, lengths5, gp, alt, known)
-    out3, cands3 = gsnap_gapped.gather_candidates(
-        genome, index, index_minus, codes3, nflags3, lengths3, gp, alt, known)
+    # both ends ride ONE [2B] cascade call (and, in standard mode, one
+    # [4B] strand-stacked core inside): per-op fixed costs amortize and
+    # every index/genome gather runs at double batch
+    b_ = codes5.shape[0]
+    out2, cands2 = gsnap_gapped.gather_candidates(
+        genome, index, index_minus,
+        jnp.concatenate([codes5, codes3]),
+        jnp.concatenate([nflags5, nflags3]),
+        jnp.concatenate([lengths5, lengths3]), gp, alt, known)
+    out5 = {k: v[:b_] for k, v in out2.items()}
+    out3 = {k: v[b_:] for k, v in out2.items()}
+    cands5 = {k: v[:b_] for k, v in cands2.items()}
+    cands3 = {k: v[b_:] for k, v in cands2.items()}
 
     # pairing uses per-end hits WITHOUT the per-end optimal filter: a
     # suboptimal end can form the optimal pair (reference keeps all hits
@@ -290,19 +299,21 @@ def compact_pe(res, ktop: int = 8):
     the full tree stays ON DEVICE and rows that need rescue lanes
     (non-concordant / unmapped / npairs > ktop) are fetched later as a
     row subset (runner.fetch_pair_rows)."""
+    from .gsnap_gapped import _slim
+
     i5 = res["i5"][:, :ktop]
     i3 = res["i3"][:, :ktop]
-    top5 = {k: jnp.take_along_axis(res["end5_pairing"][k], i5, axis=1)
-            for k in PAIR_EMIT_FIELDS}
-    top3 = {k: jnp.take_along_axis(res["end3_pairing"][k], i3, axis=1)
-            for k in PAIR_EMIT_FIELDS}
+    top5 = _slim({k: jnp.take_along_axis(res["end5_pairing"][k], i5, axis=1)
+                  for k in PAIR_EMIT_FIELDS})
+    top3 = _slim({k: jnp.take_along_axis(res["end3_pairing"][k], i3, axis=1)
+                  for k in PAIR_EMIT_FIELDS})
     b = i5.shape[0]
     ar = jnp.broadcast_to(
         jnp.arange(ktop, dtype=res["i5"].dtype)[None, :], (b, ktop))
     return {
         "npairs": res["npairs"],
         "pair_concordant": res["pair_concordant"],
-        "pairtype": res["pairtype"][:, :ktop],
+        "pairtype": res["pairtype"][:, :ktop].astype(jnp.uint8),
         "insert": res["insert"][:, :ktop],
         "pscore": res["pscore"][:, :ktop],
         "i5": ar,

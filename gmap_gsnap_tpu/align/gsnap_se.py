@@ -56,13 +56,20 @@ class IndexArrays:
     positions: jax.Array  # uint32[N] genome start coords, grouped by oligo
     k: int                # static
     interval: int         # static
+    # (start << 8) | min(count, 255) per oligo, when the positions
+    # array is small enough (< 2^24 entries) for start to fit 24 bits.
+    # Halves the seeding's per-oligo gather volume: TPU gathers cost
+    # ~10 ns per ELEMENT, so one packed fetch beats offsets[o] +
+    # offsets[o+1].
+    startcnt: jax.Array | None = None
 
     def tree_flatten(self):
-        return (self.offsets, self.positions), (self.k, self.interval)
+        return (self.offsets, self.positions, self.startcnt), (
+            self.k, self.interval)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, aux[0], aux[1])
+        return cls(*children[:2], aux[0], aux[1], children[2])
 
     @classmethod
     def from_host(cls, offsets: np.ndarray, positions: np.ndarray, k: int, interval: int):
@@ -74,11 +81,19 @@ class IndexArrays:
             positions = np.concatenate(
                 [positions, np.zeros(pad, np.uint32)]
             )
+        off = offsets.astype(np.uint32)
+        startcnt = None
+        if len(positions) < (1 << 24):
+            cnt = np.minimum(np.diff(off.astype(np.int64)), 255)
+            startcnt = jnp.asarray(
+                ((off[:-1].astype(np.uint32)) << np.uint32(8))
+                | cnt.astype(np.uint32))
         return cls(
-            offsets=jnp.asarray(offsets.astype(np.uint32)),
+            offsets=jnp.asarray(off),
             positions=jnp.asarray(positions),
             k=int(k),
             interval=int(interval),
+            startcnt=startcnt,
         )
 
 
@@ -86,7 +101,9 @@ class IndexArrays:
 class GsnapParams:
     """Static pipeline configuration (shapes bake into the jit cache)."""
 
-    seed_cap: int = 32         # positions gathered per k-mer lookup
+    seed_total: int = 256      # compact seed-grid slots per read (all
+                               # oligos share the budget; 0 = exact,
+                               # i.e. S * size_threshold slots)
     size_threshold: int = 100  # skip oligos with more positions than this
     ncand: int = 32            # diagonals verified per read per strand
     maxpaths: int = 100        # hits reported per read
@@ -133,6 +150,13 @@ class GsnapParams:
     max_gmap_improvement: int = 5       # gsnap.c:92
     gmap_min_coverage: float = 0.5      # gsnap.c:84
     microexon_spliceprob: float = 0.95  # gsnap.c:94
+    # Static data-shape hint, set per batch by the runner: every read
+    # in the batch has length == lmax, so the reverse complement is a
+    # pure flip (a layout op) instead of a per-row gather (~10 ns per
+    # gathered element on TPU).  Purely an optimization flag — both
+    # variants produce identical results.
+    uniform_len: bool = False
+
     # Accepted for compatibility; every application site in the
     # reference is disabled with if(0) (stage1hr.c:6343,6480,6815,7058)
     antistranded_penalty: int = 0       # gsnap.c:202
@@ -160,35 +184,101 @@ def _extract_oligos(codes: jax.Array, nflags: jax.Array, lengths: jax.Array, k: 
     return oligo, valid
 
 
-N_TAIL = 4  # truncated oligos whose full position lists ride the tail grid
+def _seed_grid_width(s: int, params: GsnapParams) -> int:
+    """Static compact-grid width for S oligos: seed_total slots, or the
+    exact maximum (S * size_threshold) when seed_total == 0."""
+    wmax = s * params.size_threshold
+    return wmax if params.seed_total == 0 else min(params.seed_total, wmax)
+
+
+def _seed_rank_map(index, oligos, valid, params: GsnapParams):
+    """Shared rank->position mapping for the compact seed grid.
+
+    Slot t of read b holds the t-th position (in query-position order)
+    of the read's usable oligos; every usable oligo contributes its
+    FULL position list (count <= size_threshold — the reference uses
+    every position of any in-threshold oligo, stage1hr.c:1029), so the
+    only truncation is the shared per-read budget W.
+
+    Returns (gpos int32[B, W] global positions-array indices,
+    qpos int32[B, W] owner oligo / query position, valid_slot bool,
+    trunc bool[B], count int32[B, S])."""
+    b, s = oligos.shape
+    sc = getattr(index, "startcnt", None)
+    if sc is not None and params.size_threshold < 255:
+        packed = sc[oligos]
+        start = (packed >> jnp.uint32(8)).astype(jnp.int32)
+        count = (packed & jnp.uint32(0xFF)).astype(jnp.int32)  # clamped
+    else:
+        off = index.offsets
+        start = off[oligos].astype(jnp.int32)
+        end = off[jnp.minimum(oligos + 1, off.shape[0] - 1)].astype(jnp.int32)
+        count = end - start
+    usable = valid & (count > 0) & (count <= params.size_threshold)
+    ccap = jnp.where(usable, count, 0)
+    cum = jnp.cumsum(ccap, axis=1)                      # inclusive [B, S]
+    total = cum[:, -1]
+    w = _seed_grid_width(s, params)
+    trunc = total > w
+    t = jnp.arange(w, dtype=jnp.int32)[None, :]         # [1, W]
+    # owner oligo of slot t: scatter each contributing oligo's index at
+    # its first slot (cum_ex, unique among usable oligos) and
+    # forward-fill with a running max — the scatter/cummax idiom that
+    # replaced broadcast compare-reduces elsewhere in this codebase
+    cum_ex = cum - ccap                                 # exclusive
+    rows_b = jnp.broadcast_to(
+        jnp.arange(b, dtype=jnp.int32)[:, None], (b, s))
+    slot = jnp.where(usable & (cum_ex < w), cum_ex, w)  # w = dropped
+    o_iota = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None, :],
+                              (b, s))
+    o_mark = jnp.full((b, w), -1, jnp.int32).at[rows_b, slot].max(
+        o_iota, mode="drop")
+    o_idx = jax.lax.cummax(o_mark, axis=1)
+    valid_slot = t < jnp.minimum(total, w)[:, None]
+    o_idx = jnp.clip(o_idx, 0, s - 1)
+    # gpos[t] = t + (start[o_idx] - cum_ex[o_idx]).  Materializing the
+    # piecewise-constant delta via take_along_axis costs ~10 ns/elem on
+    # TPU (every gathered element does); instead scatter each usable
+    # oligo's delta STEP at its first slot and integrate with a cumsum
+    delta = start - cum_ex
+    # ff[o] = delta of the last usable oligo <= o (log-doubling fill)
+    ff = jnp.where(usable, delta, 0)
+    have = usable
+    step = 1
+    while step < s:
+        ff_s = jnp.pad(ff, ((0, 0), (step, 0)))[:, :s]
+        have_s = jnp.pad(have, ((0, 0), (step, 0)))[:, :s]
+        ff = jnp.where(have, ff, ff_s)
+        have = have | have_s
+        step *= 2
+    prev = jnp.pad(ff, ((0, 0), (1, 0)))[:, :s]          # ff[o-1]
+    ddiff = jnp.where(usable, delta - prev, 0)
+    dsteps = jnp.zeros((b, w), jnp.int32).at[rows_b, slot].add(
+        ddiff, mode="drop")
+    gpos = t + jnp.cumsum(dsteps, axis=1)
+    gpos = jnp.where(valid_slot, gpos, 0)
+    return gpos, o_idx, valid_slot, trunc, count
 
 
 def _seed_diagonals(index: IndexArrays, oligos, valid, params: GsnapParams):
-    """Gather up to seed_cap positions per valid k-mer; return candidate
-    diagonals uint32[B, S*W] with invalid slots = INVALID_DIAG.
+    """Candidate diagonals on the compact seed grid.
 
-    Returns ``(diag, tail_diag, tail_qpos, trunc, nphase_min)``:
+    Returns ``(diag uint32[B, W], qpos int32[B, W], trunc, nphase_min)``:
 
-    * ``tail_diag`` uint32[B, N_TAIL*W2] / ``tail_qpos`` int32[B, N_TAIL]:
-      for up to N_TAIL oligos whose position lists exceeded seed_cap,
-      the REMAINING positions (seed_cap..size_threshold) are gathered
-      into a small side grid, so the seed set is complete — the
-      reference uses every position of any in-threshold oligo
-      (stage1hr.c:1029 policy) and this removes the truncation rescue
-      lane for all but pathological reads.
-    * ``trunc`` now fires only when MORE than N_TAIL oligos truncated.
+    * ``diag``: pos - querypos per occupied slot (INVALID_DIAG in empty
+      slots); W = seed_total slots shared by all of the read's oligos,
+      so the ~97%-padding per-oligo slot grid of the old layout (and
+      its big gather + sort) disappears.
+    * ``qpos``: the owning oligo index (== query position) per slot.
+    * ``trunc``: the read's total in-threshold positions exceeded W —
+      the wide rescue lane re-runs it with seed_total=0 (exact).
     * ``nphase_min`` int32[B]: min over the ``interval`` sampling phases
       of the number of in-threshold valid oligos in that phase — the
       pigeonhole floor input (stage1hr.c FLOOR_* analog) used to bound
       the mismatches of any diagonal dropped by the top-ncand cut.
 
-    A ShardedIndexArrays index routes to the sharded-positions seeding
-    (parallel.shard.sharded_seed_diagonals).
-
-    Positions are fetched as aligned 8-wide rows (one gather descriptor
-    per 8 entries — TPU gathers are per-descriptor limited) and the
-    exact [start, start+min(count, seed_cap)) window is selected by
-    masking on the global element index."""
+    A ShardedIndexArrays index routes the positions gather through the
+    sharded-positions path (parallel.shard.sharded_seed_diagonals)."""
     from ..parallel import shard as shard_mod
 
     b, s = oligos.shape
@@ -204,76 +294,19 @@ def _seed_diagonals(index: IndexArrays, oligos, valid, params: GsnapParams):
             jnp.min(jnp.stack(counts, axis=1), axis=1).astype(jnp.int32),
             jnp.sum(bound_ok, axis=1).astype(jnp.int32))
 
+    gpos, o_idx, valid_slot, trunc, count = _seed_rank_map(
+        index, oligos, valid, params)
     if isinstance(index, shard_mod.ShardedIndexArrays):
-        diag = shard_mod.sharded_seed_diagonals(index, oligos, valid, params)
-        off = index.offsets
-        o = jnp.clip(oligos, 0, off.shape[0] - 2)
-        count = (off[o + 1] - off[o]).astype(jnp.int32)
-        trunc = jnp.any(
-            valid & (count > params.seed_cap)
-            & (count <= params.size_threshold), axis=1)
-        nphase_min = phase_min(valid & (count <= params.size_threshold))
-        tail_diag = jnp.full((b, 0), INVALID_DIAG, jnp.uint32)
-        tail_qpos = jnp.zeros((b, N_TAIL), jnp.int32)
-        return diag, tail_diag, tail_qpos, trunc, nphase_min
-    c = params.seed_cap
-    row = 8
-    nrows = c // row + 1
-    off = index.offsets
-    start = off[oligos].astype(jnp.int32)
-    end = off[jnp.minimum(oligos + 1, off.shape[0] - 1)].astype(jnp.int32)
-    count = end - start
-    usable = valid & (count > 0) & (count <= params.size_threshold)
-    cap_end = start + jnp.minimum(count, c)
-
-    pos2d = index.positions.reshape(-1, row)
-    rows = (start >> 3)[:, :, None] + jnp.arange(nrows, dtype=jnp.int32)
-    rows = jnp.clip(rows, 0, pos2d.shape[0] - 1)
-    pos = pos2d[rows]  # uint32 [B, S, nrows, row]
-    gidx = rows[:, :, :, None] * row + jnp.arange(row, dtype=jnp.int32)
-    ok = (
-        usable[:, :, None, None]
-        & (gidx >= start[:, :, None, None])
-        & (gidx < cap_end[:, :, None, None])
-    )
-    qpos = jnp.arange(s, dtype=jnp.uint32)[None, :, None, None]
-    ok = ok & (pos >= qpos)
-    diag = jnp.where(ok, pos - qpos, INVALID_DIAG)
-
-    # tail grid: complete the position lists of up to N_TAIL truncated
-    # oligos (count in (seed_cap, size_threshold])
-    tr = usable & (count > c)
-    ntr = jnp.sum(tr, axis=1).astype(jnp.int32)
-    w2 = max(params.size_threshold - c, 0)
-    if w2 > 0:
-        nrows2 = w2 // row + 2  # arbitrary start alignment needs +1 row
-        tv, tidx = jax.lax.top_k(tr.astype(jnp.int32), min(N_TAIL, s))
-        has = tv > 0
-        tstart = jnp.take_along_axis(start, tidx, axis=1)  # [B, T]
-        tend = tstart + jnp.minimum(
-            jnp.take_along_axis(count, tidx, axis=1), params.size_threshold)
-        lo = jnp.take_along_axis(cap_end, tidx, axis=1)
-        rows2 = (lo >> 3)[:, :, None] + jnp.arange(nrows2, dtype=jnp.int32)
-        rows2 = jnp.clip(rows2, 0, pos2d.shape[0] - 1)
-        pos2 = pos2d[rows2]  # uint32 [B, T, nrows2, row]
-        gidx2 = rows2[:, :, :, None] * row + jnp.arange(row, dtype=jnp.int32)
-        ok2 = (
-            has[:, :, None, None]
-            & (gidx2 >= lo[:, :, None, None])
-            & (gidx2 < tend[:, :, None, None])
-        )
-        tq = tidx.astype(jnp.uint32)  # oligo index IS its query position
-        ok2 = ok2 & (pos2 >= tq[:, :, None, None])
-        tail = jnp.where(ok2, pos2 - tq[:, :, None, None], INVALID_DIAG)
-        tail_diag = tail.reshape(b, -1)
-        tail_qpos = tidx.astype(jnp.int32)
+        diag = shard_mod.sharded_seed_diagonals(
+            index, gpos, o_idx, valid_slot)
     else:
-        tail_diag = jnp.full((b, 0), INVALID_DIAG, jnp.uint32)
-        tail_qpos = jnp.zeros((b, min(N_TAIL, s)), jnp.int32)
-    trunc = ntr > N_TAIL
+        pos = index.positions[
+            jnp.clip(gpos, 0, index.positions.shape[0] - 1)]
+        qpos_u = o_idx.astype(jnp.uint32)
+        ok = valid_slot & (pos >= qpos_u)
+        diag = jnp.where(ok, pos - qpos_u, INVALID_DIAG)
     nphase_min = phase_min(valid & (count <= params.size_threshold))
-    return (diag.reshape(b, s * nrows * row), tail_diag, tail_qpos, trunc,
-            nphase_min)
+    return diag, o_idx, trunc, nphase_min
 
 
 def _top_diagonals(diag, ncand: int):
@@ -307,28 +340,18 @@ def _top_diagonals(diag, ncand: int):
     return top_d, top_v, ndistinct
 
 
-def _qpos_ranges(diag_grid, d_sel, slots_per_oligo: int,
-                 tail_diag=None, tail_qpos=None):
+def _qpos_ranges(diag_grid, qpos_grid, d_sel):
     """First/last seed query position per selected diagonal — the
     reference Segment querypos5/querypos3 (stage1hr.c:9000) used to
-    gate indel pairing.  Computed lazily against the UNSORTED seed grid
-    (slot // slots_per_oligo = oligo query position, _seed_diagonals
-    layout) only for the few diagonals the pair selector kept; a
-    broadcast compare + fused min/max reduce is far cheaper than
-    carrying qpos through the hot diagonal sort."""
-    n = diag_grid.shape[1]
-    qpos = (jnp.arange(n, dtype=jnp.int32) // slots_per_oligo)[None, None, :]
-    eq = diag_grid[:, None, :] == d_sel[:, :, None]          # [B, P, N]
+    gate indel pairing.  Computed lazily against the UNSORTED compact
+    seed grid (qpos_grid = per-slot owner oligo, _seed_diagonals) only
+    for the few diagonals the pair selector kept; a broadcast compare +
+    fused min/max reduce is far cheaper than carrying qpos through the
+    hot diagonal sort."""
+    eq = diag_grid[:, None, :] == d_sel[:, :, None]          # [B, P, W]
+    qpos = qpos_grid[:, None, :]
     qp5 = jnp.min(jnp.where(eq, qpos, jnp.int32(2**30)), axis=2)
     qp3 = jnp.max(jnp.where(eq, qpos, jnp.int32(-1)), axis=2)
-    if tail_diag is not None and tail_diag.shape[1]:
-        w2slots = tail_diag.shape[1] // tail_qpos.shape[1]
-        tq = jnp.repeat(tail_qpos, w2slots, axis=1)[:, None, :]
-        eq2 = tail_diag[:, None, :] == d_sel[:, :, None]
-        qp5 = jnp.minimum(
-            qp5, jnp.min(jnp.where(eq2, tq, jnp.int32(2**30)), axis=2))
-        qp3 = jnp.maximum(
-            qp3, jnp.max(jnp.where(eq2, tq, jnp.int32(-1)), axis=2))
     return qp5, qp3
 
 
@@ -397,7 +420,8 @@ def align_batch(
         index_minus = index
 
     queries_fwd = _pack_device(codes, nflags, lengths, lmax)
-    codes_rc, nflags_rc = _revcomp_batch(codes, nflags, lengths)
+    codes_rc, nflags_rc = _revcomp_batch(codes, nflags, lengths,
+                                         params.uniform_len)
     queries_rev = _pack_device(codes_rc, nflags_rc, lengths, lmax)
 
     oligos_f, valid_f = _extract_oligos(
@@ -407,15 +431,13 @@ def align_batch(
         _convert_codes(codes_rc, conv_minus), nflags_rc, lengths, index.k
     )
 
-    diag_f, tail_f, _, trunc_f, _ = _seed_diagonals(
+    diag_f, _, trunc_f, _ = _seed_diagonals(
         index, oligos_f, valid_f, params)
-    diag_r, tail_r, _, trunc_r, _ = _seed_diagonals(
+    diag_r, _, trunc_r, _ = _seed_diagonals(
         index_minus, oligos_r, valid_r, params)
 
-    top_f, _, nd_f = _top_diagonals(
-        jnp.concatenate([diag_f, tail_f], axis=1), params.ncand)
-    top_r, _, nd_r = _top_diagonals(
-        jnp.concatenate([diag_r, tail_r], axis=1), params.ncand)
+    top_f, _, nd_f = _top_diagonals(diag_f, params.ncand)
+    top_r, _, nd_r = _top_diagonals(diag_r, params.ncand)
 
     nmm_f = _verify(genome, queries_fwd, top_f, lengths, conv_plus, alt)
     nmm_r = _verify(genome, queries_rev, top_r, lengths, conv_minus, alt)
@@ -498,8 +520,14 @@ def _pack_device(codes, nflags, lengths, lmax):
     return mm_ops.PackedQueries(codes16, nflags16, lengths, lmax)
 
 
-def _revcomp_batch(codes, nflags, lengths):
-    """Per-read reverse complement honoring individual lengths."""
+def _revcomp_batch(codes, nflags, lengths, uniform: bool = False):
+    """Per-read reverse complement honoring individual lengths.
+
+    uniform=True asserts every length == lmax (caller-guaranteed): the
+    revcomp is then a flip along the read axis — a cheap layout op —
+    instead of a per-row take_along_axis gather."""
+    if uniform:
+        return jnp.flip(codes, axis=1) ^ 3, jnp.flip(nflags, axis=1)
     b, lmax = codes.shape
     idx = jnp.arange(lmax, dtype=jnp.int32)[None, :]
     src = lengths[:, None] - 1 - idx

@@ -109,6 +109,9 @@ def _pack_leaves(leaves):
     for l in leaves:
         if l.dtype in (jnp.bool_, jnp.uint8):
             bools.append(l.reshape(-1).astype(jnp.uint8))
+        elif l.dtype == jnp.int8:
+            bools.append(
+                jax.lax.bitcast_convert_type(l, jnp.uint8).reshape(-1))
         elif l.dtype in (jnp.float32, jnp.uint32):
             ints.append(
                 jax.lax.bitcast_convert_type(l, jnp.int32).reshape(-1))
@@ -131,8 +134,10 @@ _pack_leaves_jit = None
 
 # PE emission-compact view width: success-path SAM emission reads at
 # most this many top-ranked pairs per read; rows with npairs > PAIR_KTOP
-# (or needing rescue lanes) fall back to a per-row full fetch.
-PAIR_KTOP = 8
+# (or needing rescue lanes) fall back to a per-row full fetch.  2 keeps
+# the dominant unique/tie shapes on the fast path while keeping the
+# per-batch D2H payload small (the tunnel moves ~13 MB/s).
+PAIR_KTOP = 2
 
 _gather_rows_jit = None
 
@@ -669,6 +674,10 @@ class GsnapRunner:
             elif l.dtype == np.uint8:
                 out.append(bnp[boff : boff + n].reshape(l.shape))
                 boff += n
+            elif l.dtype == np.int8:
+                out.append(
+                    bnp[boff : boff + n].view(np.int8).reshape(l.shape))
+                boff += n
             else:
                 v = inp[ioff : ioff + n]
                 if l.dtype == np.float32:
@@ -681,6 +690,19 @@ class GsnapRunner:
                 ioff += n
         return jax.tree_util.tree_unflatten(treedef, out)
 
+    def _gp_uniform(self, gp, *length_arrays):
+        """Set the static uniform_len hint on a GappedParams when every
+        read in the batch is exactly lmax long (flip-revcomp fast path;
+        at most two compiled variants per shape bucket)."""
+        import dataclasses
+
+        uni = all(
+            len(a) > 0 and int(a.min()) == self.lmax for a in length_arrays)
+        if gp.base.uniform_len == uni:
+            return gp
+        return dataclasses.replace(
+            gp, base=dataclasses.replace(gp.base, uniform_len=uni))
+
     def dispatch_records(self, records: list[Record]):
         """Async-dispatch the device SE pipeline for a chunk.  Packs
         only the emission-compact view (gsnap_gapped.compact_se) for
@@ -692,7 +714,7 @@ class GsnapRunner:
             self.genome,
             self.index,
             c, f, l,
-            self.gapped_params,
+            self._gp_uniform(self.gapped_params, lengths),
             index_minus=self.index_minus,
             alt=self.alt,
             known=self.known,
@@ -773,16 +795,15 @@ class GsnapRunner:
     def _wide_base(self, widen_seeds: bool):
         """Wide-lane params.  widen_seeds=False is used for reads whose
         overflow flag came ONLY from the candidate-count cap: their
-        seed position lists did not truncate, so the seed grid at the
-        narrow cap is provably identical and only the candidate budget
-        needs to grow — ~3.5x cheaper than the full-wide config
-        (measured 2.4 s vs 0.19 s per 2048-pair batch)."""
+        seed grids did not truncate (total positions <= seed_total), so
+        the seed grid at the narrow budget is provably identical and
+        only the candidate budget needs to grow — much cheaper than the
+        full-wide (seed_total=0 exact-grid) config."""
         import dataclasses
 
         return dataclasses.replace(
             self.params,
-            seed_cap=(self.params.size_threshold if widen_seeds
-                      else self.params.seed_cap),
+            seed_total=(0 if widen_seeds else self.params.seed_total),
             ncand=min(4 * self.params.ncand, 128))
 
     def _dispatch_wide(self, records: list[Record],
@@ -798,6 +819,7 @@ class GsnapRunner:
         gp = dataclasses.replace(self.gapped_params,
                                  base=self._wide_base(widen_seeds))
         codes, nflags, lengths = encode_batch(records, self.lmax)
+        gp = self._gp_uniform(gp, lengths)
         c, f, l, b = self._shard(codes, nflags, lengths)
         res = gsnap_gapped.align_batch_gapped(
             self.genome, self.index, c, f, l, gp,
@@ -2461,11 +2483,12 @@ class GsnapRunner:
 
         c5, f5, l5 = encode_batch(recs5, self.lmax)
         c3, f3, l3 = encode_batch(recs3_inv, self.lmax)
+        gp = self._gp_uniform(self.gapped_params, l5, l3)
         c5, f5, l5, b = self._shard(c5, f5, l5)
         c3, f3, l3, _ = self._shard(c3, f3, l3)
         # RNA pairmax when any splicing is enabled (gsnap.c pairmax_rna)
         pairmax = self._pairmax()
-        params = gsnap_pe.PEParams(gapped=self.gapped_params, pairmax=pairmax)
+        params = gsnap_pe.PEParams(gapped=gp, pairmax=pairmax)
         res = gsnap_pe.align_batch_pe(
             self.genome, self.index,
             c5, f5, l5, c3, f3, l3,
@@ -2561,9 +2584,10 @@ class GsnapRunner:
         gp = dataclasses.replace(self.gapped_params,
                                  base=self._wide_base(widen_seeds))
         pairmax = self._pairmax()
-        params = gsnap_pe.PEParams(gapped=gp, pairmax=pairmax)
         c5, f5, l5 = encode_batch(recs5, self.lmax)
         c3, f3, l3 = encode_batch(recs3_inv, self.lmax)
+        params = gsnap_pe.PEParams(
+            gapped=self._gp_uniform(gp, l5, l3), pairmax=pairmax)
         c5, f5, l5, b = self._shard(c5, f5, l5)
         c3, f3, l3, _ = self._shard(c3, f3, l3)
         res = gsnap_pe.align_batch_pe(

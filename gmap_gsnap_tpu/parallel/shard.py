@@ -144,18 +144,19 @@ class ShardedIndexArrays:
         return cls(offsets, sharded, index.k, index.interval, mesh)
 
 
-def sharded_seed_diagonals(index: "ShardedIndexArrays", oligos, valid,
-                           params):
-    """Seeding against a sharded positions array: every device scans
-    the whole read batch against ITS positions shard and the per-slot
-    candidate tensors combine with a pmin collective (INVALID_DIAG is
+def sharded_seed_diagonals(index: "ShardedIndexArrays", gpos, qpos,
+                           valid_slot):
+    """Compact-grid seeding against a sharded positions array: the
+    rank->global-index mapping (gsnap_se._seed_rank_map, computed from
+    the replicated offsets) arrives precomputed; every device resolves
+    the slots whose global element lives in ITS positions shard and the
+    per-slot diagonals combine with a pmin collective (INVALID_DIAG is
     the identity, and each global element is owned by exactly one
     shard) — the all-gather-of-candidates pattern riding ICI.
 
-    Matches gsnap_se._seed_diagonals output exactly.
+    Matches the unsharded diag output of gsnap_se._seed_diagonals
+    exactly.
     """
-    from functools import partial as _partial
-
     try:
         from jax import shard_map
     except ImportError:  # older jax
@@ -165,43 +166,24 @@ def sharded_seed_diagonals(index: "ShardedIndexArrays", oligos, valid,
 
     mesh = index.mesh
     nshards, shard_len = index.positions2d.shape
-    c = params.seed_cap
-    row = 8
-    nrows = c // row + 1
-    b, s = oligos.shape
 
-    def local(offsets, pos_shard, oligos, valid):
+    def local(pos_shard, gpos, qpos, valid_slot):
         # pos_shard [1, shard_len]; this device owns global elements
         # [s0, s0 + shard_len)
         sid = jax.lax.axis_index("reads")
         s0 = sid.astype(jnp.int32) * shard_len
-        start = offsets[oligos].astype(jnp.int32)
-        end = offsets[jnp.minimum(oligos + 1, offsets.shape[0] - 1)]
-        count = end.astype(jnp.int32) - start
-        usable = valid & (count > 0) & (count <= params.size_threshold)
-        cap_end = start + jnp.minimum(count, c)
-
-        pos2d = pos_shard.reshape(-1, row)
-        grow = (start >> 3)[:, :, None] + jnp.arange(nrows, dtype=jnp.int32)
-        lrow = grow - (s0 >> 3)
-        inshard = (lrow >= 0) & (lrow < pos2d.shape[0])
-        pos = pos2d[jnp.clip(lrow, 0, pos2d.shape[0] - 1)]
-        gidx = grow[:, :, :, None] * row + jnp.arange(row, dtype=jnp.int32)
-        ok = (
-            usable[:, :, None, None]
-            & inshard[:, :, :, None]
-            & (gidx >= start[:, :, None, None])
-            & (gidx < cap_end[:, :, None, None])
-        )
-        qpos = jnp.arange(s, dtype=jnp.uint32)[None, :, None, None]
-        ok = ok & (pos >= qpos)
-        diag = jnp.where(ok, pos - qpos, INVALID_DIAG)
+        lidx = gpos - s0
+        inshard = (lidx >= 0) & (lidx < shard_len)
+        pos = pos_shard.reshape(-1)[jnp.clip(lidx, 0, shard_len - 1)]
+        qp = qpos.astype(jnp.uint32)
+        ok = valid_slot & inshard & (pos >= qp)
+        diag = jnp.where(ok, pos - qp, INVALID_DIAG)
         # each global element is owned by one shard: min-combine
-        return jax.lax.pmin(diag.reshape(b, s * nrows * row), "reads")
+        return jax.lax.pmin(diag, "reads")
 
     fn = shard_map(
         local, mesh=mesh,
-        in_specs=(P(), P("reads", None), P(), P()),
+        in_specs=(P("reads", None), P(), P(), P()),
         out_specs=P(),
     )
-    return fn(index.offsets, index.positions2d, oligos, valid)
+    return fn(index.positions2d, gpos, qpos, valid_slot)
