@@ -884,8 +884,8 @@ def _strand_hits(genome, index, queries, codes, nflags, lengths, conv, alt,
     oligos, valid = _extract_oligos(
         _convert_codes(codes, conv), nflags, lengths, index.k
     )
-    diag, qpos_grid, trunc, nphase_min = _seed_diagonals(
-        index, oligos, valid, base)
+    diag, qpos_grid, trunc, nphase_min, nph_half = _seed_diagonals(
+        index, oligos, valid, base, lengths)
     top_d, votes, ndistinct = _top_diagonals(diag, base.ncand)
     overflow = trunc | (ndistinct > base.ncand)
 
@@ -1043,6 +1043,17 @@ def _strand_hits(genome, index, queries, codes, nflags, lengths, conv, alt,
                 -(-(nphase_min - votes[:, -1])
                   // -(-index.k // index.interval)), 0),
             BIG_NMM),
+        # per-half pigeonhole floor for dropped diagonals (reference
+        # terminal/end-lane segment filter keeps a segment iff one
+        # HALF's floor fits the done level): any dropped diagonal has
+        # votes <= votes[:, -1], so either half retains at most that
+        # many seeds => its half floor >= this bound
+        "hbound": jnp.where(
+            ndistinct > base.ncand,
+            jnp.maximum(
+                -(-(nph_half - votes[:, -1])
+                  // -(-index.k // index.interval)), 0),
+            BIG_NMM),
     }
 
 
@@ -1126,10 +1137,12 @@ def gather_candidates(
     out["plusp"] = plusp
     cands = {k: jnp.concatenate([cf[k], cr[k]], axis=1)
              for k in cf
-             if k not in ("overflow", "overflow_trunc", "ovf_bound")}
+             if k not in ("overflow", "overflow_trunc", "ovf_bound",
+                          "hbound")}
     cands["overflow"] = cf["overflow"] | cr["overflow"]
     cands["overflow_trunc"] = cf["overflow_trunc"] | cr["overflow_trunc"]
     cands["ovf_bound"] = jnp.minimum(cf["ovf_bound"], cr["ovf_bound"])
+    cands["hbound"] = jnp.minimum(cf["hbound"], cr["hbound"])
     nc = cf["cand_left"].shape[1]
     cands["cand_plusp"] = jnp.concatenate(
         [jnp.ones((b, nc), bool), jnp.zeros((b, nc), bool)], axis=1
@@ -1253,15 +1266,28 @@ def align_batch_gapped(
             budget, jnp.where(final["npaths"] > 0, score0, BIG_NMM))
         lane_gate = min(base.indel_penalty_middle, base.indel_penalty_end,
                         base.terminal_threshold)
-        safe = ((done + base.subopt_levels < lane_gate)
-                & (final["ovf_bound"] > done + base.subopt_levels)
+        so = base.subopt_levels
+        # two clearing conditions for candidate-budget overflow:
+        #  (1) done below every lane gate AND no dropped diagonal can
+        #      reach the sub ladder (full-span floor bound);
+        #  (2) a real hit exists AND dropped diagonals can reach
+        #      neither the sub/indel ladder (full-span bound) nor the
+        #      terminal/end lanes' per-half segment filter (half
+        #      bound) — the reference keeps a segment for those lanes
+        #      iff one HALF's floor fits done
+        #      (identify_all_segments_for_terminals, stage1hr.c:3665);
+        #      the distant lane only runs when nothing was found, so
+        #      npaths > 0 rules it out (stage1hr.c:12207 gating).
+        safe = (((done + so < lane_gate)
+                 | ((final["npaths"] > 0) & (final["hbound"] > done + so)))
+                & (final["ovf_bound"] > done + so)
                 # the floor bound assumes the seed grid was COMPLETE:
-                # truncation past the tail grid means positions are
-                # missing entirely, so trunc-type overflow always
-                # rescues
+                # truncation means positions are missing entirely, so
+                # trunc-type overflow always rescues
                 & ~final["overflow_trunc"])
         final["overflow"] = final["overflow"] & ~safe
     final.pop("ovf_bound")
+    final.pop("hbound", None)
     # device lane-noop gate: rows where the host rescue lanes provably
     # change nothing can emit from the compact view alone, skipping the
     # full-tree row-subset fetch entirely (runner.run need_full);

@@ -257,14 +257,26 @@ def align_batch_pe(
         b3 = cands3["ovf_bound"]
         sub_ok = ((b5 + s3b > pbest + so) & (b3 + s5b > pbest + so)
                   & (b5 + b3 > pbest + so))
-        ind_ok = ((pbest + so - s3b < base.indel_penalty_middle)
-                  & (pbest + so - s5b < base.indel_penalty_middle))
+        # an indel end from a dropped diagonal needs that end's score
+        # allocation to reach the indel penalty AND a dropped diagonal
+        # able to serve as an indel side — the per-half floor bound
+        # (hbound, see gsnap_gapped) rules out any side spanning >= a
+        # half of the read
+        alloc5 = pbest + so - s3b
+        alloc3 = pbest + so - s5b
+        hb5 = cands5["hbound"]
+        hb3 = cands3["hbound"]
+        ind_ok = (((alloc5 < base.indel_penalty_middle) | (hb5 > alloc5))
+                  & ((alloc3 < base.indel_penalty_middle)
+                     | (hb3 > alloc3)))
         safe = conc_ok & sub_ok & ind_ok
         for c in (cands5, cands3):
             # floor bound only covers top-ncand drops, not truncation
             c["overflow"] = c["overflow"] & ~(safe & ~c["overflow_trunc"])
     cands5.pop("ovf_bound")
     cands3.pop("ovf_bound")
+    cands5.pop("hbound", None)
+    cands3.pop("hbound", None)
 
     return {
         "i5": jnp.where(ok, i5, 0),
@@ -312,6 +324,10 @@ def compact_pe(res, ktop: int = 8):
         jnp.arange(ktop, dtype=res["i5"].dtype)[None, :], (b, ktop))
     return {
         "npairs": res["npairs"],
+        # per-end hit counts let fetch_pair_rows decide whether the
+        # maxpaths-wide end-hit columns can be sliced before transfer
+        "np5": res["end5"]["npaths"],
+        "np3": res["end3"]["npaths"],
         "pair_concordant": res["pair_concordant"],
         "pairtype": res["pairtype"][:, :ktop].astype(jnp.uint8),
         "insert": res["insert"][:, :ktop],

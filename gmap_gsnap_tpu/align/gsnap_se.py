@@ -97,11 +97,20 @@ class IndexArrays:
         )
 
 
+def dynamic_size_threshold(npositions: int, k: int, mode: str) -> int:
+    """The reference's overabundance policy (gsnap.c:2094-2098):
+    indexdb_size_threshold = 10 * mean positions/oligo, floored at
+    MIN_INDEXDB_SIZE_THRESHOLD=100.  The oligo space for cmet/atoi
+    modes is 3^k (Indexdb_mean_size, indexdb.c:205-216)."""
+    n = 3 ** k if mode != "standard" else 4 ** k
+    return max(int(10.0 * npositions / n), 100)
+
+
 @dataclass(frozen=True)
 class GsnapParams:
     """Static pipeline configuration (shapes bake into the jit cache)."""
 
-    seed_total: int = 256      # compact seed-grid slots per read (all
+    seed_total: int = 384      # compact seed-grid slots per read (all
                                # oligos share the budget; 0 = exact,
                                # i.e. S * size_threshold slots)
     size_threshold: int = 100  # skip oligos with more positions than this
@@ -260,10 +269,12 @@ def _seed_rank_map(index, oligos, valid, params: GsnapParams):
     return gpos, o_idx, valid_slot, trunc, count
 
 
-def _seed_diagonals(index: IndexArrays, oligos, valid, params: GsnapParams):
+def _seed_diagonals(index: IndexArrays, oligos, valid, params: GsnapParams,
+                    lengths=None):
     """Candidate diagonals on the compact seed grid.
 
-    Returns ``(diag uint32[B, W], qpos int32[B, W], trunc, nphase_min)``:
+    Returns ``(diag uint32[B, W], qpos int32[B, W], trunc, nphase_min,
+    nph_half)``:
 
     * ``diag``: pos - querypos per occupied slot (INVALID_DIAG in empty
       slots); W = seed_total slots shared by all of the read's oligos,
@@ -276,6 +287,12 @@ def _seed_diagonals(index: IndexArrays, oligos, valid, params: GsnapParams):
       of the number of in-threshold valid oligos in that phase — the
       pigeonhole floor input (stage1hr.c FLOOR_* analog) used to bound
       the mismatches of any diagonal dropped by the top-ncand cut.
+    * ``nph_half`` int32[B]: the same min-phase count restricted to the
+      weaker read HALF (oligos fully inside [0, L/2) vs [L/2, L)) — the
+      per-half floor input matching the reference's terminal/end-lane
+      segment filter (identify_all_segments_for_terminals keeps a
+      segment iff floor_left <= done || floor_right <= done).  Zero
+      when ``lengths`` is not given.
 
     A ShardedIndexArrays index routes the positions gather through the
     sharded-positions path (parallel.shard.sharded_seed_diagonals)."""
@@ -305,8 +322,16 @@ def _seed_diagonals(index: IndexArrays, oligos, valid, params: GsnapParams):
         qpos_u = o_idx.astype(jnp.uint32)
         ok = valid_slot & (pos >= qpos_u)
         diag = jnp.where(ok, pos - qpos_u, INVALID_DIAG)
-    nphase_min = phase_min(valid & (count <= params.size_threshold))
-    return diag, o_idx, trunc, nphase_min
+    bound_ok = valid & (count <= params.size_threshold)
+    nphase_min = phase_min(bound_ok)
+    if lengths is None:
+        nph_half = jnp.zeros(b, jnp.int32)
+    else:
+        halfL = lengths.astype(jnp.int32)[:, None] // 2
+        left = bound_ok & (qpos_iota[None, :] + index.k <= halfL)
+        right = bound_ok & (qpos_iota[None, :] >= halfL)
+        nph_half = jnp.minimum(phase_min(left), phase_min(right))
+    return diag, o_idx, trunc, nphase_min, nph_half
 
 
 def _top_diagonals(diag, ncand: int):
@@ -431,9 +456,9 @@ def align_batch(
         _convert_codes(codes_rc, conv_minus), nflags_rc, lengths, index.k
     )
 
-    diag_f, _, trunc_f, _ = _seed_diagonals(
+    diag_f, _, trunc_f, _, _ = _seed_diagonals(
         index, oligos_f, valid_f, params)
-    diag_r, _, trunc_r, _ = _seed_diagonals(
+    diag_r, _, trunc_r, _, _ = _seed_diagonals(
         index_minus, oligos_r, valid_r, params)
 
     top_f, _, nd_f = _top_diagonals(diag_f, params.ncand)

@@ -141,6 +141,11 @@ PAIR_KTOP = 2
 
 _gather_rows_jit = None
 
+# row-subset fetches slice the maxpaths-wide ranked-hit fields to this
+# many columns when every selected row's npaths fits (the full-width
+# fetch stays available for high-multimapping rows)
+_HKEEP = 16
+
 # full-tree fields never consulted by the host lanes — excluded from
 # row-subset fetches (they'd otherwise ride the slow device->host link)
 _DEVICE_ONLY_FIELDS = frozenset({"cand_votes"})
@@ -434,7 +439,18 @@ class GsnapRunner:
         self.atoi_dir = atoi_dir
         self.db = db
         self.lmax = lmax
-        self.params = params or gsnap_se.GsnapParams()
+        if params is None:
+            # dynamic overabundance policy — explicitly passed params
+            # keep their own threshold (tests / overrides)
+            params = gsnap_se.GsnapParams()
+            if db.offsets is not None:
+                import dataclasses as _dc
+
+                params = _dc.replace(
+                    params,
+                    size_threshold=gsnap_se.dynamic_size_threshold(
+                        int(db.offsets[-1]), db.k, params.mode))
+        self.params = params
         self.gapped_params = gsnap_gapped.GappedParams(
             base=self.params, novelsplicing=novelsplicing
         )
@@ -509,6 +525,12 @@ class GsnapRunner:
         self.quiet_if_excessive = False  # gsnap -Q (quiet_if_excessive_p)
         self.clip_overlap = False  # gsnap --clip-overlap (clip_overlap_p)
         self.chop_primers = False  # gsnap -a (chop_primers_p)
+        # gsnap --ambig-splice-noclip sets this False (amb_clip_p,
+        # gsnap.c:1247 / splicetrie.c:1945,2099): ambiguous known
+        # splicing at a read end is then DROPPED instead of emitted as
+        # a soft-clipped ambiguous hit, and short ends below
+        # min_shortend never splice
+        self.amb_clip = True
         self.merge_samechr = False  # gsnap --merge-distant-samechr
         from collections import Counter
         self.category_counts = Counter()  # resulttype histogram
@@ -733,20 +755,40 @@ class GsnapRunner:
         return out
 
     @classmethod
-    def fetch_record_rows(cls, res, rows):
+    def fetch_record_rows(cls, res, rows, _hk_override=None):
         """Fetch the FULL per-row SE result (all ranked hits + cand_*
         rescue-lane arrays) for a subset of rows as one packed
-        transfer, with ``row_of[global_row] -> subset row``."""
+        transfer, with ``row_of[global_row] -> subset row``.
+
+        The maxpaths-wide ranked-hit columns dominate the payload
+        (~4.8 KB/row at maxpaths=100) but almost every row emits only a
+        few hits: when every selected row has npaths <= _HKEEP the hit
+        fields are sliced to _HKEEP columns on device before the
+        transfer."""
         import jax
 
         res_dev, b = res["_full"]
         res_dev = _drop_device_only(res_dev)
+        maxpaths = int(res_dev["kind"].shape[1])
+        np_a = np.asarray(res["npaths"])
+        rows = [int(r) for r in rows]
+        hk = (_HKEEP if len(rows) and maxpaths > _HKEEP
+              and int(np_a[np.asarray(rows)].max()) <= _HKEEP
+              else maxpaths)
+        if _hk_override is not None:
+            hk = _hk_override
         global _gather_rows_jit
         if _gather_rows_jit is None:
+            def _gather(tree, r, hk, mp):
+                def g(a):
+                    a = a[r]
+                    if a.ndim >= 2 and a.shape[1] == mp:
+                        a = a[:, :hk]
+                    return a
+                return jax.tree_util.tree_map(g, tree)
+
             _gather_rows_jit = jax.jit(
-                lambda tree, r: jax.tree_util.tree_map(
-                    lambda a: a[r], tree))
-        rows = [int(r) for r in rows]
+                _gather, static_argnames=("hk", "mp"))
         # x4-step pad buckets: every distinct gather width compiles a
         # fresh row-gather + pack program over the full tree (measured
         # seconds each over the tunnel)
@@ -754,7 +796,7 @@ class GsnapRunner:
         while npad < len(rows):
             npad *= 4
         rpad = np.asarray(rows + [rows[-1]] * (npad - len(rows)), np.int32)
-        sub = _gather_rows_jit(res_dev, rpad)
+        sub = _gather_rows_jit(res_dev, rpad, hk=hk, mp=maxpaths)
         host = cls._fetch_tree(cls._pack_tree(sub))
         n = len(rows)
         out = {k: v[:n] for k, v in host.items()}
@@ -772,8 +814,9 @@ class GsnapRunner:
     # widecand (only the candidate budget overflowed, common) — each
     # distinct batch dimension is a fresh XLA compile (~10 s each on
     # the tunneled chip, measured dominating run_pe)
-    _BUCKETS_FULLWIDE = (8, 64, 512, 2048)
-    _BUCKETS_WIDECAND = (8, 512, 2048)
+    _BUCKETS_FULLWIDE = (8, 32, 128, 512, 2048)
+    _BUCKETS_WIDECAND = (8, 128, 512, 2048)
+    _BUCKETS_EXACT = (8, 64, 2048)
 
     @staticmethod
     def _pad_bucket(records: list[Record],
@@ -792,32 +835,45 @@ class GsnapRunner:
         truncates, and 4x the candidate-diagonal budget."""
         return self.fetch_records(self._dispatch_wide(records))
 
-    def _wide_base(self, widen_seeds: bool):
+    # fullwide tier seed budget: covers every observed repeat window
+    # (measured max T ~2.3k on chr17test, with margin); rows STILL truncating re-run
+    # once more at the exact grid (seed_total=0) — a near-never event
+    _WIDE_SEED_TOTAL = 4096
+
+    def _wide_base(self, widen_seeds: bool, exact: bool = False):
         """Wide-lane params.  widen_seeds=False is used for reads whose
         overflow flag came ONLY from the candidate-count cap: their
         seed grids did not truncate (total positions <= seed_total), so
         the seed grid at the narrow budget is provably identical and
-        only the candidate budget needs to grow — much cheaper than the
-        full-wide (seed_total=0 exact-grid) config."""
+        only the candidate budget needs to grow.  widen_seeds=True
+        raises the seed budget to _WIDE_SEED_TOTAL; exact=True removes
+        it entirely (W = S * size_threshold, the provably complete
+        grid)."""
         import dataclasses
 
+        seed_total = self.params.seed_total
+        if exact:
+            seed_total = 0
+        elif widen_seeds:
+            seed_total = self._WIDE_SEED_TOTAL
         return dataclasses.replace(
             self.params,
-            seed_total=(0 if widen_seeds else self.params.seed_total),
+            seed_total=seed_total,
             ncand=min(4 * self.params.ncand, 128))
 
     def _dispatch_wide(self, records: list[Record],
-                       widen_seeds: bool = True):
+                       widen_seeds: bool = True, exact: bool = False):
         """Async dispatch of the SE overflow rescue (fetch with
         fetch_records) — lets the wide device work queue behind the
         next chunk instead of paying its round trips synchronously."""
         import dataclasses
 
         records = self._pad_bucket(
-            records, self._BUCKETS_FULLWIDE if widen_seeds
+            records, self._BUCKETS_EXACT if exact
+            else self._BUCKETS_FULLWIDE if widen_seeds
             else self._BUCKETS_WIDECAND)
         gp = dataclasses.replace(self.gapped_params,
-                                 base=self._wide_base(widen_seeds))
+                                 base=self._wide_base(widen_seeds, exact))
         codes, nflags, lengths = encode_batch(records, self.lmax)
         gp = self._gp_uniform(gp, lengths)
         c, f, l, b = self._shard(codes, nflags, lengths)
@@ -1479,6 +1535,12 @@ class GsnapRunner:
                         nmm_long = int(pref[L] - pref[sp])
                     if endlength > support or nmm_long > max_mm:
                         continue
+                    if (not self.amb_clip
+                            and endlength < self.params.min_shortend):
+                        # --ambig-splice-noclip: Splicetrie_find_left/
+                        # right return NULL for ends below min_shortend
+                        # (splicetrie.c:1945,2142)
+                        continue
                     allowed = max_mm - nmm_long
                     if side == "L":
                         p0 = int(np.searchsorted(partners, c + 1))
@@ -1571,6 +1633,13 @@ class GsnapRunner:
                             d, "splice", d.nmatches_whole,
                             np.array(d.mmpos, int), d.loglik),
                             nmm_long + best_mm))
+                    elif not self.amb_clip:
+                        # --ambig-splice-noclip: multiple tied partner
+                        # sites are dropped outright instead of
+                        # soft-clipped (splicetrie.c:2099,2296) — the
+                        # plain substring alignment extends into the
+                        # intron
+                        continue
                     else:
                         # ambiguous: long side only, junction side
                         # soft-clipped, amb_nmatches credited
@@ -2522,7 +2591,7 @@ class GsnapRunner:
         return out
 
     @classmethod
-    def fetch_pair_rows(cls, res, rows):
+    def fetch_pair_rows(cls, res, rows, _hk_override=None):
         """Fetch the FULL per-row result data (ranked end hits +
         candidate diagonals for the terminal/GMAP rescue lanes) for a
         subset of rows, as one small packed transfer.  Returns a dict
@@ -2532,17 +2601,35 @@ class GsnapRunner:
 
         res_dev, b = res["_full"]
         res_dev = _drop_device_only(res_dev)
+        maxpaths = int(res_dev["i5"].shape[1])
+        rows = [int(r) for r in rows]
+        hk = maxpaths
+        if len(rows) and maxpaths > _HKEEP:
+            ra = np.asarray(rows)
+            worst = max(int(np.asarray(res["npairs"])[ra].max()),
+                        int(np.asarray(res["np5"])[ra].max()),
+                        int(np.asarray(res["np3"])[ra].max()))
+            if worst <= _HKEEP:
+                hk = _HKEEP
+        if _hk_override is not None:
+            hk = _hk_override
         global _gather_rows_jit
         if _gather_rows_jit is None:
+            def _gather(tree, r, hk, mp):
+                def g(a):
+                    a = a[r]
+                    if a.ndim >= 2 and a.shape[1] == mp:
+                        a = a[:, :hk]
+                    return a
+                return jax.tree_util.tree_map(g, tree)
+
             _gather_rows_jit = jax.jit(
-                lambda tree, r: jax.tree_util.tree_map(
-                    lambda a: a[r], tree))
-        rows = [int(r) for r in rows]
+                _gather, static_argnames=("hk", "mp"))
         npad = 8
         while npad < len(rows):
             npad *= 4   # x4 buckets — see fetch_record_rows
         rpad = np.asarray(rows + [rows[-1]] * (npad - len(rows)), np.int32)
-        sub = _gather_rows_jit(res_dev, rpad)
+        sub = _gather_rows_jit(res_dev, rpad, hk=hk, mp=maxpaths)
         host = cls._fetch_tree(cls._pack_tree(sub))
         n = len(rows)
 
@@ -2569,7 +2656,8 @@ class GsnapRunner:
         counterpart of _align_wide."""
         return self.fetch_pairs(self._dispatch_wide_pe(recs5, recs3_inv))
 
-    def _dispatch_wide_pe(self, recs5, recs3_inv, widen_seeds: bool = True):
+    def _dispatch_wide_pe(self, recs5, recs3_inv, widen_seeds: bool = True,
+                          exact: bool = False):
         """Async dispatch of the PE overflow rescue (fetch with
         fetch_pairs)."""
         import dataclasses
@@ -2578,11 +2666,12 @@ class GsnapRunner:
 
         n = len(recs5)
         recs5 = self._pad_bucket(
-            recs5, self._BUCKETS_FULLWIDE if widen_seeds
+            recs5, self._BUCKETS_EXACT if exact
+            else self._BUCKETS_FULLWIDE if widen_seeds
             else self._BUCKETS_WIDECAND)
         recs3_inv = recs3_inv + [recs3_inv[0]] * (len(recs5) - n)
         gp = dataclasses.replace(self.gapped_params,
-                                 base=self._wide_base(widen_seeds))
+                                 base=self._wide_base(widen_seeds, exact))
         pairmax = self._pairmax()
         c5, f5, l5 = encode_batch(recs5, self.lmax)
         c3, f3, l3 = encode_batch(recs3_inv, self.lmax)
@@ -3845,20 +3934,28 @@ class GsnapRunner:
             trunc_any = tr5 | tr3
             wide_lanes, wide_row = [], {}
             if len(ovf):
-                # one merged lane per batch (each lane costs a fetch
-                # round trip): widen the seed grid whenever ANY row
-                # truncated — the fullwide config is a superset of the
-                # widecand one
-                rows_sel = [int(j) for j in ovf]
-                widen = bool(any(trunc_any[j] for j in rows_sel))
-                lane_disp = self._dispatch_wide_pe(
-                    [chunk5[j] for j in rows_sel],
-                    [chunk3_inv[j] for j in rows_sel],
-                    widen_seeds=widen)
-                wide_lanes.append((lane_disp, {j: wi for wi, j
-                                               in enumerate(rows_sel)}))
-                for j in rows_sel:
-                    wide_row[j] = 0
+                # two lanes by overflow type: candidate-budget rows ride
+                # the cheap widecand config at big buckets; truncated
+                # rows (total seed positions > seed_total — common on
+                # repeat windows) ride the EXACT seed grid, whose cost
+                # scales with W=S*size_threshold, at small buckets.  A
+                # merged lane at the exact config was measured adding
+                # ~0.2 s/batch
+                tr_rows = [int(j) for j in ovf if trunc_any[j]]
+                wc_rows = [int(j) for j in ovf if not trunc_any[j]]
+                for rows_sel, widen in ((wc_rows, False), (tr_rows, True)):
+                    if not rows_sel:
+                        continue
+                    lane_disp = self._dispatch_wide_pe(
+                        [chunk5[j] for j in rows_sel],
+                        [chunk3_inv[j] for j in rows_sel],
+                        widen_seeds=widen)
+                    wide_lanes.append(
+                        (lane_disp,
+                         {j: wi for wi, j in enumerate(rows_sel)},
+                         not widen))
+                    for j in rows_sel:
+                        wide_row[j] = 0
             # pass 1 collects GMAP-rescue requests; one batched device
             # call resolves them; affected pairs re-emit (pass 2)
             t_batch = _time.time()
@@ -3920,8 +4017,31 @@ class GsnapRunner:
                     _offending_read(chunk5[j], chunk3[j])
                     raise
             wide_ctx = {}   # chunk_j -> (tree, row) for re-emission
-            for wdisp, lane_rows in wide_lanes:
+            for wdisp, lane_rows, is_final in wide_lanes:
                 wide_res = self.fetch_pairs(wdisp)
+                if not is_final and lane_rows:
+                    # rows whose FULLWIDE seed grid still truncated
+                    # (T > _WIDE_SEED_TOTAL, near-never) re-run once
+                    # more at the provably complete exact grid
+                    wo5 = np.asarray(wide_res["end5"]["overflow"], bool)
+                    wt5 = np.asarray(
+                        wide_res["end5"]["overflow_trunc"], bool)
+                    wo3 = np.asarray(wide_res["end3"]["overflow"], bool)
+                    wt3 = np.asarray(
+                        wide_res["end3"]["overflow_trunc"], bool)
+                    still = [j for j, wi in lane_rows.items()
+                             if (wo5[wi] and wt5[wi])
+                             or (wo3[wi] and wt3[wi])]
+                    if still:
+                        disp2 = self._dispatch_wide_pe(
+                            [chunk5[j] for j in still],
+                            [chunk3_inv[j] for j in still],
+                            widen_seeds=True, exact=True)
+                        wide_lanes.append(
+                            (disp2,
+                             {j: wi for wi, j in enumerate(still)}, True))
+                        for j in still:
+                            del lane_rows[j]
                 wn = np.asarray(wide_res["npairs"])
                 wc = np.asarray(wide_res["pair_concordant"], bool)
                 if fmt == "sam":
@@ -4110,37 +4230,46 @@ class GsnapRunner:
         b_w = len(recs)
         npad = 8
         while npad // 4 < b_w:
-            try:
-                self.fetch_record_rows(
-                    res_w, [i % b_w for i in range(npad)])
-            except Exception as e:
-                _warnings.warn(f"warmup: SE row gather {npad}: {e}")
+            for hk in (None, self.params.maxpaths):
+                try:
+                    self.fetch_record_rows(
+                        res_w, [i % b_w for i in range(npad)],
+                        _hk_override=hk)
+                except Exception as e:
+                    _warnings.warn(f"warmup: SE row gather {npad}: {e}")
             npad *= 4
         if pe:
             pres_w = self.fetch_pairs(self.dispatch_pairs(recs, recs))
             npad = 8
             while npad // 4 < b_w:
-                try:
-                    self.fetch_pair_rows(
-                        pres_w, [i % b_w for i in range(npad)])
-                except Exception as e:
-                    _warnings.warn(f"warmup: PE row gather {npad}: {e}")
+                for hk in (None, self.params.maxpaths):
+                    try:
+                        self.fetch_pair_rows(
+                            pres_w, [i % b_w for i in range(npad)],
+                            _hk_override=hk)
+                    except Exception as e:
+                        _warnings.warn(
+                            f"warmup: PE row gather {npad}: {e}")
                 npad *= 4
 
-        lanes = ([(nb, True) for nb in reach(self._BUCKETS_FULLWIDE)]
-                 + [(nb, False) for nb in reach(self._BUCKETS_WIDECAND)])
-        for nb, widen in lanes:
+        lanes = ([(nb, True, False) for nb in reach(self._BUCKETS_FULLWIDE)]
+                 + [(nb, False, False)
+                    for nb in reach(self._BUCKETS_WIDECAND)]
+                 + [(8, True, True)])   # exact-grid retry tier
+        for nb, widen, exact in lanes:
             try:
                 self.fetch_records(self._dispatch_wide(
-                    recs[: min(nb, len(recs))], widen_seeds=widen))
+                    recs[: min(nb, len(recs))], widen_seeds=widen,
+                    exact=exact))
             except Exception as e:
                 _warnings.warn(f"warmup: SE wide lane {nb}/{widen}: {e}")
         if pe:
-            for nb, widen in lanes:
+            for nb, widen, exact in lanes:
                 try:
                     self.fetch_pairs(self._dispatch_wide_pe(
                         recs[: min(nb, len(recs))],
-                        recs3[: min(nb, len(recs))], widen_seeds=widen))
+                        recs3[: min(nb, len(recs))], widen_seeds=widen,
+                        exact=exact))
                 except Exception as e:
                     _warnings.warn(
                         f"warmup: PE wide lane {nb}/{widen}: {e}")
@@ -4203,16 +4332,21 @@ class GsnapRunner:
                                                 np.zeros(0, bool))))), bool)
             wide_lanes, wide_row = [], {}
             if len(ovf):
-                # one merged lane per batch (a lane = one fetch round
-                # trip); widen seeds whenever any row truncated
-                rows_sel = [int(j) for j in ovf]
-                widen = bool(any(trunc_a[j] for j in rows_sel))
-                lane_disp = self._dispatch_wide(
-                    [chunk[j] for j in rows_sel], widen_seeds=widen)
-                wide_lanes.append((lane_disp, {j: wi for wi, j
-                                               in enumerate(rows_sel)}))
-                for j in rows_sel:
-                    wide_row[j] = 0
+                # two lanes by overflow type (see run_pe): widecand at
+                # big buckets, exact-grid fullwide at small buckets
+                tr_rows = [int(j) for j in ovf if trunc_a[j]]
+                wc_rows = [int(j) for j in ovf if not trunc_a[j]]
+                for rows_sel, widen in ((wc_rows, False), (tr_rows, True)):
+                    if not rows_sel:
+                        continue
+                    lane_disp = self._dispatch_wide(
+                        [chunk[j] for j in rows_sel], widen_seeds=widen)
+                    wide_lanes.append(
+                        (lane_disp,
+                         {j: wi for wi, j in enumerate(rows_sel)},
+                         not widen))
+                    for j in rows_sel:
+                        wide_row[j] = 0
             # pass 1: GMAP-rescue requests are collected, not solved;
             # wide-lane rows emit after their async fetch below
             t_batch = _time.time()
@@ -4277,8 +4411,23 @@ class GsnapRunner:
                     _offending_read(rec)
                     raise
             wide_ctx = {}   # chunk_j -> (tree, row) for re-emission
-            for wdisp, lane_rows in wide_lanes:
+            for wdisp, lane_rows, is_final in wide_lanes:
                 wide_res = self.fetch_records(wdisp)
+                if not is_final and lane_rows:
+                    # fullwide grid still truncated -> exact-grid retry
+                    wov = np.asarray(wide_res["overflow"], bool)
+                    wtr = np.asarray(wide_res["overflow_trunc"], bool)
+                    still = [j for j, wi in lane_rows.items()
+                             if wov[wi] and wtr[wi]]
+                    if still:
+                        disp2 = self._dispatch_wide(
+                            [chunk[j] for j in still],
+                            widen_seeds=True, exact=True)
+                        wide_lanes.append(
+                            (disp2,
+                             {j: wi for wi, j in enumerate(still)}, True))
+                        for j in still:
+                            del lane_rows[j]
                 wjs = list(lane_rows)
                 wn = np.asarray(wide_res["npaths"])
                 wdone = self._se_done_level([chunk[j] for j in wjs],

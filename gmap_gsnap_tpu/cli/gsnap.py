@@ -220,6 +220,10 @@ def main(argv=None) -> int:
                    help="look for novel splicing (gsnap -N)")
     p.add_argument("-s", "--use-splicing", default=None,
                    help="known splice sites map IIT (name in <db>.maps or path)")
+    p.add_argument("--ambig-splice-noclip", action="store_true",
+                   help="for ambiguous known splicing at read ends, do "
+                        "not clip at the splice site but extend into "
+                        "the intron (gsnap.c:1247 amb_clip_p=false)")
     p.add_argument("-t", "--nthreads", type=int, default=1,
                    help="accepted for compatibility (batching replaces threads)")
     p.add_argument("--batch-size", type=int, default=256)
@@ -392,7 +396,11 @@ def main(argv=None) -> int:
             records = [r for r in records if not _flagged(r)]
 
     mm = int(args.max_mismatches) if args.max_mismatches >= 0 else -1
+    sth = (gsnap_se.dynamic_size_threshold(
+               int(db.offsets[-1]), db.k, args.mode)
+           if db.offsets is not None else 100)
     params = gsnap_se.GsnapParams(
+        size_threshold=sth,
         maxpaths=args.npaths, max_mismatches=mm, mode=args.mode,
         subopt_levels=args.suboptimal_levels,
         indel_penalty_middle=(args.indel_penalty_middle
@@ -458,6 +466,7 @@ def main(argv=None) -> int:
     r.show_refdiff = args.show_refdiff
     r.print_snps = args.print_snps
     r.clip_overlap = args.clip_overlap
+    r.amb_clip = not args.ambig_splice_noclip
     r.merge_samechr = args.merge_distant_samechr
     r.invert_first = args.orientation == "RF"
     r.invert_second = args.orientation == "FR"

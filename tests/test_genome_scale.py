@@ -64,13 +64,14 @@ def test_se_pipeline_without_genome_string(tmp_path):
 
 def test_overflow_rescue_lane(tmp_path):
     """Truncated-oligo handling (SURVEY 7 overflow rescue, updated for
-    tail-seeding): a read over the most frequent chr17test 12-mer (79
-    positions > seed_cap=32) is completed by the tail seed grid — its
-    candidate set is exact WITHOUT the wide re-run, so overflow must
-    NOT fire (the floor-bound gate also clears the candidate-budget
-    flag) — while a tandem-repeat window whose truncated query
-    positions exceed N_TAIL still flags overflow and re-runs at wide
-    caps.  Both must match the reference byte-for-byte."""
+    the compact rank-mapped seed grid): a read over the most frequent
+    chr17test 12-mer (79 positions) still fits the shared seed_total
+    budget — its seed set is exact WITHOUT the wide re-run, so overflow
+    must NOT fire (the floor-bound gate also clears the
+    candidate-budget flag) — while a tandem-repeat window whose total
+    in-threshold positions exceed seed_total still flags overflow and
+    re-runs at the exact (seed_total=0) wide config.  Both must match
+    the reference byte-for-byte."""
     import io
     import subprocess
 
@@ -84,9 +85,9 @@ def test_overflow_rescue_lane(tmp_path):
     big = np.flatnonzero((cnt > 32) & (cnt <= 100))
     assert len(big), "fixture lost its frequent oligo"
 
-    # classify genome windows by how many of their query positions hit
-    # a truncating (count > seed_cap) oligo, BOTH strands (trunc fires
-    # on either)
+    # classify genome windows by their per-strand total of in-threshold
+    # seed positions (the compact grid's shared budget; trunc fires on
+    # either strand exceeding seed_total)
     code_of = np.zeros(256, np.int64)
     for i, c in enumerate(b"ACGT"):
         code_of[c] = i
@@ -98,14 +99,18 @@ def test_overflow_rescue_lane(tmp_path):
     for i in range(k):
         km = (km << 2) | g[i : len(g) - k + 1 + i]
         kmr = (kmr >> 2) | (gr[i : len(g) - k + 1 + i] << (2 * (k - 1)))
+    w = gsnap_se.GsnapParams().seed_total
+    contrib = np.where(cnt <= 100, cnt, 0)
+    tf = np.convolve(contrib[km], np.ones(89, int), "valid")
+    tr = np.convolve(contrib[kmr], np.ones(89, int), "valid")
     hits = (np.isin(km, big) | np.isin(kmr, big)).astype(int)
     dense = np.convolve(hits, np.ones(89, int), "valid")
-    within = np.flatnonzero((dense >= 1) & (dense <= gsnap_se.N_TAIL))
+    within = np.flatnonzero((dense >= 1) & (tf <= w) & (tr <= w))
     assert len(within), "fixture lost its isolated frequent-oligo site"
     pos = int(within[0])
     seq = db.genome_str[pos : pos + 100]
-    j = int(np.argmax(dense))
-    assert dense[j] > gsnap_se.N_TAIL, "fixture lost its tandem repeat"
+    j = int(np.argmax(np.maximum(tf, tr)))
+    assert max(tf[j], tr[j]) > w, "fixture lost its tandem repeat"
     seq_tandem = db.genome_str[j : j + 100]
 
     runner = runner_mod.GsnapRunner(db)

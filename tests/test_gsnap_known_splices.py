@@ -236,3 +236,50 @@ def test_introns_format_map(tmp_path):
                       str(fq)])
     assert _body(ref) == _body(mine)
     assert any("N" in l.split("\t")[5] for l in _body(mine))
+
+
+@needs_oracle
+def test_ambig_splice_noclip(tmp_path):
+    """--ambig-splice-noclip (gsnap.c:1247 amb_clip_p=false): with two
+    tied acceptor partners the default mode emits a soft-clipped
+    ambiguous end, while the flag drops the ambiguous splice so the
+    read extends into the intron.  Byte parity with the reference in
+    BOTH modes."""
+    gdb, dbdir = _copy_db(tmp_path)
+    seq = _genome_seq()
+    istart, iend = _low_prob_junction(seq)
+
+    # read = 94 bases of exon1 + 6 bases after acceptor1; find a second
+    # downstream AG whose following 6 bases match the read tail so both
+    # acceptors tie on the short end
+    e = 6
+    tail = seq[iend : iend + e]
+    iend2 = None
+    g = seq
+    p = iend + 40
+    while p < iend + 150000 and p < len(g) - e:
+        if g[p - 2 : p] == "AG" and g[p : p + e] == tail and p != iend:
+            iend2 = p
+            break
+        p += 1
+    if iend2 is None:
+        pytest.skip("no tied second acceptor in fixture window")
+
+    ss_txt = (
+        f">j.d chr17test:{istart}..{istart + 1} donor\n"
+        f">j.a chr17test:{iend}..{iend + 1} acceptor\n"
+        f">j.a2 chr17test:{iend2}..{iend2 + 1} acceptor\n"
+    )
+    from gmap_gsnap_tpu.db.iit_text import iit_from_text
+
+    iit_from_text(ss_txt).write(str(dbdir / "chr17test.maps" / "ss.iit"))
+
+    r = seq[istart - (100 - e) : istart] + tail
+    fq = tmp_path / "amb.fq"
+    fq.write_text(f"@a0\n{r}\n+\n{'I' * len(r)}\n")
+
+    common = ["-D", str(gdb), "-d", "chr17test", "-s", "ss", str(fq)]
+    for extra in ([], ["--ambig-splice-noclip"]):
+        ref = _run_ref(common + extra)
+        mine = _run_ours(common + extra)
+        assert _body(ref) == _body(mine), f"mode {extra}"

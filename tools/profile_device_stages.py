@@ -99,9 +99,8 @@ timeit("pack (fwd+rev)", stage_pack, codes_j, nflags_j, lengths_j)
 @jax.jit
 def stage_seed(c, n, l):
     o, v = gg._extract_oligos(c, n, l, index.k)
-    diag, tail_diag, tail_qpos, trunc, nphase = gg._seed_diagonals(
-        index, o, v, base)
-    return red((diag, tail_diag, tail_qpos, trunc, nphase))
+    diag, qpos, trunc, nphase = gg._seed_diagonals(index, o, v, base)
+    return red((diag, qpos, trunc, nphase))
 
 
 timeit("seed (_seed_diagonals) x1 strand", stage_seed, codes_j, nflags_j,
@@ -111,10 +110,8 @@ timeit("seed (_seed_diagonals) x1 strand", stage_seed, codes_j, nflags_j,
 @jax.jit
 def stage_seed_top(c, n, l):
     o, v = gg._extract_oligos(c, n, l, index.k)
-    diag, tail_diag, tail_qpos, trunc, nphase = gg._seed_diagonals(
-        index, o, v, base)
-    top_d, votes, nd = gg._top_diagonals(
-        jnp.concatenate([diag, tail_diag], axis=1), base.ncand)
+    diag, qpos, trunc, nphase = gg._seed_diagonals(index, o, v, base)
+    top_d, votes, nd = gg._top_diagonals(diag, base.ncand)
     return red((top_d, votes, nd))
 
 
@@ -125,14 +122,12 @@ timeit("seed+top_diagonals x1", stage_seed_top, codes_j, nflags_j, lengths_j)
 def mk_inputs(c, n, l):
     qf = gg._pack_device(c, n, l, L)
     o, v = gg._extract_oligos(c, n, l, index.k)
-    diag, tail_diag, tail_qpos, trunc, nphase = gg._seed_diagonals(
-        index, o, v, base)
-    top_d, votes, nd = gg._top_diagonals(
-        jnp.concatenate([diag, tail_diag], axis=1), base.ncand)
-    return qf, diag, tail_diag, tail_qpos, top_d, votes
+    diag, qpos, trunc, nphase = gg._seed_diagonals(index, o, v, base)
+    top_d, votes, nd = gg._top_diagonals(diag, base.ncand)
+    return qf, diag, qpos, top_d, votes
 
 
-qf, diag, tail_diag, tail_qpos, top_d, votes = jax.block_until_ready(
+qf, diag, qpos_g, top_d, votes = jax.block_until_ready(
     mk_inputs(codes_j, nflags_j, lengths_j))
 
 
@@ -151,7 +146,7 @@ budget = jnp.maximum(
 
 
 @jax.jit
-def stage_indels(q, dg, tdg, tqp, td, vt, l):
+def stage_indels(q, dg, qpg, td, vt, l):
     mm, pref = gg._prefix_mm(genome, q, td, l, conv_plus, None)
     ii, jj, pv = gg._select_pairs(
         td, vt,
@@ -161,7 +156,7 @@ def stage_indels(q, dg, tdg, tqp, td, vt, l):
         | (((di - dj).astype(jnp.int32) >= 1)
            & ((di - dj).astype(jnp.int32) <= base.max_middle_insertions)),
         params.indel_pairs)
-    qp5, qp3 = gg._qpos_ranges(dg, tdg, td)
+    qp5, qp3 = gg._qpos_ranges(dg, qpg, td)
     ind = gg._solve_indels(td, mm, pref, ii, jj, pv, l, budget, L,
                            qp5=qp5, qp3=qp3,
                            max_ins=base.max_middle_insertions,
@@ -170,8 +165,8 @@ def stage_indels(q, dg, tdg, tqp, td, vt, l):
     return red(ind)
 
 
-timeit("verify+pairs+indels x1", stage_indels, qf, diag, tail_diag,
-       tail_qpos, top_d, votes, lengths_j)
+timeit("verify+pairs+indels x1", stage_indels, qf, diag, qpos_g,
+       top_d, votes, lengths_j)
 
 
 @jax.jit
