@@ -49,9 +49,18 @@ def _probe_backend(timeout_s: int = 180) -> bool:
           file=sys.stderr)
     return False
 
-BASELINE_PE_QPS = 7447.27   # reference gsnap PE, 1 thread, this workload
-BASELINE_SE_QPS = 1460.25   # reference gsnap SE, 1 thread (r1 workload)
-BASELINE_GMAP_QPS = 45.6    # reference gmap, 1 thread, spliced cDNAs
+# Reference single-thread queries/sec, re-measured 2026-08-20 on THIS
+# host, idle, best-of-2 (tools/measure_reference.py + /tmp/meas12
+# protocol; self-reported queries/sec line, src/gsnap.c:2493-2494).
+# Config 3's baseline excludes the ~4% of pairs the reference itself
+# segfaults on (its own memory-corruption bugs; crash-free subset
+# found by bisection) — OUR timed run includes them.
+BASELINE_PE_QPS = 7347.0    # gsnap -t 1 PE substitutions (seed 7)
+BASELINE_SE_QPS = 6026.0    # gsnap -t 1 SE (config 2, seed 42)
+BASELINE_GMAP_QPS = 74.0    # gmap -t 1 -f samse spliced cDNAs (seed 7)
+BASELINE_C3_QPS = 2841.0    # gsnap -t 1 -N 1 PE novel splicing (seed 7)
+BASELINE_C4_QPS = 3127.0    # gsnap -t 1 -v snps -s ss (seed 11)
+BASELINE_C5_QPS = 8031.0    # gsnap -t 1 --mode=cmet-stranded (seed 5)
 
 NPAIRS = 8192
 BATCH = 2048  # tunnel RTTs amortize over the batch; 256 measured RTT-bound
@@ -144,11 +153,15 @@ def main() -> int:
     # dynprog junction buckets): a first-touch compile inside the timed
     # region measured 10-40 s on the tunneled chip
     runner.warmup(batch_size=min(BATCH, npairs), pe=True)
-    t0 = time.time()
-    out = io.StringIO()
-    n = runner.run_pe(recs5, recs3, out, batch_size=BATCH)
-    dt = time.time() - t0
-    assert n == npairs
+    best = None
+    for _rep in range(2):
+        t0 = time.time()
+        out = io.StringIO()
+        n = runner.run_pe(recs5, recs3, out, batch_size=BATCH)
+        dt = time.time() - t0
+        assert n == npairs
+        best = dt if best is None else min(best, dt)
+    dt = best
     sam_lines = sum(1 for l in out.getvalue().splitlines()
                     if not l.startswith("@"))
     assert sam_lines >= 2 * npairs
@@ -174,7 +187,8 @@ def main() -> int:
     codes[rc] = (codes[rc, ::-1] ^ 3).astype(np.uint8)
     nflags = np.zeros((nreads, L), bool)
     lengths = np.full(nreads, L, np.int32)
-    params = gsnap_gapped.GappedParams()
+    params = gsnap_gapped.GappedParams(
+        base=gsnap_se.GsnapParams(uniform_len=True))
     dev_batches = [
         (jnp.asarray(codes[i : i + 2048]), jnp.asarray(nflags[i : i + 2048]),
          jnp.asarray(lengths[i : i + 2048]))
@@ -201,11 +215,15 @@ def main() -> int:
     out = io.StringIO()
     runner.run(se_recs[: min(BATCH, nreads_e2e)], out,
                batch_size=min(BATCH, nreads_e2e))  # warmup / compile
-    t0 = time.time()
-    out = io.StringIO()
-    n = runner.run(se_recs, out, batch_size=BATCH)
-    se_e2e_qps = len(se_recs) / (time.time() - t0)
-    assert n == len(se_recs)
+    se_best = None
+    for _rep in range(2):
+        t0 = time.time()
+        out = io.StringIO()
+        n = runner.run(se_recs, out, batch_size=BATCH)
+        dt_se = time.time() - t0
+        assert n == len(se_recs)
+        se_best = dt_se if se_best is None else min(se_best, dt_se)
+    se_e2e_qps = len(se_recs) / se_best
 
     # ---------------------------------------------- batched GMAP cDNA
     rng = np.random.default_rng(7)
@@ -216,6 +234,76 @@ def main() -> int:
     gmap_qps = len(queries) / (time.time() - t0)
     nmapped = sum(1 for p in paths if p is not None)
     assert nmapped >= 0.9 * len(queries), f"gmap mapped {nmapped}"
+
+    # ------------------- configs 3/4/5 (BASELINE.md) on the real backend
+    c3_qps = c4_qps = c5_qps = None
+    if backend_ok:
+        import bench_workloads as bw
+
+        # plain str (db.genome_str is a LazyGenomeStr window view)
+        seq = seq[0 : len(seq)]
+
+        def timed_run(r, recs_a, recs_b=None, reps=2):
+            best = None
+            for _ in range(reps):
+                buf = io.StringIO()
+                t0 = time.time()
+                if recs_b is None:
+                    n_ = r.run(recs_a, buf, batch_size=BATCH)
+                else:
+                    n_ = r.run_pe(recs_a, recs_b, buf, batch_size=BATCH)
+                dt_ = time.time() - t0
+                assert n_ == len(recs_a)
+                best = dt_ if best is None else min(best, dt_)
+            return len(recs_a) / best
+
+        def recs_of(reads, pfx):
+            return [runner_mod.Record(f"{pfx}{i}", f"{pfx}{i}", s, "I" * L)
+                    for i, s in enumerate(reads)]
+
+        # config 3: PE novel splicing (-N 1)
+        rng = np.random.default_rng(7)
+        jx = bw.find_junctions(seq)
+        r5s, r3s = bw.make_pe_splice_workload(seq, 4096, rng, jx)
+        r3_ns = runner_mod.GsnapRunner(db, novelsplicing=True)
+        r3_ns.warmup(batch_size=BATCH, pe=True)
+        c3_qps = timed_run(r3_ns, recs_of(r5s, "s"), recs_of(r3s, "s"))
+
+        # configs 4/5 DB artifacts (our iit_store/snpindex/cmetindex)
+        import pathlib
+
+        from gmap_gsnap_tpu.cli import cmetindex as cmetindex_cli
+        from gmap_gsnap_tpu.cli import snpindex as snpindex_cli
+        from gmap_gsnap_tpu.db.iit_text import iit_from_text
+
+        rng = np.random.default_rng(11)
+        ss_txt, snp_txt, juncs, snps = bw.known_snp_setup(seq, rng)
+        maps = pathlib.Path(dbdir) / "chr17test.maps"
+        maps.mkdir(exist_ok=True)
+        iit_from_text(ss_txt).write(str(maps / "ss.iit"))
+        iit_from_text(snp_txt).write(str(maps / "snps.iit"))
+        snpindex_cli.main(["-D", tmp, "-d", "chr17test", "-v", "snps",
+                           str(maps / "snps.iit")])
+        cmetindex_cli.main(["-D", tmp, "-d", "chr17test"])
+        db45 = GenomeDB.open(dbdir, "chr17test")
+
+        # config 4: known splicesites + SNP-tolerant index
+        rng = np.random.default_rng(11)
+        ks_reads = bw.make_known_snp_workload(seq, 4096, rng, juncs, snps)
+        r4 = runner_mod.GsnapRunner(db45, snpsdb="snps", splicesdb="ss")
+        r4.warmup(batch_size=BATCH)
+        c4_qps = timed_run(r4, recs_of(ks_reads, "k"))
+
+        # config 5: bisulfite (cmet-stranded)
+        rng = np.random.default_rng(5)
+        cm_reads = bw.make_cmet_workload(seq, 4096, rng)
+        p5 = gsnap_se.GsnapParams(
+            mode="cmet-stranded",
+            size_threshold=gsnap_se.dynamic_size_threshold(
+                int(db45.offsets[-1]), db45.k, "cmet-stranded"))
+        r5r = runner_mod.GsnapRunner(db45, params=p5)
+        r5r.warmup(batch_size=BATCH)
+        c5_qps = timed_run(r5r, recs_of(cm_reads, "c"))
 
     # ------------------------------------------- dynprog kernel micro-bench
     from gmap_gsnap_tpu.ops import dynprog as dp
@@ -245,22 +333,41 @@ def main() -> int:
     dyn_per_sec = reps * B / (time.time() - t0)
 
     platform = jax.devices()[0].platform
+    extra = {
+        "gsnap_pe_sub_pairs_per_sec": round(pe_qps, 1),
+        "gsnap_pe_sub_vs_baseline": round(pe_qps / BASELINE_PE_QPS, 2),
+        "gsnap_se_device_reads_per_sec": round(se_qps, 1),
+        "gsnap_se_device_vs_baseline": round(se_qps / BASELINE_SE_QPS, 2),
+        "gsnap_se_end_to_end_reads_per_sec": round(se_e2e_qps, 1),
+        "gsnap_se_end_to_end_vs_baseline": round(
+            se_e2e_qps / BASELINE_SE_QPS, 2),
+        "gmap_cdna_per_sec": round(gmap_qps, 1),
+        "gmap_cdna_vs_baseline": round(gmap_qps / BASELINE_GMAP_QPS, 2),
+        "dynprog_banded_gaps_per_sec": round(dyn_per_sec, 1),
+        "platform": platform,
+    }
+    if c3_qps is not None:
+        extra["config3_pe_novelsplice_pairs_per_sec"] = round(c3_qps, 1)
+        extra["config3_vs_baseline"] = round(c3_qps / BASELINE_C3_QPS, 2)
+        extra["config4_known_snp_reads_per_sec"] = round(c4_qps, 1)
+        extra["config4_vs_baseline"] = round(c4_qps / BASELINE_C4_QPS, 2)
+        extra["config5_cmet_reads_per_sec"] = round(c5_qps, 1)
+        extra["config5_vs_baseline"] = round(c5_qps / BASELINE_C5_QPS, 2)
+    # headline = config 3 (PE novel splicing, the BASELINE.md RNA-seq
+    # config) when the real backend ran it; CPU fallback keeps the
+    # substitution PE number
+    if c3_qps is not None:
+        headline, base = c3_qps, BASELINE_C3_QPS
+        metric = "gsnap_pe_100bp_novelsplice_end_to_end_pairs_per_sec"
+    else:
+        headline, base = pe_qps, BASELINE_PE_QPS
+        metric = "gsnap_pe_100bp_end_to_end_pairs_per_sec"
     print(json.dumps({
-        "metric": "gsnap_pe_100bp_end_to_end_pairs_per_sec",
-        "value": round(pe_qps, 1),
+        "metric": metric,
+        "value": round(headline, 1),
         "unit": "pairs/s",
-        "vs_baseline": round(pe_qps / BASELINE_PE_QPS, 2),
-        "extra": {
-            "gsnap_se_device_reads_per_sec": round(se_qps, 1),
-            "gsnap_se_device_vs_baseline": round(se_qps / BASELINE_SE_QPS, 2),
-            "gsnap_se_end_to_end_reads_per_sec": round(se_e2e_qps, 1),
-            "gsnap_se_end_to_end_vs_baseline": round(
-                se_e2e_qps / BASELINE_SE_QPS, 2),
-            "gmap_cdna_per_sec": round(gmap_qps, 1),
-            "gmap_cdna_vs_baseline": round(gmap_qps / BASELINE_GMAP_QPS, 2),
-            "dynprog_banded_gaps_per_sec": round(dyn_per_sec, 1),
-            "platform": platform,
-        },
+        "vs_baseline": round(headline / base, 2),
+        "extra": extra,
     }))
     return 0
 

@@ -447,6 +447,19 @@ def _bucket(n: int, lo: int = 256) -> int:
     return b
 
 
+# query-length (Q = oligo count) ladder: a 128 rung so the GSNAP
+# GMAP-rescue lane (100 bp reads, Q=89) doesn't pad to 256 — the
+# seeding stage scales with Q and dominated the rescue's device time
+_Q_LADDER = (128, 256, 1024, 4096, 16384, 65536)
+
+
+def _bucket_q(n: int) -> int:
+    for b in _Q_LADDER:
+        if n <= b:
+            return b
+    return _Q_LADDER[-1]
+
+
 def align_cdna_batch(db: GenomeDB, queries: list[str],
                      max_intronlen: int = 1_000_000,
                      extend_ends: bool = False,
@@ -473,7 +486,7 @@ def align_cdna_batch(db: GenomeDB, queries: list[str],
     maxq = max((len(q) - k + 1 for q in qstrs), default=0)
     if maxq <= 0:
         return [None] * B
-    Q = _bucket(maxq)
+    Q = _bucket_q(maxq)
     rows = len(qstrs)
     # bucket the batch dim too: GSNAP rescue calls this with a varying
     # number of reads per chunk, and every distinct row count would
@@ -519,28 +532,47 @@ def align_cdna_batch(db: GenomeDB, queries: list[str],
                     segs_d["valid"], k=k, max_intronlen=max_intronlen))
         if dp_d is not None and npaths <= 1:
             # best-chain backtrack runs on device too: only the chain
-            # members cross the tunnel (~0.4 MB vs ~3 MB full arrays)
-            bt = gmap_engine.chain_backtrack_device(
-                segs_d["qstart"], segs_d["qend"], segs_d["diag"],
-                segs_d["valid"], dp_d[0], dp_d[1])
-            (cm, cqs, cqe, cdg, _best, nhits_a, nsegs_a) = (
+            # members cross the tunnel, as TWO slim arrays (packed
+            # (qstart<<16)|qend + diag; ~0.8 MB vs ~3 MB full arrays)
+            qspan_d, cdg_d, deep_d, _best_d = (
+                gmap_engine.chain_backtrack_device(
+                    segs_d["qstart"], segs_d["qend"], segs_d["diag"],
+                    segs_d["valid"], dp_d[0], dp_d[1]))
+            (qspan, cdg, deep, nhits_a, nsegs_a) = (
                 gmap_engine.fetch_packed(
-                    list(bt) + [segs_d["nhits"], segs_d["nsegs"]]))
+                    [qspan_d, cdg_d, deep_d,
+                     segs_d["nhits"], segs_d["nsegs"]]))
             nhits = int(nhits_a.max())
             nsegs = int(nsegs_a.max())
-            if nhits <= H and nsegs <= S:
+            if nhits <= H and nsegs <= S and not deep.any():
                 chains = []
                 for b in range(rows_b):
-                    m = cm[b]
+                    m = qspan[b] >= 0
                     if not m.any():
                         chains.append([])
                         continue
                     idx = np.flatnonzero(m)[::-1]   # end-first -> start
                     d = cdg[b].astype(np.int64) - Q
+                    qs_b = qspan[b] >> 16
+                    qe_b = qspan[b] & 0xFFFF
                     chains.append([[
-                        (int(cqs[b, t]), int(cqe[b, t]),
-                         int(d[t] + cqs[b, t]), int(d[t]))
+                        (int(qs_b[t]), int(qe_b[t]),
+                         int(d[t] + qs_b[t]), int(d[t]))
                         for t in idx]])
+                break
+            if nhits <= H and nsegs <= S and deep.any():
+                # a chain used every backtrack step: refetch the full
+                # segment arrays and chain on host (no truncation)
+                keys = ("qstart", "qend", "diag", "valid",
+                        "nhits", "nsegs")
+                vals = gmap_engine.fetch_packed(
+                    [segs_d[kk] for kk in keys]
+                    + [dp_d[0], dp_d[1]])
+                segs = dict(zip(keys, vals[:len(keys)]))
+                chains = gmap_engine.chains_from_device(
+                    segs, rows_b, Q, k, max_intronlen,
+                    genome_range=genome_range, npaths=npaths,
+                    dp_scores=tuple(vals[len(keys):]))
                 break
             if nhits > H:
                 H *= 4

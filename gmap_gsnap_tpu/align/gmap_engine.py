@@ -237,10 +237,13 @@ def chain_backtrack_device(qstart, qend, diag, valid, score, prev,
     Follows prev pointers from the first score maximum (argmax = host
     argsort-stable first-max semantics) for up to C steps and gathers
     the member segments' (qstart, qend, diag) so the host never needs
-    the full [B, S] segment + score arrays — the 3 MB seeding transfer
-    shrinks to ~0.4 MB.  Members emerge END-first; the host reverses.
-    Returns (mask bool[B, C], qs int32[B, C], qe int32[B, C],
-    dg uint32[B, C], best int32[B])."""
+    the full [B, S] segment + score arrays.  Members emerge END-first;
+    the host reverses.  The transfer payload is TWO arrays: qspan
+    int32[B, C] = (qstart << 16) | qend per member (-1 in empty slots
+    — qstart/qend are query offsets < 2^15) and dg uint32[B, C]; plus
+    ``deep`` bool[B], set when the chain walk used ALL C steps with a
+    predecessor remaining (the caller must refetch the full arrays —
+    the old fixed-C walk silently truncated such chains)."""
     B, S = score.shape
     NEG = jnp.int32(-(2**28))
     sc = jnp.where(valid, score, NEG)
@@ -253,14 +256,16 @@ def chain_backtrack_device(qstart, qend, diag, valid, score, prev,
         nxt = jnp.where(cur >= 0, prev[rows, jnp.clip(cur, 0, S - 1)], -1)
         return nxt.astype(jnp.int32), cur
 
-    _, idxs = jax.lax.scan(step, start, None, length=C)   # [C, B]
+    last, idxs = jax.lax.scan(step, start, None, length=C)  # [C, B]
+    deep = last >= 0
     idxs = idxs.T                                          # [B, C] end-first
     mask = idxs >= 0
     ic = jnp.clip(idxs, 0, S - 1)
     qs = jnp.take_along_axis(qstart, ic, axis=1)
     qe = jnp.take_along_axis(qend, ic, axis=1)
     dg = jnp.take_along_axis(diag, ic, axis=1)
-    return mask, qs, qe, dg, best
+    qspan = jnp.where(mask, (qs << 16) | qe, -1)
+    return qspan, dg, deep, best
 
 
 def pack_dispatch(arrays):

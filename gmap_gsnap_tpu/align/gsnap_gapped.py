@@ -274,11 +274,6 @@ def _lane_noop_device(final, cands, lengths, k: int, interval: int,
     cp = cands["cand_plusp"]
     cn = cands["cand_nmm"]
     valid = cn < BIG_NMM
-    left0 = final["left"][:, 0][:, None]
-    right0 = final["right"][:, 0][:, None]
-    pl0 = final["plusp"][:, 0][:, None]
-    used = (((cl == left0) | (cl == right0)) & (cp == pl0)
-            & (np_ > 0)[:, None])
 
     d = done[:, None]
     # end-indel entry mismatches (find_end_indels, stage1hr.c:6001)
@@ -321,7 +316,9 @@ def _lane_noop_device(final, cands, lengths, k: int, interval: int,
     c2 = (npos <= d) | (cands["lane_clt"] >= npos - d)
     v1 = ~longb & c1 & accept(z, t3, cands["lane_nmm_0t3"])
     v2 = ~longb & c2 & accept(t5, z, cands["lane_nmm_t50"])
-    term_exists = valid & ~used & (v_long | v1 | v2)
+    # sub hits do not mark diagonals used (find_complete_mm skipped
+    # at done_level <= fast_level) — every candidate may terminal
+    term_exists = valid & (v_long | v1 | v2)
     term_fires = (done >= base.terminal_threshold)[:, None] & term_exists
 
     gated = (np_ == 1) & (final["kind"][:, 0] == KIND_SUB)
@@ -672,23 +669,38 @@ def _select_triples(top_d, votes, maxdist, ntriples: int):
     """Choose up to ``ntriples`` diagonal triples (i < m < j, each step
     within maxdist) per read, ranked by vote sum — the candidate set of
     find_doublesplices (stage1hr.c:7698-7742 potentiali x potentialj
-    around each middle segment).  Returns (ti, tm, tj, valid)."""
+    around each middle segment).  Returns (ti, tm, tj, valid).
+
+    Decomposed per middle segment: the vote sum is separable, so each
+    middle's best triples use its top-2 eligible predecessors x top-2
+    successors (4 combos/middle) and the top ``ntriples`` combos win —
+    the old dense [B, NC^3] ranking materialized 16 GB at the wide
+    lane's ncand=128 (HBM OOM) for identical leading choices."""
     b, nc = top_d.shape
     di = top_d[:, :, None]
     dj = top_d[:, None, :]
     okd = top_d != INVALID_DIAG
     step = ((dj - di) >= jnp.uint32(1)) & ((dj - di) <= jnp.uint32(maxdist))
-    elig = step & okd[:, :, None] & okd[:, None, :]
-    t_ok = elig[:, :, :, None] & elig[:, None, :, :]      # [B, i, m, j]
-    vs = (votes[:, :, None, None] + votes[:, None, :, None]
-          + votes[:, None, None, :])
-    vs = jnp.where(t_ok, vs, -1).reshape(b, nc * nc * nc)
-    order = jnp.argsort(-vs, axis=1, stable=True)[:, :ntriples]
-    valid = jnp.take_along_axis(vs, order, axis=1) >= 0
-    ti = (order // (nc * nc)).astype(jnp.int32)
-    tm = ((order // nc) % nc).astype(jnp.int32)
-    tj = (order % nc).astype(jnp.int32)
-    return ti, tm, tj, valid
+    elig = step & okd[:, :, None] & okd[:, None, :]       # edge i -> j
+    vi = jnp.where(elig, jnp.broadcast_to(votes[:, :, None], elig.shape), -1)
+    v2i, i2 = jax.lax.top_k(vi.transpose(0, 2, 1), 2)    # per m: best i
+    vj = jnp.where(elig, jnp.broadcast_to(votes[:, None, :], elig.shape), -1)
+    v2j, j2 = jax.lax.top_k(vj, 2)                        # per m: best j
+    vsum = (votes[:, :, None, None] + v2i[:, :, :, None]
+            + v2j[:, :, None, :])                         # [B, m, 2, 2]
+    okc = ((v2i[:, :, :, None] >= 0) & (v2j[:, :, None, :] >= 0)
+           & okd[:, :, None, None])
+    vsum = jnp.where(okc, vsum, -1).reshape(b, nc * 4)
+    order = jnp.argsort(-vsum, axis=1, stable=True)[:, :ntriples]
+    valid = jnp.take_along_axis(vsum, order, axis=1) >= 0
+    m_sel = (order // 4).astype(jnp.int32)
+    a_sel = ((order // 2) % 2).astype(jnp.int32)
+    b_sel = (order % 2).astype(jnp.int32)
+    ti = jnp.take_along_axis(
+        i2.reshape(b, nc * 2), m_sel * 2 + a_sel, axis=1).astype(jnp.int32)
+    tj = jnp.take_along_axis(
+        j2.reshape(b, nc * 2), m_sel * 2 + b_sel, axis=1).astype(jnp.int32)
+    return ti, m_sel, tj, valid
 
 
 def _solve_doublesplices(genome, top_d, pref, ti, tm, tj, tvalid, lengths,
@@ -1252,7 +1264,7 @@ def align_batch_gapped(
     # no dropped diagonal can reach them — the wide re-run is a no-op,
     # so clear the flag (stage1hr.c FLOOR_END/FLOOR_MIDDLE gating:
     # segments whose floor exceeds done_level are never examined).
-    if not params.novelsplicing and known is None:
+    if known is None:
         base = params.base
         lengths_i = lengths.astype(jnp.int32)
         if base.max_mismatches >= 0:
@@ -1266,6 +1278,11 @@ def align_batch_gapped(
             budget, jnp.where(final["npaths"] > 0, score0, BIG_NMM))
         lane_gate = min(base.indel_penalty_middle, base.indel_penalty_end,
                         base.terminal_threshold)
+        if params.novelsplicing:
+            # novel splice/shortexon solvers admit dropped diagonals at
+            # localsplicing_penalty (0): only the floor-bound branch
+            # can clear overflow
+            lane_gate = min(lane_gate, base.localsplicing_penalty)
         so = base.subopt_levels
         # two clearing conditions for candidate-budget overflow:
         #  (1) done below every lane gate AND no dropped diagonal can

@@ -246,7 +246,7 @@ def align_batch_pe(
     # mate's best) or as a middle-indel piece (possible only when the
     # end's score budget reaches the indel penalty).  novelsplicing /
     # known-splice runs keep the rescue unconditionally.
-    if not gp.novelsplicing and known is None:
+    if known is None:
         npairs_ = jnp.sum(ok, axis=1).astype(jnp.int32)
         conc_ok = have_conc[:, 0, 0] & (npairs_ > 0)
         so = base.subopt_levels
@@ -269,6 +269,10 @@ def align_batch_pe(
         ind_ok = (((alloc5 < base.indel_penalty_middle) | (hb5 > alloc5))
                   & ((alloc3 < base.indel_penalty_middle)
                      | (hb3 > alloc3)))
+        if gp.novelsplicing:
+            # novel splice sides enter at localsplicing_penalty (0):
+            # require the half floor to exceed the full allocation
+            ind_ok = ind_ok & (hb5 > alloc5) & (hb3 > alloc3)
         safe = conc_ok & sub_ok & ind_ok
         for c in (cands5, cands3):
             # floor bound only covers top-ncand drops, not truncation

@@ -240,31 +240,48 @@ def _seed_rank_map(index, oligos, valid, params: GsnapParams):
     slot = jnp.where(usable & (cum_ex < w), cum_ex, w)  # w = dropped
     o_iota = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None, :],
                               (b, s))
-    o_mark = jnp.full((b, w), -1, jnp.int32).at[rows_b, slot].max(
-        o_iota, mode="drop")
-    o_idx = jax.lax.cummax(o_mark, axis=1)
     valid_slot = t < jnp.minimum(total, w)[:, None]
-    o_idx = jnp.clip(o_idx, 0, s - 1)
-    # gpos[t] = t + (start[o_idx] - cum_ex[o_idx]).  Materializing the
-    # piecewise-constant delta via take_along_axis costs ~10 ns/elem on
-    # TPU (every gathered element does); instead scatter each usable
-    # oligo's delta STEP at its first slot and integrate with a cumsum
+    # Slot owner + genome index are BOTH piecewise constant over slots:
+    # gpos[t] = t + delta[o(t)] with delta = start - cum_ex, and
+    # qpos[t] = o(t).  Materializing them via take_along_axis costs
+    # ~10 ns per gathered element on TPU; instead scatter each usable
+    # oligo's STEP at its first slot and integrate with a cumsum.
+    # When delta fits 24 bits (same small-genome condition as the
+    # packed startcnt table), one scatter of packed (delta*128 + o)
+    # carries both; otherwise o rides a second scatter + cummax.
     delta = start - cum_ex
-    # ff[o] = delta of the last usable oligo <= o (log-doubling fill)
-    ff = jnp.where(usable, delta, 0)
-    have = usable
-    step = 1
-    while step < s:
-        ff_s = jnp.pad(ff, ((0, 0), (step, 0)))[:, :s]
-        have_s = jnp.pad(have, ((0, 0), (step, 0)))[:, :s]
-        ff = jnp.where(have, ff, ff_s)
-        have = have | have_s
-        step *= 2
-    prev = jnp.pad(ff, ((0, 0), (1, 0)))[:, :s]          # ff[o-1]
-    ddiff = jnp.where(usable, delta - prev, 0)
-    dsteps = jnp.zeros((b, w), jnp.int32).at[rows_b, slot].add(
-        ddiff, mode="drop")
-    gpos = t + jnp.cumsum(dsteps, axis=1)
+
+    def stepfill(vals):
+        """cumsum-of-scattered-diffs forward fill of a per-usable-oligo
+        value over the compact slots."""
+        ff = jnp.where(usable, vals, 0)
+        have = usable
+        step = 1
+        while step < s:
+            ff_s = jnp.pad(ff, ((0, 0), (step, 0)))[:, :s]
+            have_s = jnp.pad(have, ((0, 0), (step, 0)))[:, :s]
+            ff = jnp.where(have, ff, ff_s)
+            have = have | have_s
+            step *= 2
+        prev = jnp.pad(ff, ((0, 0), (1, 0)))[:, :s]      # ff[o-1]
+        diff = jnp.where(usable, vals - prev, 0)
+        steps = jnp.zeros((b, w), jnp.int32).at[rows_b, slot].add(
+            diff, mode="drop")
+        return jnp.cumsum(steps, axis=1)
+
+    small = sc is not None and params.size_threshold < 255
+    if small:
+        spow = 128
+        assert s < spow
+        fill = stepfill(delta * spow + o_iota)
+        o_idx = jnp.remainder(fill, spow)
+        gpos = t + (fill - o_idx) // spow
+        o_idx = jnp.clip(o_idx, 0, s - 1)
+    else:
+        o_mark = jnp.full((b, w), -1, jnp.int32).at[rows_b, slot].max(
+            o_iota, mode="drop")
+        o_idx = jnp.clip(jax.lax.cummax(o_mark, axis=1), 0, s - 1)
+        gpos = t + stepfill(delta)
     gpos = jnp.where(valid_slot, gpos, 0)
     return gpos, o_idx, valid_slot, trunc, count
 

@@ -451,6 +451,14 @@ class GsnapRunner:
                     size_threshold=gsnap_se.dynamic_size_threshold(
                         int(db.offsets[-1]), db.k, params.mode))
         self.params = params
+        if novelsplicing and self.params.seed_total:
+            # RNA workloads sit on junction/repeat windows more often;
+            # a larger shared seed budget keeps the (expensive,
+            # novel-splicing-configured) fullwide rescue lane rare
+            import dataclasses as _dc
+
+            self.params = _dc.replace(
+                self.params, seed_total=max(self.params.seed_total, 512))
         self.gapped_params = gsnap_gapped.GappedParams(
             base=self.params, novelsplicing=novelsplicing
         )
@@ -912,7 +920,19 @@ class GsnapRunner:
         lut = self._conv_lut(conv)
         qn = qb == ord("N")
         mm = ~qn & (~self._ACGT_SET[gb] | (lut[qb] != lut[gb]))
-        mm_ref = mm
+        if conv is None:
+            mm_ref = mm
+        else:
+            # display (MD/NM) tolerance is ONE-directional: only the
+            # genuine conversion direction (genome C -> read T for ct,
+            # genome G -> read A for ga, ...) counts as a match; the
+            # reverse (read C vs genome T) aligns under the two-sided
+            # selection conversion but is REPORTED as a mismatch
+            # (reference cmet MD/NM, e.g. MD:Z:72C7T19 on a read-C/
+            # genome-T site)
+            ga, rb = {"ct": "CT", "ga": "GA", "ag": "AG", "tc": "TC"}[conv]
+            tol = (gb == ord(ga)) & (qb == ord(rb))
+            mm_ref = ~qn & (~self._ACGT_SET[gb] | ((qb != gb) & ~tol))
         if self._alt_bytes is not None:
             ab = self._alt_bytes[g0 : g0 + n]
             if len(ab) < n:
@@ -987,16 +1007,31 @@ class GsnapRunner:
                 [np.broadcast_to(qnn, (n, L)) for _, _, qnn, _, n in qmat_g])
             if std:
                 diff = qmat != gmat
+                mm = ~qn & (~self._ACGT_SET[gmat] | diff)
+                mm_ref = mm
             else:
+                qraw_mat = np.concatenate(
+                    [np.broadcast_to(qb_, (n, L))
+                     for _, qb_, _, _, n in qmat_g])
                 gconv = gmat.copy()
+                tol = np.zeros(gmat.shape, bool)
                 off = 0
                 for qc, _, _, conv, n in qmat_g:
                     gconv[off : off + n] = self._conv_lut(conv)[
                         gmat[off : off + n]]
+                    if conv is not None:
+                        gc_, rc_ = {"ct": "CT", "ga": "GA",
+                                    "ag": "AG", "tc": "TC"}[conv]
+                        tol[off : off + n] = (
+                            (gmat[off : off + n] == ord(gc_))
+                            & (qraw_mat[off : off + n] == ord(rc_)))
                     off += n
-                diff = qmat != gconv
-            mm = ~qn & (~self._ACGT_SET[gmat] | diff)
-            mm_ref = mm
+                # selection tolerates both conversion directions (the
+                # two-sided LUT); display tolerates only the genuine
+                # one (see _mismatch_masks)
+                mm = ~qn & (~self._ACGT_SET[gmat] | (qmat != gconv))
+                mm_ref = ~qn & (~self._ACGT_SET[gmat]
+                                | ((qraw_mat != gmat) & ~tol))
             if ab_all is not None:
                 amat = np.where(okm, ab_all[np.clip(gidx, 0, G - 1)], 0)
                 qraw = np.concatenate(
@@ -1077,8 +1112,10 @@ class GsnapRunner:
         max_mm_ind = done - self.params.indel_penalty_end
         check_ind = done >= self.params.indel_penalty_end
         check_term = done >= self.params.terminal_threshold
-        used = {(int(tree["left"][si][0]), bool(tree["plusp"][si][0])),
-                (int(tree["right"][si][0]), bool(tree["plusp"][si][0]))}
+        # sub hits do NOT mark their diagonals used (find_complete_mm is
+        # skipped when done_level <= fast_level, stage1hr.c:10789) — the
+        # caller gates this path on a single SUB hit, so nothing is used
+        used = set()
         rid = id(rec)
         seen = set()
         for left, plusp, nmm_full in zip(tree["cand_left"][si],
@@ -2056,27 +2093,13 @@ class GsnapRunner:
         t5, t3 = path.qstart, L - path.qend
         covered = sum(e.qend - e.qstart for e in path.exons)
         nmatches = covered - len(mmpos)
-        # comparison nmatches = POSTTRIM by the GSNAP trim policy: the
-        # reference's GMAP hits display the full pairarray but compete
-        # (acceptance vs terminals, hit_goodness_cmp) on
-        # nmatches_posttrim (Stage3end_new_gmap stage3hr.c:123,
-        # "This favors the trimmed results"), so a rescue alignment
-        # with a messy end does not beat a terminal trimmed at the
-        # same boundary
-        mmvec = np.zeros(covered, bool)
-        qoff = 0
-        covmap = []
-        for e in path.exons:
-            covmap.append((e.qstart, e.qend, qoff))
-            qoff += e.qend - e.qstart
-        mset = set(mmpos)
-        for qs, qe, off in covmap:
-            for qp in range(qs, qe):
-                if qp in mset:
-                    mmvec[off + qp - qs] = True
-        tg5, tg3 = trim_ends(mmvec, self.params.trim_mismatch_score)
-        post = covered - tg5 - tg3 - int(
-            mmvec[tg5 : covered - tg3].sum())
+        # comparison nmatches = nmatches_posttrim: for GMAP hits the
+        # reference's Pair_nmatches_posttrim (pair.c:5250, fed into
+        # Stage3end_new_gmap) simply counts MATCH columns of the
+        # pairarray inside the ambig-clipped range — NO GSNAP-trim-
+        # policy re-trim — which is why an untrimmed full-length GMAP
+        # rescue outranks a trimmed sub of the same locus (t18 case)
+        post = nmatches
         d = PostHit(path.gstart - path.qstart, path.watsonp, t5, t3, nm,
                     nmatches, loglik, md, core,
                     path.gend - path.gstart, xs, intron, ndel,
@@ -2158,19 +2181,82 @@ class GsnapRunner:
                 gmap_cache[1] = self._gmap_hosthit(rec)
             return gmap_cache[1]
 
+        def gmap_beats_sub(g) -> bool:
+            """Does the full-length GMAP rescue replace a trimmed SUB of
+            the same locus?  Empirical boundary of the reference's
+            path_trim end policy (Pair_trim_ends + end-dynprog
+            re-extension, stage3.c:9712-9741), fit to a 25-probe sweep
+            vs the oracle:
+
+              * GMAP must be STRICTLY better than the sub's posttrim
+                matches (ties go to the lower hittype = sub);
+              * a genome-LEFT trim is recovered only when it holds
+                <= 1 mismatch and NO interior mismatch sits within
+                24 bp (maxpeelback_distalmedial) of the kept boundary
+                (probes L2_6/L2_12/r93 lose, t18/mm2_58 win);
+              * a genome-RIGHT trim is recovered only when the NEAREST
+                interior mismatch (if any) sits within 24 bp of the
+                kept boundary (r31/R87_97 win, t30_97 loses,
+                mm94_97 with no interior mismatch wins) — the
+                left/right asymmetry matches the end dynprogs'
+                jump_late split.
+
+            Observed only in STANDARD runs: with a SNP-tolerant index
+            or known splice sites loaded the reference keeps the
+            trimmed sub even in winning geometries (r31 vs r115), so
+            those modes stay conservative."""
+            if self._snpsdb is not None or self._known_sites is not None \
+                    or self.params.mode != "standard":
+                return False
+            for i in range(n):
+                if int(hits["kind"][row, i]) != KIND_SUB:
+                    continue
+                d0 = self._end_hit(rec, hits, row, i)
+                if abs(int(g.d.left) - int(d0.left)) > 2 * L:
+                    continue
+                mmp = np.asarray(d0.mmpos, int)
+                t5, t3 = d0.trim5, d0.trim3
+                inner = mmp[(mmp >= t5) & (mmp < L - t3)]
+                post = (L - t5 - t3) - len(inner)
+                if g.nmatches <= post:
+                    return False
+                if not end_policy_ok(t5, t3, mmp):
+                    return False
+            return True
+
+        def end_policy_ok(t5, t3, mmp) -> bool:
+            """Shared trim-geometry half of gmap_beats_sub, also applied
+            to the terminals a GMAP rescue would displace (h3mm probe:
+            a terminal whose left trim holds 2 mismatches survives)."""
+            mmp = np.asarray(mmp, int)
+            inner = mmp[(mmp >= t5) & (mmp < L - t3)]
+            if t5 > 0:
+                if int((mmp < t5).sum()) >= 2:
+                    return False
+                if len(inner) and int(inner.min()) - t5 < 24:
+                    return False
+            if t3 > 0:
+                if len(inner) and (L - t3) - int(inner.max()) > 24:
+                    return False
+            return True
+
         if done >= self.params.terminal_threshold and not lane_clear:
             mm_fn = self._cand_mm_fn(rec, hits, row, L)
 
-            # every reported hit marks its diagonals usedp on the
-            # segment arrays find_terminals reuses: indel/splice
-            # solvers mark pairs (stage1hr.c:4318,6566), and
-            # find_complete_mm re-derives each sub diagonal whose
-            # floor fits the budget and marks it too
-            # (stage1hr.c:3062) — so sub diagonals never seed
-            # terminals; rescue terminals come from OTHER (junk)
-            # diagonals whose GMAP window covers the true locus
+            # indel/splice solvers mark their diagonal pairs usedp as
+            # they go (stage1hr.c:4318,6566), but SUB diagonals are
+            # only marked by find_complete_mm — which is SKIPPED when
+            # done_level <= fast_level (stage1hr.c:10789
+            # max_mismatches_allowed = -1), i.e. for almost every
+            # read under default settings.  Such reads' sub diagonals
+            # stay unused and feed the terminal lane: a trimmed sub's
+            # own locus becomes a terminal, anchors GMAP, and the
+            # untrimmed GMAP rescue can replace the trimmed sub
+            # (observed on Alu reads t18/r31).
             used = set(end_used)
             for i in range(n):
+                if int(hits["kind"][row, i]) == KIND_SUB:
+                    continue
                 pp = bool(hits["plusp"][row, i])
                 used.add((int(hits["left"][row, i]), pp))
                 used.add((int(hits["right"][row, i]), pp))
@@ -2210,18 +2296,26 @@ class GsnapRunner:
                 # _with_gmap windows of hit +- (shortsplicedist +
                 # querylength)); a global alignment outside every
                 # anchor window would not have been found
-                win = (self.params.shortsplicedist if self.splicing_on else 0) + 2 * L
-                if g is not None and any(
-                    g.nmatches > t.nmatches
-                    and abs(int(g.d.left) - int(t.d.left)) <= win
-                    for t in term_hits
-                ):
+                # align_single_hit_with_gmap extends a TERM end by
+                # shortsplicedist + querylength UNCONDITIONALLY
+                # (stage1hr.c:11060-11066) — the -w default applies
+                # even without -N/-s
+                win = self.params.shortsplicedist + 2 * L
+                if (g is not None and any(
+                        g.nmatches > t.nmatches
+                        and abs(int(g.d.left) - int(t.d.left)) <= win
+                        for t in term_hits)
+                        and gmap_beats_sub(g)
+                        and all(end_policy_ok(t.d.trim5, t.d.trim3,
+                                              t.mm_positions)
+                                for t in term_hits
+                                if g.nmatches > t.nmatches)):
                     hhits.append(g)
 
         if not hhits:
             return []
 
-        win = (self.params.shortsplicedist if self.splicing_on else 0) + 2 * L
+        win = self.params.shortsplicedist + 2 * L
 
         def gmap_for_anchor(anchor):
             g = gmap_once()
@@ -2229,6 +2323,8 @@ class GsnapRunner:
                 return None
             if abs(int(g.d.left) - int(anchor.d.left)) > win:
                 return None  # outside the anchor's genomic window
+            if not gmap_beats_sub(g):
+                return None  # reference path_trim would chop it back
             return g
 
         final = rescue.select_final(
@@ -3064,7 +3160,8 @@ class GsnapRunner:
         return rescue.HostHit(d, kind, d.nmatches_whole,
                               np.array(d.mmpos, int), d.loglik)
 
-    def _sub_batch(self, seqs, lefts, plusps, want_md: bool = True):
+    def _sub_batch(self, seqs, lefts, plusps, want_md: bool = True,
+                   splits=None, rights=None):
         """Vectorized KIND_SUB hit details for a group of same-length
         oriented (end, read) jobs: mismatch masks, trims, NM, MD.
 
@@ -3075,7 +3172,16 @@ class GsnapRunner:
         instead); qb is the aligned-orientation byte matrix, which IS
         the SAM print orientation for both strands.  Exactly mirrors
         the scalar _mismatch_masks -> trim_ends -> sam.md_gapped chain
-        of _hit_details for the single-part KIND_SUB case."""
+        of _hit_details for the single-part KIND_SUB case.
+
+        splits/rights (optional int64 arrays) extend the batch to
+        KIND_SPLICE rows: query [0, split) aligns at ``left``,
+        [split, L) at ``right + split`` (the two-part composite of
+        _hit_details); rows with split == L are plain subs.  Trims
+        then follow the scalar splice policy: outer-end Kadane per
+        PART, capped inside the part (SAM MD runs straight across the
+        N gap, so the composite machinery below needs no other
+        change)."""
         n = len(seqs)
         L = len(seqs[0])
         qb = np.frombuffer("".join(s.upper() for s in seqs)
@@ -3084,24 +3190,55 @@ class GsnapRunner:
         if minus.any():
             qb = qb.copy()
             qb[minus] = _COMP_LUT[qb[minus, ::-1]]
-        gb = self._genome_bytes[lefts[:, None] + np.arange(L)]
+        ar = np.arange(L)[None, :]
+        if splits is None:
+            gidx = lefts[:, None] + ar
+        else:
+            gidx = np.where(ar < splits[:, None],
+                            lefts[:, None] + ar, rights[:, None] + ar)
+        gb = self._genome_bytes[gidx]
         qn = qb == ord("N")
         if self._conv_plus is None and self._conv_minus is None:
             diff = qb != gb
+            mm_base = ~qn & (~self._ACGT_SET[gb] | diff)
+            mm_sel_base = mm_ref = mm_base
         else:
             lut_p = self._conv_lut(self._conv_plus)
             lut_m = self._conv_lut(self._conv_minus)
             dp_ = lut_p[qb] != lut_p[gb]
             dm_ = lut_m[qb] != lut_m[gb]
             diff = np.where(plusps[:, None], dp_, dm_)
-        mm_ref = ~qn & (~self._ACGT_SET[gb] | diff)
+            mm_sel_base = ~qn & (~self._ACGT_SET[gb] | diff)
+            # display tolerance is one-directional (see _mismatch_masks)
+            tolmap = {"ct": "CT", "ga": "GA", "ag": "AG", "tc": "TC"}
+            gp_, rp_ = tolmap.get(self._conv_plus, ("\0", "\0"))
+            gm_, rm_ = tolmap.get(self._conv_minus, ("\0", "\0"))
+            tol_p = (gb == ord(gp_)) & (qb == ord(rp_))
+            tol_m = (gb == ord(gm_)) & (qb == ord(rm_))
+            tol = np.where(plusps[:, None], tol_p, tol_m)
+            mm_ref = ~qn & (~self._ACGT_SET[gb] | ((qb != gb) & ~tol))
         if self._alt_bytes is not None:
             ab = self._alt_bytes[lefts[:, None] + np.arange(L)]
-            mm_sel = mm_ref & (qb != ab)
+            mm_sel = mm_sel_base & (qb != ab)
         else:
-            mm_sel = mm_ref
-        trim5, trim3 = trim_ends_batch(mm_sel, self.params.trim_mismatch_score)
-        ar = np.arange(L)[None, :]
+            mm_sel = mm_sel_base
+        if splits is None:
+            trim5, trim3 = trim_ends_batch(
+                mm_sel, self.params.trim_mismatch_score)
+        else:
+            # per-part outer trims (substring.c: no trimming at splice
+            # inner ends).  Appending/prepending matches outside the
+            # part leaves the Kadane argmax unchanged, so the part
+            # restriction is just a mask.
+            t5f, t3f = trim_ends_batch(
+                mm_sel, self.params.trim_mismatch_score)
+            t5l = trim_ends_batch(mm_sel & (ar < splits[:, None]),
+                                  self.params.trim_mismatch_score)[0]
+            t3r = trim_ends_batch(mm_sel & (ar >= splits[:, None]),
+                                  self.params.trim_mismatch_score)[1]
+            spl = splits < L
+            trim5 = np.where(spl, np.minimum(t5l, splits - 1), t5f)
+            trim3 = np.where(spl, np.minimum(t3r, L - splits - 1), t3f)
         span = (ar >= trim5[:, None]) & (ar < (L - trim3)[:, None])
         mm_span = mm_ref & span
         nm = mm_span.sum(1).astype(np.int64)
@@ -3183,12 +3320,29 @@ class GsnapRunner:
         L5 = np.array([len(r.seq) for r in recs5], np.int64)
         L3 = np.array([len(r.seq) for r in recs3_inv], np.int64)
         G = len(self._genome_bytes)
-        elig = ((f5["kind"] == KIND_SUB) & (f3["kind"] == KIND_SUB)
-                & (l5 >= 0) & (l3 >= 0)
-                & (l5 + L5 <= G) & (l3 + L3 <= G))
-        idx = np.flatnonzero(elig)
+        r5a = f5["right"].astype(np.int64)
+        r3a = f3["right"].astype(np.int64)
+        sp5a = f5["split"].astype(np.int64)
+        sp3a = f3["split"].astype(np.int64)
+
+        def end_ok(kind, l, L_, r, sp):
+            sub = (kind == KIND_SUB) & (l >= 0) & (l + L_ <= G)
+            spl = ((kind == KIND_SPLICE) & (l >= 0) & (r > l)
+                   & (sp >= 1) & (sp <= L_ - 1) & (r + L_ <= G))
+            return sub | spl
+
+        elig = (end_ok(f5["kind"], l5, L5, r5a, sp5a)
+                & end_ok(f3["kind"], l3, L3, r3a, sp3a))
+        splice_pair = elig & ((f5["kind"] == KIND_SPLICE)
+                              | (f3["kind"] == KIND_SPLICE))
+        out_spl = {}
+        if splice_pair.any():
+            out_spl = self._pe_sam_fast_spliced(
+                recs5, recs3_inv, rows, np.flatnonzero(splice_pair),
+                f5, f3, L5, L3)
+        idx = np.flatnonzero(elig & ~splice_pair)
         if not len(idx):
-            return {}
+            return out_spl
 
         # per-end detail jobs, grouped by read length
         from .. import native as native_mod
@@ -3253,6 +3407,7 @@ class GsnapRunner:
                 recs5, recs3_inv, rows, idx, groups, chr5, chr3, pos5, pos3,
                 flag5, flag3, t5sgn, t3sgn)
             if out is not None:
+                out.update(out_spl)
                 return out
             # native emit declined (buffer sizing): fall back to the
             # Python path — rebuild the MD strings it skipped
@@ -3305,6 +3460,132 @@ class GsnapRunner:
                                 rnext="=" if same else cn5,
                                 pnext=int(pos5[k]), tlen=int(t3sgn[k]),
                                 nh=1, hi=1))
+        out.update(out_spl)
+        return out
+
+    def _pe_sam_fast_spliced(self, recs5, recs3_inv, rows, idx, f5, f3,
+                             L5, L3) -> dict:
+        """Vectorized SAM emission for unique concordant pairs where at
+        least one end is a single local SPLICE (the dominant RNA-seq
+        shape under -N 1).  Uses the composite-span _sub_batch for
+        masks/trims/MD; CIGAR gains the N segment, the XS strand tag
+        follows the device sense bit, and the insert length falls back
+        to the scalar reference_pairlength over lightweight stubs.
+        Byte-identical to sam_pe_records (test_pe_fastpath)."""
+        from types import SimpleNamespace
+
+        n_i = len(idx)
+        jobs = {}
+        ends = []                      # per slot: (rec, left, plusp, ...)
+        for k, i in enumerate(idx):
+            for s, (recs, f, Ls) in enumerate(
+                    ((recs5, f5, L5), (recs3_inv, f3, L3))):
+                L = int(Ls[i])
+                kind = int(f["kind"][i])
+                left = int(f["left"][i])
+                if kind == KIND_SPLICE:
+                    split = int(f["split"][i])
+                    right = int(f["right"][i])
+                else:
+                    split, right = L, left
+                jobs.setdefault(L, []).append(
+                    (2 * k + s, recs[i], left, bool(f["plusp"][i]),
+                     split, right))
+        njobs = 2 * n_i
+        t5a = np.zeros(njobs, np.int64)
+        t3a = np.zeros(njobs, np.int64)
+        nma = np.zeros(njobs, np.int64)
+        mda = [None] * njobs
+        for L, grp in jobs.items():
+            slots = [g[0] for g in grp]
+            d = self._sub_batch(
+                [g[1].seq for g in grp],
+                np.array([g[2] for g in grp], np.int64),
+                np.array([g[3] for g in grp], bool),
+                want_md=True,
+                splits=np.array([g[4] for g in grp], np.int64),
+                rights=np.array([g[5] for g in grp], np.int64))
+            t5a[slots] = d["trim5"]
+            t3a[slots] = d["trim3"]
+            nma[slots] = d["nm"]
+            for s, m in zip(slots, d["md"]):
+                mda[s] = m
+
+        names = self.db.chr_names
+        out = {}
+        for k, i in enumerate(idx):
+            rec5, rec3 = recs5[i], recs3_inv[i]
+            qual5 = rec5.quality or None
+            qual3i = rec3.quality or None
+            if qual5 or qual3i:
+                both = (qual5 or "") + (qual3i or "")
+                mq = max(1, min(MAX_QUALITY_SCORE,
+                                ord(max(both)) - QUALITY_ADJ))
+            else:
+                mq = MAX_QUALITY_SCORE
+
+            def mk(s, rec, f, Ls):
+                L = int(Ls[i])
+                kind = int(f["kind"][i])
+                left = int(f["left"][i])
+                plusp = bool(f["plusp"][i])
+                t5, t3 = int(t5a[2 * k + s]), int(t3a[2 * k + s])
+                if kind == KIND_SPLICE:
+                    split = int(f["split"][i])
+                    right = int(f["right"][i])
+                    gap = right - left
+                    a = split - t5
+                    b = L - split - t3
+                    cig = ((f"{t5}S" if t5 else "") + f"{a}M{gap}N{b}M"
+                           + (f"{t3}S" if t3 else ""))
+                    xs = "+" if bool(f["sense"][i]) else "-"
+                    rc = a + gap + b
+                    parts = ((0, split, left), (split, L, right + split))
+                else:
+                    cig = ((f"{t5}S" if t5 else "")
+                           + f"{L - t5 - t3}M" + (f"{t3}S" if t3 else ""))
+                    xs = None
+                    rc = L - t5 - t3
+                    parts = ((0, L, left),)
+                chrn = int(np.searchsorted(self.db.chr_ends, left,
+                                           side="right"))
+                pos = left - int(self.db.chr_starts[chrn]) + 1 + t5
+                stub = SimpleNamespace(
+                    left=left, plusp=plusp, trim5=t5, trim3=t3,
+                    ref_consumed=rc, ndel=0, parts=parts)
+                return (names[chrn], pos, plusp, cig, xs,
+                        int(nma[2 * k + s]), stub, L)
+
+            cn5, pos5, pl5, c5, xs5, nm5, st5, l5len = mk(0, rec5, f5, L5)
+            cn3, pos3, pl3, c3, xs3, nm3, st3, l3len = mk(1, rec3, f3, L3)
+            same = cn5 == cn3
+            tlen = reference_pairlength(st5, st3, l5len, l3len)
+            t5sgn = -tlen if pos5 > pos3 else tlen
+            t3sgn = tlen if pos5 > pos3 else -tlen
+            inv1, inv2 = self.invert_first, self.invert_second
+            flag5 = (0x43 | sam.FLAG_PROPER
+                     | (sam.FLAG_REVCOMP if pl5 == inv1 else 0)
+                     | (sam.FLAG_MATE_REVCOMP if pl3 == inv2 else 0))
+            flag3 = (0x83 | sam.FLAG_PROPER
+                     | (sam.FLAG_REVCOMP if pl3 == inv2 else 0)
+                     | (sam.FLAG_MATE_REVCOMP if pl5 == inv1 else 0))
+            hit5 = sam.SEHit(chrname=cn5, chrpos=pos5, plusp=pl5,
+                             cigar=c5, md=mda[2 * k], nm=nm5, mapq=mq,
+                             absmq=MAPQ_MAXIMUM_SCORE, second_absmq=0,
+                             xs=xs5)
+            hit3 = sam.SEHit(chrname=cn3, chrpos=pos3, plusp=pl3,
+                             cigar=c3, md=mda[2 * k + 1], nm=nm3, mapq=mq,
+                             absmq=MAPQ_MAXIMUM_SCORE, second_absmq=0,
+                             xs=xs3)
+            out[int(rows[i])] = (
+                sam.pe_record(rec5.label, rec5.seq.upper(), qual5,
+                              int(flag5), hit5,
+                              rnext="=" if same else cn3,
+                              pnext=pos3, tlen=int(t5sgn), nh=1, hi=1)
+                + sam.pe_record(rec3.label, rec3.seq.upper(), qual3i,
+                                int(flag3), hit3,
+                                rnext="=" if same else cn5,
+                                pnext=pos5, tlen=int(t3sgn), nh=1, hi=1))
         return out
 
     def _chr_blob(self):
@@ -4255,7 +4536,7 @@ class GsnapRunner:
         lanes = ([(nb, True, False) for nb in reach(self._BUCKETS_FULLWIDE)]
                  + [(nb, False, False)
                     for nb in reach(self._BUCKETS_WIDECAND)]
-                 + [(8, True, True)])   # exact-grid retry tier
+                 + [(8, True, True), (64, True, True)])  # exact tier
         for nb, widen, exact in lanes:
             try:
                 self.fetch_records(self._dispatch_wide(

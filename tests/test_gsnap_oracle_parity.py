@@ -81,10 +81,4 @@ def test_se_sam_parity(tmp_path):
     my_lines = mine.splitlines()
     assert len(ref_lines) == len(my_lines)
     diff = [(a, b) for a, b in zip(my_lines, ref_lines) if a != b]
-    # ONE pinned divergence remains: read t18 (Alu-repeat read) where
-    # the reference re-extends a junk-terminal GMAP rescue that our
-    # posttrim acceptance bookkeeping rejects (README Known
-    # divergences); anything else is a regression
-    allowed = {"t18"}
-    assert all(a.split("\t")[0] in allowed for a, b in diff), diff[:3]
-    assert len(diff) <= 1, diff
+    assert not diff, diff[:3]

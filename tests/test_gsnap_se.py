@@ -127,3 +127,38 @@ def test_md_string_rules():
     assert sam.md_string("ACGT", "ACGA") == ("3A", 1)
     # query N never a mismatch
     assert sam.md_string("ANGT", "ACGT") == ("4", 0)
+
+
+def test_seed_rank_map_packed_vs_unpacked():
+    """The packed single-scatter rank map (small-genome fast path) and
+    the two-scatter fallback produce identical compact seed grids."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gmap_gsnap_tpu.align import gsnap_se as gs
+
+    rng = np.random.default_rng(3)
+    nolig = 4 ** 6
+    counts = rng.integers(0, 6, nolig)
+    counts[rng.integers(0, nolig, 40)] = rng.integers(30, 140, 40)
+    off = np.zeros(nolig + 1, np.uint32)
+    off[1:] = np.cumsum(counts)
+    pos = rng.integers(0, 50000, int(off[-1])).astype(np.uint32)
+    ix_packed = gs.IndexArrays.from_host(off, pos, k=6, interval=3)
+    assert ix_packed.startcnt is not None
+    ix_plain = dataclasses.replace(ix_packed, startcnt=None)
+
+    B, S = 16, 32
+    oligos = jnp.asarray(rng.integers(0, nolig, (B, S)).astype(np.int32))
+    valid = jnp.asarray(rng.random((B, S)) < 0.9)
+    params = gs.GsnapParams(seed_total=96)
+    outs = []
+    for ix in (ix_packed, ix_plain):
+        gpos, o_idx, vs, trunc, count = gs._seed_rank_map(
+            ix, oligos, valid, params)
+        outs.append(tuple(np.asarray(x) for x in
+                          (gpos, o_idx, vs, trunc, count)))
+    for a, b in zip(*outs):
+        assert np.array_equal(a, b)

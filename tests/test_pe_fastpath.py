@@ -152,3 +152,44 @@ def test_se_fast_path_byte_identical(runner):
         outs[fast] = buf.getvalue()
     runner.pe_fast = True
     assert outs[True] == outs[False]
+
+
+def test_pe_fastpath_spliced(tmp_path):
+    """The spliced PE fast path (single local splice ends under -N 1)
+    is byte-identical to the scalar sam_pe_records path."""
+    import io
+
+    import numpy as np
+
+    from gmap_gsnap_tpu.align import runner as runner_mod
+    from gmap_gsnap_tpu.db import build
+    from gmap_gsnap_tpu.db.datadir import GenomeDB
+    import bench_workloads as bw
+
+    dbdir = build.build_db(["/root/reference/tests/ss.chr17test"],
+                           "chr17test", str(tmp_path), k=12)
+    db = GenomeDB.open(dbdir, "chr17test")
+    seq = db.genome_str[0:]
+    rng = np.random.default_rng(21)
+    jx = bw.find_junctions(seq, max_n=64)
+    r5, r3 = bw.make_pe_splice_workload(seq, 96, rng, jx)
+    recs5 = [runner_mod.Record(f"s{i}", f"s{i}", s, "I" * 100)
+             for i, s in enumerate(r5)]
+    recs3 = [runner_mod.Record(f"s{i}", f"s{i}", s, "I" * 100)
+             for i, s in enumerate(r3)]
+
+    outs = []
+    for fast in (True, False):
+        r = runner_mod.GsnapRunner(db, novelsplicing=True)
+        r.pe_fast = fast
+        buf = io.StringIO()
+        r.run_pe(recs5, recs3, buf, batch_size=96)
+        outs.append(buf.getvalue())
+    a, b = outs
+    al = a.splitlines()
+    bl = b.splitlines()
+    assert len(al) == len(bl)
+    diffs = [(x, y) for x, y in zip(al, bl) if x != y]
+    assert not diffs, diffs[:4]
+    # the workload actually exercises spliced CIGARs
+    assert any("N" in l.split("\t")[5] for l in al if not l.startswith("@"))

@@ -33,7 +33,7 @@ for q in queries:
     qstrs.append(qu)
     qstrs.append(dna.revcomp_str(qu))
 maxq = max(len(q) - k + 1 for q in qstrs)
-Q = gmap_mod._bucket(maxq)
+Q = gmap_mod._bucket_q(maxq)
 rows_b = gmap_mod._bucket(len(qstrs), lo=8)
 oligos = np.zeros((rows_b, Q), np.int64)
 valid = np.zeros((rows_b, Q), bool)
