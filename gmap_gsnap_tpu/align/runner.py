@@ -2289,7 +2289,28 @@ class GsnapRunner:
                 term_hits.append(rescue.HostHit(
                     d, "terminal", d.nmatches, pos, d.loglik))
             hhits.extend(term_hits)
-            if (term_hits and "terminal" in self.gmap_modes
+            # early skip: when the acceptance gates below are provably
+            # unsatisfiable, don't run the (expensive) GMAP engine at
+            # all.  Non-standard modes always reject the replacement
+            # (gmap_beats_sub); in standard mode a geometry-failing SUB
+            # blocks it (a different-locus GMAP with more matches would
+            # have been a better sub the complete seed set had found),
+            # and so does every beatable terminal failing geometry.
+            gmap_possible = (self._snpsdb is None
+                             and self._known_sites is None
+                             and self.params.mode == "standard")
+            if gmap_possible:
+                for h in hhits[:n]:
+                    if h.hittype == "sub" and not end_policy_ok(
+                            h.d.trim5, h.d.trim3, h.d.mmpos):
+                        gmap_possible = False
+                        break
+            if gmap_possible and term_hits and not any(
+                    end_policy_ok(t.d.trim5, t.d.trim3, t.mm_positions)
+                    for t in term_hits):
+                gmap_possible = False
+            if (term_hits and gmap_possible
+                    and "terminal" in self.gmap_modes
                     and len(term_hits) <= self.params.max_gmap_terminal):
                 g = gmap_once()
                 # GMAP is anchored near each terminal (align_single_hit
@@ -2318,6 +2339,9 @@ class GsnapRunner:
         win = self.params.shortsplicedist + 2 * L
 
         def gmap_for_anchor(anchor):
+            if (self._snpsdb is not None or self._known_sites is not None
+                    or self.params.mode != "standard"):
+                return None  # gmap_beats_sub always rejects: skip call
             g = gmap_once()
             if g is None:
                 return None
