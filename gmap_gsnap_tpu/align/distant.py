@@ -47,6 +47,14 @@ def sufficient_prob_distant(support: int, nmm: int, prob: float) -> bool:
     return prob > 0.70
 
 
+def _sufficient_prob_distant_vec(support, nmm, prob):
+    """Vectorized sufficient_splice_prob_distant (stage1hr.c:6112)."""
+    s = support - 3 * nmm
+    thr = np.where(s < 30, 0.95,
+                   np.where(s < 35, 0.90, np.where(s < 40, 0.85, 0.70)))
+    return (s >= MIN_SPLICE_SUPPORT_DISTANT) & (prob > thr)
+
+
 @dataclass(frozen=True)
 class SpliceEnd:
     split: int     # chimera_pos: query split in ALIGNED coords
@@ -85,49 +93,62 @@ def find_spliceends(diags, mm_fn, L: int, genome_str: str, codes,
         # mismatch counted from the right
         rbound = 1 if len(mmpos) <= max_mm else int(mmpos[-1 - max_mm]) + 1
 
-        lsites, lkinds, lsplits, lnmm = [], [], [], []
-        for s in range(k_index, min(lbound, L - 1) + 1):
-            g = left + s
-            if g < 20 or g + 20 > glen:
-                continue
-            dn = genome_str[g : g + 2]
-            if dn == "GT":
-                lsites.append(g); lkinds.append("donor")
-                lsplits.append(s); lnmm.append(int((mmpos < s).sum()))
-            elif dn == "CT":
-                lsites.append(g); lkinds.append("antiacceptor")
-                lsplits.append(s); lnmm.append(int((mmpos < s).sum()))
-        rsites, rkinds, rsplits, rnmm = [], [], [], []
-        for s in range(max(rbound, 1), L - k_index + 1):
-            g = left + s
-            if g < 20 or g + 20 > glen:
-                continue
-            dn = genome_str[g - 2 : g]
-            if dn == "AG":
-                rsites.append(g); rkinds.append("acceptor")
-                rsplits.append(s); rnmm.append(int((mmpos >= s).sum()))
-            elif dn == "AC":
-                rsites.append(g); rkinds.append("antidonor")
-                rsplits.append(s); rnmm.append(int((mmpos >= s).sum()))
+        # one genome-window byte fetch covers both scans; dinucleotide
+        # detection, per-split mismatch counts (prefix sums of mmpos via
+        # searchsorted) and the sufficiency gate are all vectorized —
+        # the per-base Python loop this replaces dominated the PE
+        # novel-splicing rescue profile
+        lo_g = left + min(k_index, max(rbound, 1)) - 2
+        hi_g = left + max(min(lbound, L - 1) + 1, L - k_index + 1) + 2
+        lo_g = max(lo_g, 0)
+        hi_g = min(hi_g, glen)
+        if hi_g <= lo_g:
+            continue
+        win = np.frombuffer(
+            genome_str[lo_g:hi_g].encode("latin-1"), np.uint8)
 
-        for sites, kinds, splits, nmms, leftp in (
-            (lsites, lkinds, lsplits, lnmm, True),
-            (rsites, rkinds, rsplits, rnmm, False),
-        ):
-            if not sites:
-                continue
-            by_kind: dict = {}
-            for i, k in enumerate(kinds):
-                by_kind.setdefault(k, []).append(i)
-            for k, idxs in by_kind.items():
-                pos = np.array([sites[i] for i in idxs])
-                probs = maxent.splice_prob_np(codes, pos, k)
-                for i, p in zip(idxs, probs):
-                    s = splits[i]
-                    support = s if leftp else L - s
-                    if sufficient_prob_distant(support, nmms[i], float(p)):
-                        ends[(k, plusp)].append(SpliceEnd(
-                            s, nmms[i], float(p), left, plusp, sites[i]))
+        def scan(s_arr, leftp):
+            if not len(s_arr):
+                return
+            g = left + s_arr
+            ok = (g >= 20) & (g + 20 <= glen)
+            if leftp:
+                ok &= (g >= lo_g) & (g + 2 <= hi_g)
+            else:
+                ok &= (g - 2 >= lo_g) & (g <= hi_g)
+            s_arr = s_arr[ok]
+            if not len(s_arr):
+                return
+            g = left + s_arr
+            if leftp:
+                c0, c1 = win[g - lo_g], win[g - lo_g + 1]
+                nmm_arr = np.searchsorted(mmpos, s_arr, side="left")
+                kinds = (("donor", (c0 == ord("G")) & (c1 == ord("T"))),
+                         ("antiacceptor",
+                          (c0 == ord("C")) & (c1 == ord("T"))))
+                support = s_arr
+            else:
+                c0, c1 = win[g - lo_g - 2], win[g - lo_g - 1]
+                nmm_arr = (len(mmpos)
+                           - np.searchsorted(mmpos, s_arr, side="left"))
+                kinds = (("acceptor", (c0 == ord("A")) & (c1 == ord("G"))),
+                         ("antidonor", (c0 == ord("A")) & (c1 == ord("C"))))
+                support = L - s_arr
+            for k, sel in kinds:
+                idx = np.flatnonzero(sel)
+                if not len(idx):
+                    continue
+                probs = maxent.splice_prob_np(codes, g[idx], k)
+                keep = _sufficient_prob_distant_vec(
+                    support[idx], nmm_arr[idx], probs)
+                lst = ends[(k, plusp)]
+                for i, p in zip(idx[keep], probs[keep]):
+                    lst.append(SpliceEnd(
+                        int(s_arr[i]), int(nmm_arr[i]), float(p), left,
+                        plusp, int(g[i])))
+
+        scan(np.arange(k_index, min(lbound, L - 1) + 1), True)
+        scan(np.arange(max(rbound, 1), L - k_index + 1), False)
     return ends
 
 
